@@ -1,0 +1,126 @@
+"""Score / Filter / ScoreFilter / Modify — the reference's projection-filter
+framework re-expressed as DataFrame transformations.
+
+Reference semantics (/root/reference nemo_curator/stages/text/filters/
+score_filter.py:29-344, modifiers/modifier.py:24-100):
+
+* ``Score``      — add a score column; never drops rows.
+* ``Filter``     — drop rows by a keep predicate over an existing column.
+* ``ScoreFilter``— fused: compute score (optionally persisted), then drop.
+* ``Modify``     — rewrite a text column (in place or to a new column).
+
+Here a "filter function" is a :class:`~nemo_curator_spark.functions.
+heuristics.Rule` (or anything exposing ``score(ctx)->Column`` and
+``keep(Column)->Column``), so the whole framework stays JVM-side; Catalyst
+fuses chained stages into one projection + predicate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.functions import heuristics as H
+
+
+class Stage:
+    """A DataFrame -> DataFrame transformation (ProcessingStage analogue)."""
+
+    name: str = "stage"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        return self.apply(df)
+
+
+def _rule(rule_or_name) -> H.Rule:
+    if isinstance(rule_or_name, str):
+        return H.RULES_BY_NAME[rule_or_name]
+    return rule_or_name
+
+
+def _score_col(rule: H.Rule, text_col: str) -> Column:
+    if rule.score is not None:
+        return rule.score(H.text_ctx(F.col(text_col)))
+    field = H.NGRAM_COL_FOR_RULE[rule.name]
+    return H.ngram_scores(F.col(text_col))[field]
+
+
+@dataclass
+class Score(Stage):
+    """Add ``score_field`` = rule score over ``text_field``. Pure projection."""
+
+    rule: object
+    score_field: str
+    text_field: str = "text"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        rule = _rule(self.rule)
+        return df.withColumn(self.score_field, _score_col(rule, self.text_field))
+
+
+@dataclass
+class Filter(Stage):
+    """Keep rows where the rule's keep predicate holds on ``filter_field``."""
+
+    rule: object
+    filter_field: str
+    invert: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        rule = _rule(self.rule)
+        keep = rule.keep(F.col(self.filter_field))
+        return df.where(~keep if self.invert else keep)
+
+
+@dataclass
+class ScoreFilter(Stage):
+    """Fused score+filter; persists the score only if ``score_field`` set."""
+
+    rule: object
+    text_field: str = "text"
+    score_field: str | None = None
+    invert: bool = False
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        rule = _rule(self.rule)
+        score = _score_col(rule, self.text_field)
+        if self.score_field:
+            df = df.withColumn(self.score_field, score)
+            score = F.col(self.score_field)
+        keep = rule.keep(score)
+        return df.where(~keep if self.invert else keep)
+
+
+@dataclass
+class Modify(Stage):
+    """Apply a text->text Column transform (DocumentModifier analogue)."""
+
+    fn: object  # Callable[[Column], Column]
+    text_field: str = "text"
+    output_field: str | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = self.output_field or self.text_field
+        return df.withColumn(out, self.fn(F.col(self.text_field)))
+
+
+class Pipeline:
+    """Ordered stages applied to one DataFrame (reference Pipeline.run)."""
+
+    def __init__(self, stages: list[Stage] | None = None, name: str = "pipeline"):
+        self.name = name
+        self.stages: list[Stage] = list(stages or [])
+
+    def add_stage(self, stage: Stage) -> "Pipeline":
+        self.stages.append(stage)
+        return self
+
+    def run(self, df: DataFrame) -> DataFrame:
+        for stage in self.stages:
+            df = stage.apply(df)
+        return df

@@ -1,0 +1,160 @@
+"""Label-first assembly of the heuristic rule cascade.
+
+The reference applies its filters as a cascade of row-dropping stages
+(ScoreFilter chain, config/text/heuristic_filter_english_pipeline.yaml).
+Spark-first we instead compute every rule's score and keep-bit as columns in
+ONE projection, derive ``keep`` (conjunction) and ``drop_reason`` (first
+failing rule in chain order) — the surviving-row set is identical to the
+cascade because every rule is a deterministic per-row predicate, and the
+label columns give the lineage drop-reason histogram for free
+(SURVEY.md §7.0).
+
+All 19 native rules stay JVM-side; the nine n-gram rules come from a single
+Arrow-vectorized pandas UDF returning a struct (one Python round-trip per
+batch, not per rule).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.functions import heuristics as H
+
+SCORE_PREFIX = "score_"
+
+
+def chain_rule_names(include_ngrams: bool = True) -> list[str]:
+    names = [r.name for r in H.RULES]
+    if not include_ngrams:
+        names = [n for n in names if n not in H.NGRAM_COL_FOR_RULE]
+    return names
+
+
+def add_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[str] | None = None,
+    prefix: str = SCORE_PREFIX,
+) -> DataFrame:
+    """Add one ``{prefix}{rule}`` DOUBLE column per rule.
+
+    Native rules are Column expressions over shared helper columns; if any
+    n-gram rule is requested, the shared ``ngram_scores`` struct is computed
+    once and its fields are projected out.
+    """
+    names = rules if rules is not None else chain_rule_names()
+    ctx = H.text_ctx(F.col(text_col))
+
+    native_cols: dict[str, Column] = {}
+    ngram_rules: list[str] = []
+    for name in names:
+        rule = H.RULES_BY_NAME[name]
+        if name in H.NGRAM_COL_FOR_RULE:
+            ngram_rules.append(name)
+        else:
+            native_cols[prefix + name] = rule.score(ctx)
+
+    if ngram_rules:
+        df = df.withColumn("_ngram_scores", H.ngram_scores(F.col(text_col)))
+        for name in ngram_rules:
+            field = H.NGRAM_COL_FOR_RULE[name]
+            native_cols[prefix + name] = F.col("_ngram_scores." + field)
+
+    df = df.withColumns(native_cols)
+    if ngram_rules:
+        df = df.drop("_ngram_scores")
+    return df
+
+
+def add_labels(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: list[str] | None = None,
+    prefix: str = SCORE_PREFIX,
+    keep_col: str = "keep",
+    reason_col: str = "drop_reason",
+) -> DataFrame:
+    """Add scores plus ``keep`` / ``drop_reason`` (first failing rule)."""
+    names = rules if rules is not None else chain_rule_names()
+    df = add_scores(df, text_col, names, prefix)
+
+    keeps = [
+        H.RULES_BY_NAME[n].keep(F.col(prefix + n)) for n in names
+    ]
+    keep = reduce(lambda a, b: a & b, keeps)
+
+    reason = F.lit(None).cast("string")
+    for name, k in zip(reversed(names), reversed(keeps)):
+        reason = F.when(~k, F.lit(name)).otherwise(reason)
+
+    return df.withColumn(keep_col, keep).withColumn(reason_col, reason)
+
+
+def english_chain(
+    df: DataFrame,
+    text_col: str = "text",
+    mode: str = "filter",
+    include_ngrams: bool = True,
+) -> DataFrame:
+    """The reference English heuristic cascade.
+
+    mode='filter' → return surviving rows only (original columns), exactly
+    the cascade's output set. mode='label' → return all rows + score/keep/
+    drop_reason columns (the label-first form used for lineage).
+    """
+    names = chain_rule_names(include_ngrams)
+    labeled = add_labels(df, text_col, names)
+    if mode == "label":
+        return labeled
+    if mode != "filter":
+        raise ValueError(f"unknown mode: {mode}")
+    return labeled.where(F.col("keep")).select(*df.columns)
+
+
+# --- DuckDB oracle SQL for the native subset ---------------------------------
+
+
+def duck_score_sql(rule_name: str, col: str) -> str:
+    rule = H.RULES_BY_NAME[rule_name]
+    if rule.duck_score is None:
+        raise ValueError(f"rule {rule_name} has no SQL form (pandas-UDF rule)")
+    return rule.duck_score(col)
+
+
+def duck_labels_sql(
+    table: str,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    rules: list[str] | None = None,
+    prefix: str = SCORE_PREFIX,
+) -> str:
+    """Full labeling query in DuckDB SQL over `table` (native rules only)."""
+    names = rules if rules is not None else chain_rule_names(include_ngrams=False)
+    score_exprs = {n: duck_score_sql(n, text_col) for n in names}
+    keep_exprs = {
+        n: H.RULES_BY_NAME[n].duck_keep(f"CAST({prefix}{n} AS DOUBLE)")
+        for n in names
+    }
+    select_scores = ",\n    ".join(
+        f"CAST({e} AS DOUBLE) AS {prefix}{n}" for n, e in score_exprs.items()
+    )
+    keep = " AND ".join(keep_exprs.values())
+    reason = "CASE " + " ".join(
+        f"WHEN NOT {keep_exprs[n]} THEN '{n}'" for n in names
+    ) + " ELSE NULL END"
+    ids = ", ".join(id_cols)
+    return f"""
+WITH scored AS (
+  SELECT {ids}, {text_col},
+    {select_scores}
+  FROM {table}
+)
+SELECT {ids},
+  {keep} AS keep,
+  {reason} AS drop_reason,
+  * EXCLUDE ({ids}, {text_col})
+FROM scored
+""".strip()

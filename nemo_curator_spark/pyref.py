@@ -1,0 +1,330 @@
+"""Pure-Python oracle for the heuristic quality rules.
+
+This module is the single-process ground truth the Spark expressions are
+tested against. It re-implements (fresh, from the published Gopher/C4
+semantics; behavior pinned by the reference's unit fixtures, see
+/root/reference tests/stages/text/modules/test_filters.py) each scorer as a
+plain ``str -> float`` function plus a keep predicate.
+
+Conventions shared with the Spark layer (documented deviations from the
+reference, which crashes on these inputs):
+
+* scorers that divide by word/sentence/paragraph counts return the *worst*
+  score (drop) instead of raising ZeroDivisionError on empty input;
+* ``mean_word_length`` / ``max_word_length`` of an empty doc are 0.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from nemo_curator_spark import constants as C
+
+
+def words(text: str) -> list[str]:
+    return text.split()
+
+
+def lines(text: str) -> list[str]:
+    """Non-blank newline-split lines ("sentences" in Gopher parlance)."""
+    return [x for x in text.split("\n") if x.strip()]
+
+
+def paragraphs(text: str) -> list[str]:
+    return text.split("\n\n")
+
+
+def ngrams(tokens: list[str], n: int) -> list[tuple[str, ...]]:
+    return [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+# --- scorers ----------------------------------------------------------------
+
+
+def non_alpha_numeric(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 1.0
+    return (n - len(re.findall(C.ALPHANUM_CLASS, text))) / n
+
+
+def symbols_to_words(text: str) -> float:
+    ws = words(text.strip())
+    if not ws:
+        return 1.0
+    bad = 0
+    for w in ws:
+        # count of '#'-runs (not chars) over word length, per the reference
+        hash_runs = len(C.HASH_RUN_PY.findall(w))
+        if w in C.ELLIPSIS_MARKS or hash_runs / len(w) > 0.5:
+            bad += 1
+    return bad / len(ws)
+
+
+def numbers_ratio(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 1.0
+    return len(C.DIGIT_PY.findall(text)) / n
+
+
+def urls_ratio(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 1.0
+    return sum(len(u) for u in C.URL_PY.findall(text)) / n
+
+
+def bullet_ratio(text: str) -> float:
+    ls = lines(text)
+    if not ls:
+        return 1.0
+    n_bullet = sum(1 for s in ls if s.strip()[:1] in C.BULLET_CHARS)
+    return n_bullet / len(ls)
+
+
+def white_space_ratio(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 1.0
+    return sum(1 for ch in text if ch in C.WHITE_SPACE_CHARS) / n
+
+
+def parentheses_ratio(text: str) -> float:
+    n = len(text)
+    if n == 0:
+        return 1.0
+    return len(C.PAREN_PY.findall(text)) / n
+
+
+def max_word_length(text: str) -> int:
+    ws = words(text.strip())
+    return max((len(w) for w in ws), default=0)
+
+
+def word_count(text: str) -> int:
+    return len(words(text.strip()))
+
+
+def boilerplate_string_ratio(text: str) -> float:
+    paras = paragraphs(text)
+    hits = 0
+    for p in paras:
+        p_low = p.strip().lower()
+        if "lorem ipsum" in p_low:
+            return 1.0
+        if any(s in p_low for s in C.POLICY_SUBSTRINGS):
+            hits += 1
+    return hits / len(paras)  # len >= 1 always ("".split("\n\n") == [""])
+
+
+def mean_word_length(text: str) -> float:
+    ws = [w for w in words(text.strip()) if w]
+    if not ws:
+        return 0.0
+    return sum(len(w) for w in ws) / len(ws)
+
+
+def punctuation_ratio(text: str) -> float:
+    ls = lines(text)
+    if not ls:
+        return 1.0
+    no_end = sum(1 for s in ls if not s.strip().endswith(C.END_MARKS))
+    return no_end / len(ls)
+
+
+def ellipsis_ratio(text: str) -> float:
+    ls = lines(text)
+    if not ls:
+        return 1.0
+    n_ell = sum(
+        1
+        for s in ls
+        if any(s.strip().lower().endswith(m) for m in C.ELLIPSIS_MARKS)
+    )
+    return n_ell / len(ls)
+
+
+def common_english_words(text: str, cutoff: int = 2, stop_at_false: bool = True) -> int:
+    count = 0
+    for w in words(text.strip()):
+        if w in C.COMMON_ENGLISH_WORDS:
+            count += 1
+        if stop_at_false and count >= cutoff:
+            return count
+    return count
+
+
+def words_without_alphabets(text: str) -> float:
+    """Fraction of words containing at least one unicode letter."""
+    ws = words(text.strip())
+    if not ws:
+        return 0.0
+    return sum(1 for w in ws if C.ALPHA_PY.search(w)) / len(ws)
+
+
+def pornographic_urls(text: str) -> int:
+    return int(any("porn" in u for u in C.URL_PY.findall(text)))
+
+
+def substring_score(text: str, sub: str, position: str) -> int:
+    if position == "prefix":
+        return int(text.startswith(sub))
+    if position == "suffix":
+        return int(text.endswith(sub))
+    return int(sub in text)
+
+
+def repeated_lines(text: str) -> float:
+    ls = lines(text)
+    if not ls:
+        return 0.0
+    return len(set(ls)) / len(ls)
+
+
+def repeated_paragraphs(text: str) -> float:
+    ps = paragraphs(text)
+    return len(set(ps)) / len(ps)
+
+
+def repeated_lines_char(text: str) -> float:
+    ls = lines(text)
+    total = sum(len(s) for s in ls)
+    if total == 0:
+        return 0.0
+    return sum(len(s) for s in set(ls)) / total
+
+
+def repeated_paragraphs_char(text: str) -> float:
+    ps = paragraphs(text)
+    total = sum(len(p) for p in ps)
+    if total == 0:
+        return 0.0
+    return sum(len(p) for p in set(ps)) / total
+
+
+def top_ngram_ratio(text: str, n: int) -> float:
+    """Chars covered by the most frequent word n-gram / total chars.
+
+    Ties between equally frequent n-grams resolve to the first-seen n-gram
+    (deterministic; the reference iterates a set whose order is
+    hash-randomized, so exact tie behavior is unreproducible by design).
+    """
+    toks = words(text.strip())
+    if len(toks) < n:
+        return 1.0
+    grams = ngrams(toks, n)
+    counts: dict[tuple[str, ...], int] = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    best = max(counts.items(), key=lambda kv: kv[1])[1]
+    top = next(g for g in grams if counts[g] == best)
+    phrase = " ".join(top)
+    nchar = len(text)
+    if nchar == 0:
+        return 1.0
+    return (nchar - len(text.replace(phrase, ""))) / nchar
+
+
+def dup_ngram_ratio(text: str, n: int) -> float:
+    """Chars inside duplicated (seen-before) word n-grams / total chars.
+
+    Sliding window with overlap accounting: when a duplicate n-gram overlaps
+    the previously counted one, only the non-overlapping suffix words (and
+    the spaces joining them) are added.
+    """
+    toks = words(text.strip())
+    if len(toks) < n:
+        return 1.0
+    seen: dict[tuple[str, ...], int] = {}
+    dup_chars = 0
+    overlap = 0
+    for g in ngrams(toks, n):
+        seen[g] = seen.get(g, 0) + 1
+        if seen[g] > 1:
+            new_chars = sum(len(w) for w in g[overlap:])
+            n_spaces = min(n - overlap, n - 1)
+            dup_chars += new_chars + n_spaces
+            overlap = n
+        overlap = max(overlap - 1, 0)
+    nchar = len(text)
+    if nchar == 0:
+        return 1.0
+    return dup_chars / nchar
+
+
+# --- the English chain -------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    """One heuristic rule: name, scorer, keep predicate over the score."""
+
+    name: str
+    score: Callable[[str], float]
+    keep: Callable[[float], bool]
+    params: dict = field(default_factory=dict)
+
+
+def english_chain() -> list[RuleSpec]:
+    """The reference English heuristic cascade, in pipeline order.
+
+    Order and cutoffs follow the reference's
+    config/text/heuristic_filter_english_pipeline.yaml:50-243.
+    """
+    specs: list[RuleSpec] = [
+        RuleSpec("alpha_numeric", non_alpha_numeric, lambda s: s <= 0.25),
+        RuleSpec("symbol_to_word", symbols_to_words, lambda s: s <= 0.1),
+        RuleSpec("numbers_ratio", numbers_ratio, lambda s: s <= 0.15),
+        RuleSpec("urls_ratio", urls_ratio, lambda s: s <= 0.2),
+        RuleSpec("white_space", white_space_ratio, lambda s: s <= 0.25),
+        RuleSpec("parentheses_ratio", parentheses_ratio, lambda s: s <= 0.1),
+        RuleSpec(
+            "boilerplate_string_ratio", boilerplate_string_ratio, lambda s: s <= 0.4
+        ),
+        RuleSpec("repeated_lines", repeated_lines, lambda s: s >= 0.7),
+        RuleSpec("repeated_paragraphs", repeated_paragraphs, lambda s: s >= 0.7),
+        RuleSpec("repeated_lines_char", repeated_lines_char, lambda s: s >= 0.8),
+        RuleSpec(
+            "repeated_paragraphs_char", repeated_paragraphs_char, lambda s: s >= 0.8
+        ),
+        RuleSpec("word_count", word_count, lambda s: 50 <= s <= 100000),
+        RuleSpec("punctuation", punctuation_ratio, lambda s: s <= 0.85),
+        RuleSpec(
+            "words_without_alphabets", words_without_alphabets, lambda s: s >= 0.8
+        ),
+        RuleSpec("common_english_words", common_english_words, lambda s: s >= 2),
+        RuleSpec("mean_word_length", mean_word_length, lambda s: 3 <= s <= 10),
+        RuleSpec("max_word_length", max_word_length, lambda s: s <= 1000),
+        RuleSpec("ellipsis", ellipsis_ratio, lambda s: s <= 0.3),
+    ]
+    for n, cutoff in ((2, 0.2), (3, 0.18), (4, 0.16)):
+        specs.append(
+            RuleSpec(
+                f"repeating_top_{n}grams",
+                lambda t, n=n: top_ngram_ratio(t, n),
+                lambda s, c=cutoff: s <= c,
+                {"n": n},
+            )
+        )
+    for n, cutoff in ((5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)):
+        specs.append(
+            RuleSpec(
+                f"repeating_dup_{n}gram",
+                lambda t, n=n: dup_ngram_ratio(t, n),
+                lambda s, c=cutoff: s <= c,
+                {"n": n},
+            )
+        )
+    specs.append(RuleSpec("bullet_ratio", bullet_ratio, lambda s: s <= 0.9))
+    return specs
+
+
+def label_document(text: str) -> tuple[bool, str | None]:
+    """Run the full English cascade; return (keep, first drop reason)."""
+    for spec in english_chain():
+        if not spec.keep(spec.score(text)):
+            return False, spec.name
+    return True, None

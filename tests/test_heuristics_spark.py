@@ -1,0 +1,103 @@
+"""Spark expressions == pure-Python oracle, for every rule over the golden
+corpus; and DuckDB SQL forms == Spark, over the same corpus (the same
+comparison the driver's correctness gate performs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from nemo_curator_spark import pyref
+from nemo_curator_spark.functions import heuristics as H
+from nemo_curator_spark.pipeline import chain
+
+
+def _spark_scores(spark, texts: list[str]) -> pd.DataFrame:
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return (
+        chain.add_scores(df, "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+
+def test_spark_scores_match_pyref(spark, golden_texts):
+    got = _spark_scores(spark, golden_texts)
+    for rule in H.RULES:
+        col = chain.SCORE_PREFIX + rule.name
+        for i, text in enumerate(golden_texts):
+            expected = float(rule.py_score(text))
+            actual = got[col][i]
+            assert math.isclose(actual, expected, rel_tol=1e-12, abs_tol=1e-12), (
+                f"rule={rule.name} row={i!r} text={text[:60]!r}: "
+                f"spark={actual} pyref={expected}"
+            )
+
+
+def test_spark_keep_labels_match_pyref(spark, golden_texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(golden_texts)], "doc_id long, text string"
+    )
+    got = chain.add_labels(df, "text").orderBy("doc_id").toPandas()
+    for i, text in enumerate(golden_texts):
+        keep, reason = pyref.label_document(text)
+        assert bool(got["keep"][i]) == keep, f"row {i}: {text[:60]!r}"
+        assert got["drop_reason"][i] == (reason if reason else None), (
+            f"row {i}: {text[:60]!r} got={got['drop_reason'][i]} want={reason}"
+        )
+
+
+def test_duckdb_oracle_matches_pyref(golden_texts):
+    """The DuckDB SQL forms (used in oracle_sql()) equal the python oracle."""
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        pd.DataFrame({"doc_id": range(len(golden_texts)), "text": golden_texts}),
+    )
+    native = chain.chain_rule_names(include_ngrams=False)
+    exprs = ",\n".join(
+        f"CAST({chain.duck_score_sql(n, 'text')} AS DOUBLE) AS s_{i}"
+        for i, n in enumerate(native)
+    )
+    rows = con.execute(
+        f"SELECT doc_id, {exprs} FROM docs ORDER BY doc_id"
+    ).fetchall()
+    for row in rows:
+        i = row[0]
+        text = golden_texts[i]
+        for j, name in enumerate(native):
+            expected = float(H.RULES_BY_NAME[name].py_score(text))
+            actual = row[1 + j]
+            assert math.isclose(actual, expected, rel_tol=1e-12, abs_tol=1e-12), (
+                f"rule={name} row={i} text={text[:60]!r}: "
+                f"duckdb={actual} pyref={expected}"
+            )
+
+
+def test_duck_labels_sql_runs_and_matches(golden_texts):
+    con = duckdb.connect()
+    con.register(
+        "docs",
+        pd.DataFrame({"doc_id": range(len(golden_texts)), "text": golden_texts}),
+    )
+    sql = chain.duck_labels_sql("docs", "text")
+    out = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    native = chain.chain_rule_names(include_ngrams=False)
+    for i, text in enumerate(golden_texts):
+        keep = all(
+            H.RULES_BY_NAME[n].keep is not None
+            and _py_keep(n, float(H.RULES_BY_NAME[n].py_score(text)))
+            for n in native
+        )
+        assert bool(out["keep"][i]) == keep, f"row {i}: {text[:60]!r}"
+
+
+def _py_keep(name: str, score: float) -> bool:
+    spec = {s.name: s for s in pyref.english_chain()}[name]
+    return spec.keep(score)
