@@ -1,0 +1,222 @@
+"""Language identification stages.
+
+Three tiers, mirroring the reference's surface (SURVEY.md §2.4 #24/#26):
+
+* :func:`langid_struct` — a fully JVM-native (and SQL-expressible)
+  script-histogram + stopword heuristic returning
+  ``struct<lang string, score double>``; the workhorse for the synthetic
+  corpus and the DuckDB oracle.
+* :func:`histogram_score` — the HistogramFilter analogue
+  (filters/histogram/histogram.py:24-121): fraction of characters inside a
+  per-language character class; keep if > 0.8.
+* :class:`FastTextLangId` — the reference's fastText semantics
+  (fasttext_filters.py:58-111: label-prefix strip, min-score cutoff,
+  case-insensitive lang / lang_script matching) over a pluggable model;
+  uses the real fasttext package when importable, otherwise any object with
+  ``predict(list[str], k)`` (tests inject a mock, exactly as the
+  reference's own tests do).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# script ranges as LITERAL char ranges (valid in Java regex and RE2 alike)
+_R = lambda a, b: chr(a) + "-" + chr(b)  # noqa: E731
+SCRIPT_CLASSES: dict[str, str] = {
+    "zh": f"[{_R(0x4E00, 0x9FFF)}]",                      # CJK unified han
+    "ja": f"[{_R(0x3040, 0x309F)}{_R(0x30A0, 0x30FF)}]",  # hiragana+katakana
+    "th": f"[{_R(0x0E00, 0x0E7F)}]",
+    "ko": f"[{_R(0xAC00, 0xD7AF)}]",
+    "ru": f"[{_R(0x0400, 0x04FF)}]",
+    "ar": f"[{_R(0x0600, 0x06FF)}]",
+    "latin": f"[A-Za-z{_R(0xC0, 0xFF)}]",
+}
+
+EN_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
+PT_STOPWORDS = (
+    "de", "que", "não", "uma", "para", "com", "os", "as", "do", "da",
+    "em", "o", "a", "e", "ao", "à", "pelo", "pela",
+)
+
+
+def _frac(text: Column, cls: str, total: Column) -> Column:
+    return F.regexp_count(text, F.lit(cls)) / total
+
+
+def _stop_hits(words: Column, stops: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stops])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def langid_struct(text: Column) -> Column:
+    """Native script-histogram language ID: struct<lang, score>.
+
+    score = fraction of letters in the winning script class (for latin
+    languages, the latin fraction); en vs pt disambiguated by stopword hits.
+    """
+    letters = F.greatest(F.regexp_count(text, F.lit(r"\p{L}")), F.lit(1))
+    fr = {k: _frac(text, v, letters) for k, v in SCRIPT_CLASSES.items()}
+
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    words = F.when(
+        stripped == "", F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
+    en_hits = _stop_hits(words, EN_STOPWORDS)
+    pt_hits = _stop_hits(words, PT_STOPWORDS)
+
+    latin_lang = F.when(pt_hits > en_hits, F.lit("pt")).otherwise(F.lit("en"))
+
+    lang = (
+        F.when(fr["ja"] > 0.05, F.lit("ja"))
+        .when(fr["zh"] > 0.5, F.lit("zh"))
+        .when(fr["th"] > 0.5, F.lit("th"))
+        .when(fr["ko"] > 0.5, F.lit("ko"))
+        .when(fr["ru"] > 0.5, F.lit("ru"))
+        .when(fr["ar"] > 0.5, F.lit("ar"))
+        .when(fr["latin"] > 0.5, latin_lang)
+        .otherwise(F.lit("unknown"))
+    )
+    score = (
+        F.when(fr["ja"] > 0.05, fr["ja"] + fr["zh"])  # kanji counts for ja
+        .when(fr["zh"] > 0.5, fr["zh"])
+        .when(fr["th"] > 0.5, fr["th"])
+        .when(fr["ko"] > 0.5, fr["ko"])
+        .when(fr["ru"] > 0.5, fr["ru"])
+        .when(fr["ar"] > 0.5, fr["ar"])
+        .when(fr["latin"] > 0.5, fr["latin"])
+        .otherwise(F.lit(0.0))
+    )
+    return F.struct(
+        lang.alias("lang"), F.least(score, F.lit(1.0)).cast("double").alias("score")
+    )
+
+
+# --- DuckDB SQL form -----------------------------------------------------------
+
+
+def _dq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def duck_langid_sql(col: str) -> tuple[str, str]:
+    """(lang_expr, score_expr) in DuckDB SQL, equal to langid_struct."""
+    letters = f"greatest(len(regexp_extract_all({col}, '\\p{{L}}')), 1)"
+    fr = {
+        k: f"(len(regexp_extract_all({col}, {_dq(v)})) / {letters})"
+        for k, v in SCRIPT_CLASSES.items()
+    }
+    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    words = (
+        f"(CASE WHEN {stripped} = '' THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array({stripped}, '\\s+') END)"
+    )
+
+    def hits(stops: tuple[str, ...]) -> str:
+        lst = "[" + ", ".join(_dq(s) for s in stops) + "]"
+        return (
+            f"len(list_filter({words}, w -> list_contains({lst}, lower(w))))"
+        )
+
+    latin_lang = f"(CASE WHEN {hits(PT_STOPWORDS)} > {hits(EN_STOPWORDS)} THEN 'pt' ELSE 'en' END)"
+    lang = (
+        f"(CASE WHEN {fr['ja']} > 0.05 THEN 'ja' "
+        f"WHEN {fr['zh']} > 0.5 THEN 'zh' "
+        f"WHEN {fr['th']} > 0.5 THEN 'th' "
+        f"WHEN {fr['ko']} > 0.5 THEN 'ko' "
+        f"WHEN {fr['ru']} > 0.5 THEN 'ru' "
+        f"WHEN {fr['ar']} > 0.5 THEN 'ar' "
+        f"WHEN {fr['latin']} > 0.5 THEN {latin_lang} "
+        f"ELSE 'unknown' END)"
+    )
+    score = (
+        f"least((CASE WHEN {fr['ja']} > 0.05 THEN {fr['ja']} + {fr['zh']} "
+        f"WHEN {fr['zh']} > 0.5 THEN {fr['zh']} "
+        f"WHEN {fr['th']} > 0.5 THEN {fr['th']} "
+        f"WHEN {fr['ko']} > 0.5 THEN {fr['ko']} "
+        f"WHEN {fr['ru']} > 0.5 THEN {fr['ru']} "
+        f"WHEN {fr['ar']} > 0.5 THEN {fr['ar']} "
+        f"WHEN {fr['latin']} > 0.5 THEN {fr['latin']} "
+        f"ELSE 0.0 END), 1.0)"
+    )
+    return lang, score
+
+
+def histogram_score(text: Column, lang: str) -> Column:
+    """HistogramFilter analogue: frac of non-space chars in the language's
+    character class; score 1.0 if frac > 0.8 else 0.0 (keep if 1)."""
+    cls = SCRIPT_CLASSES.get(lang, SCRIPT_CLASSES["latin"])
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(text, r"\s", "")), F.lit(1)
+    )
+    frac = F.regexp_count(text, F.lit(cls)) / nonspace
+    return F.when(frac > 0.8, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+# --- fastText-semantics tier ----------------------------------------------------
+
+
+@dataclass
+class FastTextLangId:
+    """Reference FastTextLangId semantics over a pluggable model.
+
+    ``model`` must expose ``predict(list[str], k=1) -> (labels, scores)``
+    with fastText's ``__label__xx`` label convention. When ``model_path``
+    is given and the fasttext package is importable, the real model is
+    lazily loaded per executor.
+    """
+
+    model_path: str | None = None
+    min_langid_score: float = 0.3
+    lang: str | None = None
+    model: object | None = None
+
+    def _get_model(self):
+        if self.model is not None:
+            return self.model
+        import fasttext  # gated: not present in this environment
+
+        self.model = fasttext.load_model(self.model_path)
+        return self.model
+
+    def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        model = self._get_model()
+        cleaned = [(t or "").strip().replace("\n", " ") for t in texts]
+        out_score, out_lang = [], []
+        for t in cleaned:
+            labels, scores = model.predict([t], k=1)
+            out_score.append(float(scores[0][0]))
+            out_lang.append(labels[0][0].removeprefix("__label__"))
+        return pd.DataFrame({"score": out_score, "lang": out_lang})
+
+    def keep_mask(self, scores: pd.Series, langs: pd.Series) -> pd.Series:
+        ok = scores >= self.min_langid_score
+        if self.lang:
+            want = self.lang.casefold()
+            got = langs.str.casefold()
+            if "_" in want:
+                ok &= got == want
+            else:
+                ok &= got.str.split("_").str[0] == want
+        return ok
+
+    def udf(self):
+        schema = T.StructType(
+            [
+                T.StructField("score", T.DoubleType()),
+                T.StructField("lang", T.StringType()),
+            ]
+        )
+        scorer = self
+
+        @F.pandas_udf(schema)
+        def _udf(texts: pd.Series) -> pd.DataFrame:
+            return scorer.score_batch(texts)
+
+        return _udf

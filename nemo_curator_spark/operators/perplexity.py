@@ -1,0 +1,188 @@
+"""KenLM-style n-gram perplexity scoring (north-rule addition; no reference
+module — built from the published CCNet recipe, Wenzek et al. 2020).
+
+A per-language order-3 LM with Jelinek-Mercer interpolation (proper
+probabilities, deterministic):
+
+    p(w | h2 h1) = l3*MLE3 + l2*MLE2 + l1*MLE1 + l0/(V+1)
+
+Text normalization before counting/scoring (CCNet-style): lowercase,
+digits → 0, punctuation stripped, whitespace tokens.
+
+Scale design: models are trained once (driver-side, on a bounded seeded
+sample — stand-in for CCNet's offline-trained KenLM artifacts), serialized,
+shipped to executors via ``SparkContext.addFile``/broadcast, and applied by
+an Arrow-vectorized pandas UDF. Scoring is **language-bucketed**: callers
+``repartition`` on (lang, salt) first so each bucket loads one model and
+AQE balances bucket sizes (SURVEY.md §7.1 M5).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+_NORM_DIGIT = re.compile(r"\d")
+_NORM_PUNCT = re.compile(r"[^\w\s']", flags=re.UNICODE)
+
+LAMBDAS = (0.5, 0.3, 0.15, 0.05)  # trigram, bigram, unigram, uniform
+BOS = "<s>"
+EOS = "</s>"
+
+
+def normalize_tokens(text: str) -> list[str]:
+    t = _NORM_DIGIT.sub("0", (text or "").lower())
+    t = _NORM_PUNCT.sub(" ", t)
+    return t.split()
+
+
+@dataclass
+class NGramLM:
+    """Order-3 interpolated LM over normalized tokens."""
+
+    uni: dict[str, int] = field(default_factory=dict)
+    bi: dict[str, int] = field(default_factory=dict)
+    tri: dict[str, int] = field(default_factory=dict)
+    total: int = 0
+
+    @staticmethod
+    def train(texts: list[str]) -> "NGramLM":
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        tri: Counter = Counter()
+        total = 0
+        for text in texts:
+            toks = [BOS, BOS] + normalize_tokens(text) + [EOS]
+            uni.update(toks[2:])
+            total += len(toks) - 2
+            for i in range(2, len(toks)):
+                bi[toks[i - 1] + " " + toks[i]] += 1
+                tri[toks[i - 2] + " " + toks[i - 1] + " " + toks[i]] += 1
+        return NGramLM(dict(uni), dict(bi), dict(tri), total)
+
+    def logprob_token(self, w2: str, w1: str, w: str) -> float:
+        l3, l2, l1, l0 = LAMBDAS
+        v = max(len(self.uni), 1)
+        p = l0 / (v + 1)
+        c_uni = self.uni.get(w, 0)
+        if self.total:
+            p += l1 * c_uni / self.total
+        c_h1 = self.uni.get(w1, 0)
+        c_bi = self.bi.get(w1 + " " + w, 0)
+        if c_h1:
+            p += l2 * c_bi / c_h1
+        c_h2 = self.bi.get(w2 + " " + w1, 0)
+        c_tri = self.tri.get(w2 + " " + w1 + " " + w, 0)
+        if c_h2:
+            p += l3 * c_tri / c_h2
+        return math.log10(p)
+
+    def perplexity(self, text: str) -> float:
+        toks = [BOS, BOS] + normalize_tokens(text) + [EOS]
+        n = len(toks) - 2
+        if n == 0:
+            return float("inf")
+        lp = 0.0
+        for i in range(2, len(toks)):
+            lp += self.logprob_token(toks[i - 2], toks[i - 1], toks[i])
+        return 10.0 ** (-lp / n)
+
+    # --- serialization (SparkFiles / broadcast payload) ---
+    def to_json(self) -> str:
+        return json.dumps(
+            {"uni": self.uni, "bi": self.bi, "tri": self.tri, "total": self.total}
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "NGramLM":
+        d = json.loads(s)
+        return NGramLM(d["uni"], d["bi"], d["tri"], d["total"])
+
+
+def train_per_language(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_docs_per_lang: int = 20000,
+    seed: int = 42,
+) -> dict[str, NGramLM]:
+    """Train one LM per language from a bounded deterministic sample.
+
+    Driver-side by design: LM training is the offline-artifact step (CCNet
+    ships pretrained KenLM binaries); the bounded sample keeps driver memory
+    flat regardless of input scale.
+    """
+    w = F.row_number().over(
+        Window.partitionBy(lang_col).orderBy(F.xxhash64(text_col, F.lit(seed)))
+    )
+    sample = (
+        df.select(lang_col, text_col)
+        .withColumn("_rn", w)
+        .where(F.col("_rn") <= max_docs_per_lang)
+        .drop("_rn")
+        .collect()
+    )
+    by_lang: dict[str, list[str]] = {}
+    for row in sample:
+        by_lang.setdefault(row[lang_col], []).append(row[text_col] or "")
+    return {lang: NGramLM.train(texts) for lang, texts in by_lang.items()}
+
+
+def perplexity_udf(models: dict[str, NGramLM]):
+    """Vectorized scorer over (text, lang); unknown langs -> NaN.
+
+    Pass the result of ``spark.sparkContext.broadcast({lang: lm.to_json()})``
+    for cluster execution; a plain dict also works in local mode.
+    """
+    payload = {k: m.to_json() for k, m in models.items()}
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+        cache: dict[str, NGramLM] = {}
+
+        def score(t, lg):
+            if lg not in payload:
+                return float("nan")
+            if lg not in cache:
+                cache[lg] = NGramLM.from_json(payload[lg])
+            return cache[lg].perplexity(t or "")
+
+        return pd.Series(
+            [score(t, lg) for t, lg in zip(text, lang)], dtype="float64"
+        )
+
+    return _udf
+
+
+def score_perplexity(
+    df: DataFrame,
+    models: dict[str, NGramLM],
+    text_col: str = "text",
+    lang_col: str = "lang",
+    out_col: str = "ppl",
+    bucket: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Language-bucketed perplexity scoring.
+
+    ``repartition(lang, salt)`` groups each language while the url-hash salt
+    spreads a dominant language over many partitions (skew defusal); AQE
+    coalesces small buckets.
+    """
+    if bucket:
+        salt = F.pmod(F.xxhash64(F.col(text_col)), F.lit(16))
+        if num_partitions:
+            df = df.repartition(num_partitions, F.col(lang_col), salt)
+        else:
+            df = df.repartition(F.col(lang_col), salt)
+    udf = perplexity_udf(models)
+    return df.withColumn(out_col, udf(F.col(text_col), F.col(lang_col)))
