@@ -1,0 +1,193 @@
+"""The flagship web-pages curation pipeline (the north rule end-to-end).
+
+Input: the Common-Crawl-style table ``(url, warc_ts, html, text, lang)``.
+Stages (each label-first — scores/flags become columns, rows are never
+dropped until the caller asks, so lineage falls out of a groupBy):
+
+1. **salted repartition** by url-hash — defuses host-level skew before the
+   Python-UDF stages (a hot host's pages spread over all partitions).
+2. **extract** — html → text (Arrow pandas UDF, byte-identical contract).
+3. **langid** — native script/stopword struct<lang,score>; drop if score
+   < 0.3 (reference FastTextLangId cutoff).
+4. **heuristic chain** — the 28-rule English cascade for predicted-English
+   docs; non-English docs skip the English-specific rules (reference ships
+   a separate non-English YAML; here: bypass).
+5. **perplexity** — per-language n-gram LM, language-bucketed scoring;
+   drop if ppl > per-language cutoff.
+6. **quality** — lexical quality score + deterministic Pareto keep
+   (CCNet-style sampling).
+7. **PII scrub** — text_scrubbed + per-category counts.
+
+``keep`` = all stages pass; ``drop_reason`` = first failing stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.operators import extraction, pii, quality
+from nemo_curator_spark.operators import langid as langid_mod
+from nemo_curator_spark.operators import perplexity as ppl_mod
+from nemo_curator_spark.pipeline import chain
+
+LANGID_CUTOFF = 0.3
+DEFAULT_PPL_CUTOFF = 1e6  # per-lang cutoffs usually trained; this is the floor
+N_SOURCE_BUCKETS = 64
+
+
+@dataclass
+class CurationConfig:
+    text_col: str = "text"
+    use_html: bool = True                  # recompute text from html
+    langid_cutoff: float = LANGID_CUTOFF
+    ppl_cutoffs: dict[str, float] = field(default_factory=dict)
+    pareto_alpha: float = 3.0
+    apply_quality_sampling: bool = True
+    n_source_buckets: int = N_SOURCE_BUCKETS
+    salt_partitions: int | None = None     # None -> spark.sql.shuffle.partitions
+
+
+def add_source_id(df: DataFrame, key_col: str = "url", n_buckets: int = N_SOURCE_BUCKETS) -> DataFrame:
+    """Stable source partition id (resume key; reference task _source_id)."""
+    return df.withColumn(
+        "source_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def curate(
+    df: DataFrame,
+    models: dict[str, ppl_mod.NGramLM] | None = None,
+    config: CurationConfig | None = None,
+) -> DataFrame:
+    """Label-first curation: returns every input row + label/score columns
+    ``lang_pred, lang_score, keep, drop_reason, ppl, quality_score,
+    text_scrubbed, scrub_* , source_id``."""
+    cfg = config or CurationConfig()
+    df = add_source_id(df, "url", cfg.n_source_buckets)
+
+    # 1. salted repartition by url-hash (explicit skew defusal)
+    n_parts = cfg.salt_partitions
+    if n_parts:
+        df = df.repartition(n_parts, F.xxhash64("url"))
+    else:
+        df = df.repartition(F.xxhash64("url"))
+
+    # 2. extraction (only when an html column is present)
+    if cfg.use_html and "html" in df.columns:
+        df = df.withColumn(
+            cfg.text_col,
+            F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
+        )
+
+    # 3. language id
+    df = df.withColumn("_lid", langid_mod.langid_struct(F.col(cfg.text_col)))
+    df = df.withColumn("lang_pred", F.col("_lid.lang")).withColumn(
+        "lang_score", F.col("_lid.score")
+    ).drop("_lid")
+    lang_ok = F.col("lang_score") >= cfg.langid_cutoff
+
+    # 4. heuristic chain (labels for all rows; gate applies to English only)
+    df = chain.add_labels(df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason")
+    heur_ok = F.when(F.col("lang_pred") == "en", F.col("_heur_keep")).otherwise(
+        F.lit(True)
+    )
+
+    # 5. perplexity (language-bucketed)
+    if models:
+        df = ppl_mod.score_perplexity(
+            df, models, cfg.text_col, "lang_pred", out_col="ppl",
+            num_partitions=cfg.salt_partitions,
+        )
+        cutoff = F.coalesce(
+            *[
+                F.when(F.col("lang_pred") == lg, F.lit(c))
+                for lg, c in cfg.ppl_cutoffs.items()
+            ],
+            F.lit(DEFAULT_PPL_CUTOFF),
+        ) if cfg.ppl_cutoffs else F.lit(DEFAULT_PPL_CUTOFF)
+        ppl_ok = F.isnan("ppl") | (F.col("ppl") <= cutoff)
+    else:
+        df = df.withColumn("ppl", F.lit(None).cast("double"))
+        ppl_ok = F.lit(True)
+
+    # 6. quality score + deterministic Pareto sampling
+    df = df.withColumn("quality_score", quality.lexical_quality_score(F.col(cfg.text_col)))
+    if cfg.apply_quality_sampling:
+        qual_ok = quality.pareto_keep(
+            F.col("quality_score"), F.col("url"), cfg.pareto_alpha
+        )
+    else:
+        qual_ok = F.lit(True)
+
+    # 7. PII scrub (always, so kept rows ship scrubbed text)
+    df = pii.scrub(df, cfg.text_col, out_col="text_scrubbed")
+
+    keep = lang_ok & heur_ok & ppl_ok & qual_ok
+    reason = (
+        F.when(~lang_ok, F.lit("langid"))
+        .when(~heur_ok, F.concat(F.lit("heuristic:"), F.col("_heur_reason")))
+        .when(~ppl_ok, F.lit("perplexity"))
+        .when(~qual_ok, F.lit("quality_pareto"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        df.withColumn("keep", keep)
+        .withColumn("drop_reason", reason)
+        .drop("_heur_keep", "_heur_reason")
+    )
+
+
+def lineage(labeled: DataFrame, run_id: str, stage: str = "curate") -> DataFrame:
+    """Per-(partition, source_id) lineage rows (FIXTURES.md F7 schema):
+    input/kept counts, drop-reason histogram (map), scrub-count totals.
+
+    Two-level aggregation: the inner groupBy adds drop_reason so the map is
+    built from pre-counted entries (no duplicate keys); both aggs are
+    map-side-combinable.
+    """
+    scrub_cols = [c for c in labeled.columns if c.startswith("scrub_")]
+    per_reason = (
+        labeled.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id", "source_id", "drop_reason")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            *[F.sum(c).alias(c) for c in scrub_cols],
+        )
+    )
+    return (
+        per_reason.groupBy("partition_id", "source_id")
+        .agg(
+            F.sum("n").alias("input_count"),
+            F.sum("n_kept").alias("kept_count"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("drop_reason").isNotNull(),
+                        F.struct(F.col("drop_reason"), F.col("n")),
+                    )
+                )
+            ).alias("drop_reasons"),
+            *[F.sum(c).alias(c) for c in scrub_cols],
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+
+
+def drop_reason_histogram(labeled: DataFrame) -> DataFrame:
+    return (
+        labeled.groupBy("source_id", "drop_reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def scrub_totals(labeled: DataFrame) -> DataFrame:
+    scrub_cols = [c for c in labeled.columns if c.startswith("scrub_")]
+    return labeled.groupBy("source_id").agg(
+        *[F.sum(c).alias(c) for c in scrub_cols]
+    )
