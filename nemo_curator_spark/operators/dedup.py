@@ -1,0 +1,320 @@
+"""Deduplication suite: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference pipeline shapes (SURVEY.md §2.7): exact = hash → keep-first;
+fuzzy = minhash signatures → LSH band buckets → candidate edges →
+connected components → removal list. Re-expressed Spark-first:
+
+* exact:   ``md5(text)`` + ``row_number`` window (one shuffle).
+* minhash: Arrow pandas UDF computing the signature with vectorized numpy
+  universal hashing over char-shingle crc32s (deterministic, seed-fixed;
+  reference uses 24-char shingles / Mersenne-prime modulus,
+  fuzzy/minhash.py:35-130).
+* LSH:     ``posexplode`` the banded signature → groupBy (band, hash) →
+  buckets → pairwise edges within buckets (bucket sizes are bounded in
+  practice; the groupBy shuffle is the only wide op).
+* components: iterative min-label propagation over edges (converges in
+  O(log n) joins; GraphFrames-free).
+* simhash: 64-bit fingerprint via sign-sum of token hashes; near-dup pairs
+  via 4x16-bit band blocking + hamming check.
+
+All randomness is seed-derived; everything else is built-in exprs.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+MERSENNE_PRIME_61 = (1 << 61) - 1
+
+
+# --- exact ---------------------------------------------------------------------
+
+
+def exact_duplicate_ids(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Removal ids: every doc whose text was already seen at a lower id."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 1)
+        .select(id_col)
+    )
+
+
+def remove_duplicates(df: DataFrame, removal_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Anti-join removal (reference TextDuplicatesRemovalStage,
+    text/deduplication/removal.py:37-105); broadcast when small."""
+    return df.join(F.broadcast(removal_ids), on=id_col, how="left_anti")
+
+
+# --- minhash -------------------------------------------------------------------
+
+
+def _shingle_crcs(text: str, width: int) -> np.ndarray:
+    data = text.encode("utf-8", errors="ignore")
+    if len(data) <= width:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    views = {
+        zlib.crc32(data[i : i + width]) for i in range(len(data) - width + 1)
+    }
+    return np.fromiter(views, dtype=np.uint64)
+
+
+def minhash_udf(num_perms: int = 128, shingle_width: int = 24, seed: int = 42):
+    """Signature = min over shingles of (a*x + b) mod p, per permutation."""
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, MERSENNE_PRIME_61, size=num_perms, dtype=np.uint64)
+    b = rs.randint(0, MERSENNE_PRIME_61, size=num_perms, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            crcs = _shingle_crcs(t or "", shingle_width)
+            # (num_shingles x num_perms) would be big; do perms-vectorized
+            sig = (
+                (crcs[:, None] * a[None, :] + b[None, :]) % MERSENNE_PRIME_61
+            ).min(axis=0)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return _udf
+
+
+def add_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perms: int = 128,
+    shingle_width: int = 24,
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    return df.withColumn(out_col, minhash_udf(num_perms, shingle_width, seed)(F.col(text_col)))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    num_bands: int = 16,
+) -> DataFrame:
+    """Docs sharing any LSH band bucket → candidate (a, b) pairs, a < b."""
+    sig_len_df = df.select(F.size(sig_col).alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else 0) // num_bands
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.xxhash64(
+                F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)
+            ).alias("bucket"),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    buckets = (
+        exploded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def jaccard_ngram(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate pairs (verification step)."""
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, r"\s+")
+    )
+    grams = F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            )
+        )
+    )
+    g = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    joined = (
+        pairs.join(g.withColumnRenamed("_id", "a").withColumnRenamed("_grams", "ga"), "a")
+        .join(g.withColumnRenamed("_id", "b").withColumnRenamed("_grams", "gb"), "b")
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return joined.select(
+        "a",
+        "b",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union).cast("double").alias("jaccard"),
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation over undirected edges (a,b) → (id, component).
+
+    Each iteration joins current labels across edges and keeps the min;
+    converges when no label changes (checked via count). O(log n)
+    iterations for typical near-dup cluster shapes.
+    """
+    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(sym.a.alias("id"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def fuzzy_duplicate_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 128,
+    num_bands: int = 16,
+    shingle_width: int = 24,
+    jaccard_threshold: float | None = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full fuzzy-dedup workflow → removal ids (keep min id per component)."""
+    sigs = add_minhash(df, text_col, num_perms, shingle_width, seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", num_bands)
+    if jaccard_threshold is not None:
+        verified = jaccard_ngram(df, pairs, id_col, text_col).where(
+            F.col("jaccard") >= jaccard_threshold
+        )
+        edges = verified.select("a", "b")
+    else:
+        edges = pairs
+    comps = connected_components(edges)
+    return comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+
+
+# --- simhash -------------------------------------------------------------------
+
+
+def simhash_udf(bits: int = 64, seed: int = 42):
+    @F.pandas_udf(T.LongType())
+    def _udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            tokens = (t or "").lower().split()
+            if not tokens:
+                out.append(0)
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for tok in tokens:
+                h = zlib.crc32(tok.encode("utf-8")) | (
+                    zlib.crc32((tok + "#2").encode("utf-8")) << 32
+                )
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            fp = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    fp |= 1 << i
+            # map to signed int64
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="int64")
+
+    return _udf
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4x16-bit bands (a pair within
+    hamming<=3 of 64 bits must agree on >=1 band), verify hamming."""
+    fp = simhash_udf()(F.col(text_col))
+    d = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("fp"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = d.select("id", "fp", F.explode(bands).alias("bb")).select(
+        "id", "fp", "bb.band", "bb.key"
+    )
+    pairs = (
+        exploded.alias("x")
+        .join(
+            exploded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(
+                F.col("x.fp").bitwiseXOR(F.col("y.fp"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k neighbors, pure built-ins:
+  the dot product is ``aggregate(zip_with(a, b, *), sum)`` JVM-side; ranking
+  is a window. O(n²) — the correctness baseline and the small-side path.
+* :func:`ann_topk_hyperplane` — the scale path: random-hyperplane LSH
+  bucketing (sign bits of h seeded projections) so candidate pairs are
+  generated per bucket instead of via a cross join; exact cosine re-rank
+  within candidates. Recall grows with ``num_tables``; each table is one
+  shuffle on its bucket key.
+* :func:`embedding_near_duplicates` — near-dup pairs above a cosine
+  threshold (semantic-dedup building block, reference
+  deduplication/semantic/pairwise.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every row (or for ``queries``).
+
+    Output: (query_id, neighbor_id, cosine, rank). Ties break on
+    neighbor_id ascending for determinism.
+    """
+    base = df.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("nvec"))
+    q = (queries or df).select(
+        F.col(id_col).alias("qid"), _as_double(vec_col).alias("qvec")
+    )
+    joined = q.crossJoin(base).where(F.col("qid") != F.col("nid"))
+    scored = joined.select(
+        "qid",
+        "nid",
+        cosine(F.col("qvec"), F.col("nvec")).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _hyperplane_udf(dim: int, n_planes: int, seed: int):
+    rs = np.random.RandomState(seed)
+    planes = rs.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def _udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) > 0
+            key = 0
+            for i, b in enumerate(bits):
+                if b:
+                    key |= 1 << i
+            out.append(key)
+        return pd.Series(out, dtype="int64")
+
+    return _udf
+
+
+def ann_topk_hyperplane(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket candidates, exact
+    cosine re-rank. Buckets shuffle on (table, key) — no cross join."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+
+    cands = None
+    for t in range(num_tables):
+        udf = _hyperplane_udf(dim, n_planes, seed + t)
+        keyed = base.withColumn("key", udf(F.col("vec")))
+        pairs = (
+            keyed.alias("x")
+            .join(
+                keyed.alias("y"),
+                (F.col("x.key") == F.col("y.key"))
+                & (F.col("x.id") != F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("qid"),
+                F.col("y.id").alias("nid"),
+                F.col("x.vec").alias("qvec"),
+                F.col("y.vec").alias("nvec"),
+            )
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+
+    scored = (
+        cands.dropDuplicates(["qid", "nid"])
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs (a < b) with cosine >= threshold, via hyperplane blocking."""
+    topk = ann_topk_hyperplane(
+        df, id_col, vec_col, k=50, n_planes=n_planes,
+        num_tables=num_tables, seed=seed,
+    )
+    return (
+        topk.where(
+            (F.col("cosine") >= threshold)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("a"),
+            F.col("neighbor_id").alias("b"),
+            "cosine",
+        )
+    )
