@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nemo_curator_spark.functions import heuristics as H
+from nemo_curator_spark.operators import dedup, pii, quality, similarity, text_ops
+from nemo_curator_spark.operators import langid as langid_mod
 from nemo_curator_spark.pipeline import chain
 
 SCORE = chain.SCORE_PREFIX
@@ -123,6 +125,199 @@ SELECT doc_id FROM (
 """
 
 
+def _pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    out = pii.scrub(df, "text")
+    cols = ["doc_id"] + [c for c in out.columns if c.startswith("scrub_")] + [
+        "text_scrubbed"
+    ]
+    return out.select(*cols)
+
+
+def _pii_oracle() -> str:
+    counts, scrubbed = pii.duck_scrub_sql("text")
+    return (
+        f"SELECT doc_id, {', '.join(counts)}, {scrubbed} AS text_scrubbed "
+        f"FROM documents"
+    )
+
+
+def _langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    pred = langid_mod.langid_struct(F.col("text"))
+    return df.select(
+        "doc_id",
+        pred["lang"].alias("lang_pred"),
+        pred["score"].alias("lang_score"),
+    )
+
+
+def _langid_oracle() -> str:
+    lang_sql, score_sql = langid_mod.duck_langid_sql("text")
+    return (
+        f"SELECT doc_id, {lang_sql} AS lang_pred, "
+        f"CAST({score_sql} AS DOUBLE) AS lang_score FROM documents"
+    )
+
+
+def _quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    q = quality.lexical_quality_score(F.col("text"))
+    keep = quality.pareto_keep(q, F.col("doc_id").cast("string"))
+    return df.select(
+        "doc_id", q.alias("quality_score"), keep.cast("int").alias("keep")
+    )
+
+
+def _quality_oracle() -> str:
+    q = f"CAST({quality.duck_lexical_quality_sql('text')} AS DOUBLE)"
+    keep = quality.duck_pareto_keep_sql("quality_score", "doc_id")
+    return (
+        f"SELECT doc_id, quality_score, CAST({keep} AS INT) AS keep FROM "
+        f"(SELECT doc_id, {q} AS quality_score FROM documents)"
+    )
+
+
+def _token_fp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        text_ops.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+def _token_fp_oracle() -> str:
+    return (
+        f"SELECT doc_id, {text_ops.duck_token_count_sql('text')} AS n_tokens, "
+        f"{text_ops.duck_fingerprint_sql('text')} AS fingerprint FROM documents"
+    )
+
+
+def _fuzzy_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return dedup.fuzzy_duplicate_ids(
+        df, num_perms=64, num_bands=16, jaccard_threshold=0.8
+    )
+
+
+def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return dedup.simhash_near_duplicates(df, max_hamming=3)
+
+
+def _knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(df, k=5)
+
+
+_KNN_ORACLE = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_dot_product(q.v, n.v) /
+         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))
+         AS cosine
+  FROM base q, base n WHERE q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
+
+
+def _ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ann_topk_hyperplane(df, k=5, n_planes=4, num_tables=8)
+
+
+def _events_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_EVENTS_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+)
+SELECT user_id, sess_no, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM sessions GROUP BY 1, 2
+"""
+
+
+def _tpch_q1_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for rule in H.RULES:
@@ -131,6 +326,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["heuristic_chain_native"] = _chain_native_query
     out["heuristic_chain_full"] = _chain_full_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
+    out["pii_scrub"] = _pii_query
+    out["langid"] = _langid_query
+    out["quality_pareto"] = _quality_query
+    out["token_count_fingerprint"] = _token_fp_query
+    out["fuzzy_dedup_removal_ids"] = _fuzzy_dedup_query
+    out["simhash_near_dup_pairs"] = _simhash_query
+    out["knn_cosine_topk"] = _knn_query
+    out["ann_hyperplane_topk"] = _ann_query
+    out["events_hourly_agg"] = _events_hourly_query
+    out["events_sessionize"] = _sessionize_query
+    out["tpch_q1"] = _tpch_q1_query
     return out
 
 
@@ -144,4 +350,14 @@ def oracle_sql() -> dict[str, str]:
     out["heuristic_chain_native"] = _chain_native_oracle()
     # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
+    out["pii_scrub"] = _pii_oracle()
+    out["langid"] = _langid_oracle()
+    out["quality_pareto"] = _quality_oracle()
+    out["token_count_fingerprint"] = _token_fp_oracle()
+    # fuzzy_dedup / simhash / ann: seed-derived LSH not SQL-expressible ->
+    # rows-only here; pytest pins planted-duplicate behavior
+    out["knn_cosine_topk"] = _KNN_ORACLE
+    out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
+    out["events_sessionize"] = _SESSIONIZE_ORACLE
+    out["tpch_q1"] = _TPCH_Q1_ORACLE
     return out

@@ -30,7 +30,10 @@ def duck():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        if df[col].dtype.kind == "M":
+            df[col] = df[col].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), na_position="last").reset_index(
         drop=True
     )
