@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline curation queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": <curation tput>,
+   "cores": N, "web_docs": M}
+
+The curation throughput (docs/sec over the full pipeline: extract → langid →
+28-rule heuristics → perplexity → quality → PII scrub) is the number
+BASELINE.md gates against (reference: ≥19k docs/s on its 26-filter chain).
+The web_pages corpus is synthesized deterministically (seed 42) at
+``--web-docs`` rows (default 20k at sf0.1 scale) and cached under data/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    parser.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    parser.add_argument("--web-docs", type=int, default=int(os.environ.get("BENCH_WEB_DOCS", "20000")))
+    parser.add_argument("--skip-generate", action="store_true")
+    args = parser.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark import synth
+    from nemo_curator_spark.operators import dedup, pii, similarity
+    from nemo_curator_spark.operators import perplexity as ppl_mod
+    from nemo_curator_spark.pipeline import chain, webpages
+    from nemo_curator_spark.session import get_spark
+
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app_name=f"bench_sf{sf}", master=f"local[{args.cores}]",
+        shuffle_partitions=int(args.cores),
+    )
+
+    corpus_path = os.path.join(REPO, "data", f"web_pages_{args.web_docs}.parquet")
+    synth.ensure_web_pages_parquet(spark, corpus_path, args.web_docs)
+    web = spark.read.parquet(corpus_path)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+
+    # model training is offline-artifact work -> outside the timed region
+    models = ppl_mod.train_per_language(web, max_docs_per_lang=2000)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: full curation pipeline over the web corpus (the headline number)
+    cfg = webpages.CurationConfig(salt_partitions=int(args.cores) * 2)
+    timed(
+        "curate_full",
+        lambda: webpages.curate(web, models, cfg)
+        .agg(F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+    # q2: 28-rule heuristic chain alone (reference benchmark shape)
+    timed(
+        "heuristic_chain",
+        lambda: chain.english_chain(web, "text", mode="label")
+        .agg(F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+    # q3: PII scrub alone
+    timed(
+        "pii_scrub",
+        lambda: pii.scrub(web, "text")
+        .agg(F.sum("scrub_email"), F.max(F.length("text_scrubbed")))
+        .collect(),
+    )
+    # q4: exact dedup over the web corpus
+    timed(
+        "exact_dedup",
+        lambda: dedup.exact_duplicate_ids(web, "text", "url").count(),
+    )
+    # q5: fuzzy dedup (minhash + LSH + jaccard verify + components)
+    timed(
+        "fuzzy_dedup",
+        lambda: dedup.fuzzy_duplicate_ids(
+            web.select(F.xxhash64("url").alias("doc_id"), "text"),
+            num_perms=64,
+            num_bands=16,
+            jaccard_threshold=0.8,
+        ).count(),
+    )
+    # q6: ANN cosine top-k over the embeddings table (the scale path;
+    # exact brute-force is the sf0.01 correctness oracle, not a bench shape)
+    timed(
+        "ann_cosine_topk",
+        lambda: similarity.ann_topk_hyperplane(
+            emb, k=5, n_planes=6, num_tables=4
+        ).count(),
+    )
+    # q7: documents-table heuristic labels (driver-table comparable)
+    timed(
+        "documents_chain",
+        lambda: chain.english_chain(docs, "text", mode="label")
+        .agg(F.sum(F.col("keep").cast("long")))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(args.web_docs / timings["curate_full"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "curation_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec": docs_per_sec,
+                "cores": int(args.cores),
+                "web_docs": args.web_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -424,16 +424,57 @@ NGRAM_STRUCT = T.StructType(
 )
 
 
+def _top_ngram_from_tokens(text: str, toks: list[str], n: int) -> float:
+    if len(toks) < n:
+        return 1.0
+    grams = list(zip(*[toks[i:] for i in range(n)]))
+    counts: dict[tuple[str, ...], int] = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    best = max(counts.values())
+    top = next(g for g in grams if counts[g] == best)
+    phrase = " ".join(top)
+    nchar = len(text)
+    if nchar == 0:
+        return 1.0
+    return (nchar - len(text.replace(phrase, ""))) / nchar
+
+
+def _dup_ngram_from_tokens(text: str, toks: list[str], n: int) -> float:
+    if len(toks) < n:
+        return 1.0
+    lens = [len(w) for w in toks]
+    seen: dict[tuple[str, ...], int] = {}
+    dup_chars = 0
+    overlap = 0
+    for i in range(len(toks) - n + 1):
+        g = tuple(toks[i : i + n])
+        c = seen.get(g, 0) + 1
+        seen[g] = c
+        if c > 1:
+            dup_chars += sum(lens[i + overlap : i + n]) + min(
+                n - overlap, n - 1
+            )
+            overlap = n
+        overlap = max(overlap - 1, 0)
+    nchar = len(text)
+    if nchar == 0:
+        return 1.0
+    return dup_chars / nchar
+
+
 @F.pandas_udf(NGRAM_STRUCT)
 def ngram_scores(texts: pd.Series) -> pd.DataFrame:
-    """All top-/dup-n-gram scores in one tokenize pass per document."""
+    """All top-/dup-n-gram scores in ONE tokenize pass per document
+    (semantics pinned to pyref.top_ngram_ratio / dup_ngram_ratio by tests)."""
     out: dict[str, list[float]] = {f: [] for f in NGRAM_FIELDS}
     for text in texts:
         text = text or ""
+        toks = text.split()
         for n, _ in TOP_NGRAM_PARAMS:
-            out[f"top_{n}"].append(pyref.top_ngram_ratio(text, n))
+            out[f"top_{n}"].append(_top_ngram_from_tokens(text, toks, n))
         for n, _ in DUP_NGRAM_PARAMS:
-            out[f"dup_{n}"].append(pyref.dup_ngram_ratio(text, n))
+            out[f"dup_{n}"].append(_dup_ngram_from_tokens(text, toks, n))
     return pd.DataFrame(out)
 
 

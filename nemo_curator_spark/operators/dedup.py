@@ -56,32 +56,43 @@ def remove_duplicates(df: DataFrame, removal_ids: DataFrame, id_col: str = "doc_
 # --- minhash -------------------------------------------------------------------
 
 
-def _shingle_crcs(text: str, width: int) -> np.ndarray:
+def _shingle_hashes(text: str, width: int, weights: np.ndarray) -> np.ndarray:
+    """Unique 64-bit hashes of all char (byte) shingles, fully vectorized:
+    sliding windows dotted with fixed random weights (wrap-around uint64
+    arithmetic — a deterministic universal-style hash, no Python loop)."""
     data = text.encode("utf-8", errors="ignore")
-    if len(data) <= width:
-        return np.array([zlib.crc32(data)], dtype=np.uint64)
-    views = {
-        zlib.crc32(data[i : i + width]) for i in range(len(data) - width + 1)
-    }
-    return np.fromiter(views, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if arr.size <= width:
+        pad = np.zeros(width, dtype=np.uint64)
+        pad[: arr.size] = arr
+        with np.errstate(over="ignore"):
+            return np.array([pad @ weights], dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, width).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = win @ weights
+    return np.unique(h)
 
 
 def minhash_udf(num_perms: int = 128, shingle_width: int = 24, seed: int = 42):
-    """Signature = min over shingles of (a*x + b) mod p, per permutation."""
+    """Signature[j] = min over shingles x of (a_j * x + b_j) (multiply-shift
+    universal hashing with natural 2^64 wrap — the modulo-free equivalent of
+    the reference's Mersenne-prime permutations, fuzzy/minhash.py:35-130;
+    LSH only needs signature equality, so the hash family is swappable)."""
     rs = np.random.RandomState(seed)
-    a = rs.randint(1, MERSENNE_PRIME_61, size=num_perms, dtype=np.uint64)
+    a = rs.randint(1, MERSENNE_PRIME_61, size=num_perms, dtype=np.uint64) | 1
     b = rs.randint(0, MERSENNE_PRIME_61, size=num_perms, dtype=np.uint64)
+    weights = rs.randint(1, 1 << 62, size=shingle_width, dtype=np.uint64) | 1
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            crcs = _shingle_crcs(t or "", shingle_width)
-            # (num_shingles x num_perms) would be big; do perms-vectorized
-            sig = (
-                (crcs[:, None] * a[None, :] + b[None, :]) % MERSENNE_PRIME_61
-            ).min(axis=0)
-            out.append(sig.astype(np.int64))
+        with np.errstate(over="ignore"):
+            for t in texts:
+                hs = _shingle_hashes(t or "", shingle_width, weights)
+                sig = (hs[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                out.append(sig.view(np.int64))
         return pd.Series(out)
 
     return _udf
@@ -124,19 +135,15 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    # STAR edges (min-id -> member), not all-pairs: a bucket of k identical
+    # docs yields k-1 edges instead of k(k-1)/2 — connected components
+    # recovers the same clusters, and huge boilerplate/spam clusters no
+    # longer explode the edge list (reference BucketsToEdgesStage shape,
+    # fuzzy/buckets_to_edges.py:30).
     pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.a", "p.b").distinct()
+        F.element_at("ids", 1).alias("a"),
+        F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias("b"),
+    ).distinct()
     return pairs
 
 
@@ -152,13 +159,14 @@ def jaccard_ngram(
     words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
         F.split(stripped, r"\s+")
     )
+    # hash each n-gram to int64: intersect/union over longs, not strings
     grams = F.when(
-        F.size(words) < n, F.array().cast("array<string>")
+        F.size(words) < n, F.array().cast("array<bigint>")
     ).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+                lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")),
             )
         )
     )
@@ -176,19 +184,26 @@ def jaccard_ngram(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Min-label propagation over undirected edges (a,b) → (id, component).
 
     Each iteration joins current labels across edges and keeps the min;
-    converges when no label changes (checked via count). O(log n)
-    iterations for typical near-dup cluster shapes.
+    converges when no label changes. ``localCheckpoint`` truncates the plan
+    every iteration — without it each round re-derives every previous round
+    and the loop goes exponential. Star-shaped LSH edges keep cluster
+    diameter small, so convergence is a handful of rounds.
     """
-    sym = edges.select("a", "b").union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist()
+    sym = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -202,8 +217,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 "id",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
+            .localCheckpoint()
         )
-        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -211,11 +226,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 

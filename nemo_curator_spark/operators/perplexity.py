@@ -137,28 +137,39 @@ def train_per_language(
     return {lang: NGramLM.train(texts) for lang, texts in by_lang.items()}
 
 
-def perplexity_udf(models: dict[str, NGramLM]):
-    """Vectorized scorer over (text, lang); unknown langs -> NaN.
+# per-worker parsed-model cache: the serialized payload ships once in the
+# UDF closure (executor-side pickle), but parsing happens once per worker
+# process, NOT per Arrow batch (reference setup()-once contract,
+# score_filter.py:275-281)
+_MODEL_CACHE: dict[tuple[str, str], NGramLM] = {}
 
-    Pass the result of ``spark.sparkContext.broadcast({lang: lm.to_json()})``
-    for cluster execution; a plain dict also works in local mode.
-    """
+
+def perplexity_udf(models: dict[str, NGramLM]):
+    """Vectorized scorer over (text, lang); unknown langs -> NaN."""
+    import hashlib
+
     payload = {k: m.to_json() for k, m in models.items()}
+    digest = hashlib.md5(
+        "".join(f"{k}:{len(v)}" for k, v in sorted(payload.items())).encode()
+    ).hexdigest()
 
     @F.pandas_udf(T.DoubleType())
     def _udf(text: pd.Series, lang: pd.Series) -> pd.Series:
-        cache: dict[str, NGramLM] = {}
-
-        def score(t, lg):
+        def get(lg: str) -> NGramLM | None:
             if lg not in payload:
-                return float("nan")
-            if lg not in cache:
-                cache[lg] = NGramLM.from_json(payload[lg])
-            return cache[lg].perplexity(t or "")
+                return None
+            key = (digest, lg)
+            lm = _MODEL_CACHE.get(key)
+            if lm is None:
+                lm = NGramLM.from_json(payload[lg])
+                _MODEL_CACHE[key] = lm
+            return lm
 
-        return pd.Series(
-            [score(t, lg) for t, lg in zip(text, lang)], dtype="float64"
-        )
+        out = []
+        for t, lg in zip(text, lang):
+            lm = get(lg)
+            out.append(float("nan") if lm is None else lm.perplexity(t or ""))
+        return pd.Series(out, dtype="float64")
 
     return _udf
 

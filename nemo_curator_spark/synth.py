@@ -147,11 +147,12 @@ def _render_html(text: str, title: str, charset: str) -> bytes:
     return doc.encode(charset, errors="strict")
 
 
-def generate_web_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
+def generate_web_pages(n_rows: int, seed: int = 42, offset: int = 0) -> pd.DataFrame:
     """Deterministic web_pages DataFrame; duplicate rows (~2%) included for
-    dedup exercises."""
+    dedup exercises. ``offset`` shifts url/timestamp numbering so chunked
+    parallel generation yields globally-unique urls."""
     rng = np.random.RandomState(seed)
-    base_ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    base_ts = datetime(2024, 3, 1, tzinfo=timezone.utc) + timedelta(seconds=offset)
 
     # Zipf-ish host skew over 1000 hosts
     hosts = np.minimum(rng.zipf(1.3, size=n_rows) - 1, 999)
@@ -186,9 +187,9 @@ def generate_web_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
         if i > 0 and rng.rand() < 0.02:
             # exact duplicate of an earlier row's text
             text, lang, charset = rows[int(rng.randint(i))][3], "en", "utf-8"
-        url = f"https://host{hosts[i]}.example.{tlds[i]}/path/{i}"
+        url = f"https://host{hosts[i]}.example.{tlds[i]}/path/{offset + i}"
         ts = base_ts + timedelta(seconds=int(i))
-        title = f"Page {i}"
+        title = f"Page {offset + i}"
         try:
             html = _render_html(text, title, charset)
         except (UnicodeEncodeError, LookupError):
@@ -199,6 +200,52 @@ def generate_web_pages(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(
         rows, columns=["url", "warc_ts", "html", "text", "lang"]
     )
+
+
+WEB_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def ensure_web_pages_parquet(
+    spark,
+    path: str,
+    n_rows: int,
+    seed: int = 42,
+    chunk_size: int = 2000,
+) -> str:
+    """Generate the corpus in parallel (one seeded chunk per Spark task,
+    deterministic regardless of parallelism) and cache it as parquet.
+    Skips generation when the cache already holds ``n_rows``."""
+    import os
+
+    if os.path.isdir(path):
+        try:
+            if spark.read.parquet(path).count() == n_rows:
+                return path
+        except Exception:
+            pass
+
+    n_chunks = max(1, (n_rows + chunk_size - 1) // chunk_size)
+    sizes = [
+        min(chunk_size, n_rows - i * chunk_size) for i in range(n_chunks)
+    ]
+    meta = spark.createDataFrame(
+        [(i, sizes[i], i * chunk_size) for i in range(n_chunks)],
+        "chunk int, n int, offset long",
+    ).repartition(n_chunks)
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield generate_web_pages(
+                    int(row["n"]), seed=seed + int(row["chunk"]),
+                    offset=int(row["offset"]),
+                )
+
+    df = meta.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
+    df.write.mode("overwrite").parquet(path)
+    return path
 
 
 def write_web_pages_parquet(path: str, n_rows: int, seed: int = 42) -> str:
