@@ -191,9 +191,10 @@ def _symbol_words_duck(c: str) -> str:
 
 
 def _urls_score(ctx: dict[str, Column]) -> Column:
-    matches = F.regexp_extract_all(ctx["text"], F.lit(C.URL_PATTERN), F.lit(0))
-    url_chars = F.aggregate(
-        matches, F.lit(0), lambda acc, x: acc + F.length(x)
+    # sum of match lengths == length delta after removing all matches
+    # (non-overlapping matches both ways) — codegen-friendly, no HOF
+    url_chars = ctx["nchar"] - F.length(
+        F.regexp_replace(ctx["text"], C.URL_PATTERN, "")
     )
     return _when_empty(ctx["nchar"], 1.0, url_chars / ctx["nchar"])
 
@@ -202,8 +203,7 @@ def _urls_duck(c: str) -> str:
     pat = _sql_quote(C.URL_PATTERN)
     return (
         f"(CASE WHEN len({c}) = 0 THEN 1.0 ELSE "
-        f"coalesce(list_sum(list_transform(regexp_extract_all({c}, {pat}), "
-        f"x -> len(x))), 0) / len({c}) END)"
+        f"(len({c}) - len(regexp_replace({c}, {pat}, '', 'g'))) / len({c}) END)"
     )
 
 

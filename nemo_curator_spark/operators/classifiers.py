@@ -1,0 +1,115 @@
+"""Distributed classifier / embedder stage plumbing (reference
+DistributedDataClassifier family, stages/text/classifiers/base.py:68-261 —
+GPU DeBERTa there; here the Spark-side shape with pluggable models).
+
+The composite is tokenizer-stage + model-stage, both Arrow-vectorized
+pandas UDFs with per-worker lazy model caches. No transformer runtime
+ships in this environment, so the default model hook raises
+``NotImplementedError`` (the marked integration point); tests inject
+deterministic mock models exactly like the reference's tests do.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def regex_tokenizer(texts: pd.Series, max_len: int = 512) -> pd.Series:
+    """Whitespace/punct token ids via hashing (stand-in tokenize stage with
+    the real stage's batch shape: text -> array<int>)."""
+    import zlib
+
+    return texts.map(
+        lambda t: [
+            zlib.crc32(w.encode("utf-8")) % 50000
+            for w in (t or "").split()[:max_len]
+        ]
+    )
+
+
+@dataclass
+class ClassifierStage:
+    """Tokenize + classify composite over a text column.
+
+    ``model``: object with ``predict_batch(list[list[int]]) -> list[str]``
+    (labels) and optionally ``prob_batch`` (scores). When None, raises at
+    executor time — plug a real transformer here.
+    """
+
+    model: object | None = None
+    pred_col: str = "pred_label"
+    prob_col: str = "pred_prob"
+    max_len: int = 512
+
+    def apply(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        model = self.model
+        max_len = self.max_len
+
+        schema = T.StructType(
+            [
+                T.StructField("label", T.StringType()),
+                T.StructField("prob", T.DoubleType()),
+            ]
+        )
+
+        @F.pandas_udf(schema)
+        def infer(texts: pd.Series) -> pd.DataFrame:
+            if model is None:
+                raise NotImplementedError(
+                    "no transformer runtime in this environment; inject a "
+                    "model with predict_batch/prob_batch"
+                )
+            tokens = regex_tokenizer(texts, max_len).tolist()
+            labels = model.predict_batch(tokens)
+            probs = (
+                model.prob_batch(tokens)
+                if hasattr(model, "prob_batch")
+                else [1.0] * len(labels)
+            )
+            return pd.DataFrame({"label": labels, "prob": probs})
+
+        out = df.withColumn("_clf", infer(F.col(text_col)))
+        return (
+            out.withColumn(self.pred_col, F.col("_clf.label"))
+            .withColumn(self.prob_col, F.col("_clf.prob"))
+            .drop("_clf")
+        )
+
+
+@dataclass
+class EmbedderStage:
+    """Text -> array<float> embedding stage (reference embedders/base.py
+    shape). Default model: deterministic hashed bag-of-words projection —
+    a real sentence-transformer plugs into ``embed_batch``."""
+
+    dim: int = 64
+    model: object | None = None
+    out_col: str = "embedding"
+
+    def apply(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        dim = self.dim
+        model = self.model
+
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def embed(texts: pd.Series) -> pd.Series:
+            if model is not None:
+                return pd.Series(model.embed_batch(texts.tolist()))
+            import numpy as np
+            import zlib
+
+            out = []
+            for t in texts:
+                v = np.zeros(dim, dtype=np.float64)
+                for w in (t or "").lower().split():
+                    h = zlib.crc32(w.encode("utf-8"))
+                    v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+                n = np.linalg.norm(v)
+                out.append((v / n if n else v).astype(np.float32))
+            return pd.Series(out)
+
+        return df.withColumn(self.out_col, embed(F.col(text_col)))

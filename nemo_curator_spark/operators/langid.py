@@ -98,6 +98,60 @@ def langid_struct(text: Column) -> Column:
     )
 
 
+def add_langid(
+    df,
+    text_col: str = "text",
+    lang_col: str = "lang_pred",
+    score_col: str = "lang_score",
+):
+    """Two-projection form of :func:`langid_struct` for pipelines: the
+    script fractions / stopword hits materialize as columns once, and the
+    lang/score CASEs reference them as cheap attributes (the single-Column
+    struct form re-evaluates every fraction per consumer on the
+    interpreted path)."""
+    text = F.col(text_col)
+    letters = F.greatest(F.regexp_count(text, F.lit(r"\p{L}")), F.lit(1))
+    helpers = {
+        f"_fr_{k}": _frac(text, v, letters) for k, v in SCRIPT_CLASSES.items()
+    }
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    words = F.when(
+        stripped == "", F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
+    helpers["_en_hits"] = _stop_hits(words, EN_STOPWORDS)
+    helpers["_pt_hits"] = _stop_hits(words, PT_STOPWORDS)
+    df = df.withColumns(helpers)
+
+    fr = {k: F.col(f"_fr_{k}") for k in SCRIPT_CLASSES}
+    latin_lang = F.when(
+        F.col("_pt_hits") > F.col("_en_hits"), F.lit("pt")
+    ).otherwise(F.lit("en"))
+    lang = (
+        F.when(fr["ja"] > 0.05, F.lit("ja"))
+        .when(fr["zh"] > 0.5, F.lit("zh"))
+        .when(fr["th"] > 0.5, F.lit("th"))
+        .when(fr["ko"] > 0.5, F.lit("ko"))
+        .when(fr["ru"] > 0.5, F.lit("ru"))
+        .when(fr["ar"] > 0.5, F.lit("ar"))
+        .when(fr["latin"] > 0.5, latin_lang)
+        .otherwise(F.lit("unknown"))
+    )
+    score = (
+        F.when(fr["ja"] > 0.05, fr["ja"] + fr["zh"])
+        .when(fr["zh"] > 0.5, fr["zh"])
+        .when(fr["th"] > 0.5, fr["th"])
+        .when(fr["ko"] > 0.5, fr["ko"])
+        .when(fr["ru"] > 0.5, fr["ru"])
+        .when(fr["ar"] > 0.5, fr["ar"])
+        .when(fr["latin"] > 0.5, fr["latin"])
+        .otherwise(F.lit(0.0))
+    )
+    df = df.withColumn(lang_col, lang).withColumn(
+        score_col, F.least(score, F.lit(1.0)).cast("double")
+    )
+    return df.drop(*helpers.keys())
+
+
 # --- DuckDB SQL form -----------------------------------------------------------
 
 

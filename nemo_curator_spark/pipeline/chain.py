@@ -46,7 +46,18 @@ def add_scores(
     once and its fields are projected out.
     """
     names = rules if rules is not None else chain_rule_names()
-    ctx = H.text_ctx(F.col(text_col))
+
+    # Materialize the shared helper arrays as REAL columns first: an
+    # expression used by many rules would otherwise be duplicated into each
+    # consumer (no CSE on the interpreted path — HOF lambdas disable
+    # whole-stage codegen), re-splitting every text ~10x. CollapseProject
+    # keeps non-cheap projections that are referenced more than once, so
+    # each helper is computed exactly once per row.
+    raw_ctx = H.text_ctx(F.col(text_col))
+    helper_names = {k: f"_ctx_{k}" for k in raw_ctx if k != "text"}
+    df = df.withColumns({helper_names[k]: raw_ctx[k] for k in helper_names})
+    ctx: dict[str, Column] = {"text": F.col(text_col)}
+    ctx.update({k: F.col(v) for k, v in helper_names.items()})
 
     native_cols: dict[str, Column] = {}
     ngram_rules: list[str] = []
@@ -64,6 +75,7 @@ def add_scores(
             native_cols[prefix + name] = F.col("_ngram_scores." + field)
 
     df = df.withColumns(native_cols)
+    df = df.drop(*helper_names.values())
     if ngram_rules:
         df = df.drop("_ngram_scores")
     return df

@@ -75,18 +75,17 @@ def curate(
     else:
         df = df.repartition(F.xxhash64("url"))
 
-    # 2. extraction (only when an html column is present)
+    # 2. extraction (only when an html column is present); html is dropped
+    # afterwards so later shuffles (language bucketing) don't carry the raw
+    # bytes — at 100 TB that is most of the row width
     if cfg.use_html and "html" in df.columns:
         df = df.withColumn(
             cfg.text_col,
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
-        )
+        ).drop("html")
 
-    # 3. language id
-    df = df.withColumn("_lid", langid_mod.langid_struct(F.col(cfg.text_col)))
-    df = df.withColumn("lang_pred", F.col("_lid.lang")).withColumn(
-        "lang_score", F.col("_lid.score")
-    ).drop("_lid")
+    # 3. language id (two-projection form: fractions materialize once)
+    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
 
     # 4. heuristic chain (labels for all rows; gate applies to English only)

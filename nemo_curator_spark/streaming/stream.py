@@ -59,12 +59,7 @@ def curate_stream(
             cfg.text_col,
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
         )
-    df = df.withColumn("_lid", langid_mod.langid_struct(F.col(cfg.text_col)))
-    df = (
-        df.withColumn("lang_pred", F.col("_lid.lang"))
-        .withColumn("lang_score", F.col("_lid.score"))
-        .drop("_lid")
-    )
+    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
     df = chain.add_labels(
         df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason"

@@ -1,0 +1,111 @@
+"""AddId / splitter / joiner / removal round-trips; semantic dedup;
+classifier/embedder stage plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.operators import classifiers, dedup, semantic, text_ops
+
+
+def test_add_id_hash_keyed(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    out = text_ops.add_id(df, id_col="id", prefix="doc", key_col="text").toPandas()
+    assert out["id"].str.startswith("doc_").all()
+    # deterministic: same key -> same id across runs
+    out2 = text_ops.add_id(df, id_col="id", prefix="doc", key_col="text").toPandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+    with pytest.raises(ValueError):
+        text_ops.add_id(df.withColumn("id", F.lit("x")), id_col="id")
+
+
+def test_split_join_roundtrip(spark):
+    rows = [
+        (1, "para one\n\npara two\n\npara three", "en"),
+        (2, "single para", "pt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    split = text_ops.split_documents(df, "text")
+    assert split.count() == 4
+    seg = {
+        (r["doc_id"], r["segment_id"]): r["text"] for r in split.collect()
+    }
+    assert seg[(1, 0)] == "para one" and seg[(1, 2)] == "para three"
+    joined = text_ops.join_documents(split, "doc_id", "text")
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in joined.collect()}
+    assert got[1] == (rows[0][1], "en")
+    assert got[2] == (rows[1][1], "pt")
+
+
+def test_remove_duplicates_anti_join(spark):
+    df = spark.createDataFrame(
+        [(i, "t" + str(i % 3)) for i in range(9)], "doc_id long, text string"
+    )
+    removal = dedup.exact_duplicate_ids(df)
+    kept = dedup.remove_duplicates(df, removal)
+    assert kept.count() == 3
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_semantic_dedup(spark):
+    rng = np.random.RandomState(0)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(10):
+            v = centers[c] + rng.normal(scale=0.2, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # plant near-identical pairs
+    rows.append((100, rows[0][1]))
+    rows.append((101, [x * 1.0001 for x in rows[5][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    removal = semantic.semantic_duplicate_ids(df, k=4, threshold=0.999)
+    got = sorted(r["vec_id"] for r in removal.collect())
+    assert 100 in got and 101 in got
+    # keep-min: originals 0 and 5 survive
+    assert 0 not in got and 5 not in got
+
+
+class MockClassifier:
+    def predict_batch(self, tokens):
+        return ["long" if len(t) > 3 else "short" for t in tokens]
+
+    def prob_batch(self, tokens):
+        return [min(1.0, len(t) / 10.0) for t in tokens]
+
+
+def test_classifier_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five"), (2, "hi")], "i long, text string"
+    )
+    out = (
+        classifiers.ClassifierStage(model=MockClassifier())
+        .apply(df)
+        .orderBy("i")
+        .toPandas()
+    )
+    assert list(out["pred_label"]) == ["long", "short"]
+    assert out["pred_prob"][0] == 0.5
+
+
+def test_classifier_stage_unplugged_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "i long, text string")
+    with pytest.raises(Exception, match="no transformer runtime"):
+        classifiers.ClassifierStage().apply(df).collect()
+
+
+def test_embedder_stage_deterministic_and_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a different doc entirely")],
+        "i long, text string",
+    )
+    a = classifiers.EmbedderStage(dim=32).apply(df).orderBy("i").toPandas()
+    b = classifiers.EmbedderStage(dim=32).apply(df).orderBy("i").toPandas()
+    for i in range(2):
+        va, vb = np.array(a["embedding"][i]), np.array(b["embedding"][i])
+        assert np.allclose(va, vb)
+        assert abs(np.linalg.norm(va) - 1.0) < 1e-5
