@@ -318,11 +318,74 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _modifier_urls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        M.remove_urls(F.col("text")).alias("text_nourl"),
+        M.normalize_newlines(F.col("text")).alias("text_nl"),
+    )
+
+
+_MODIFIER_URLS_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(text, '(?i)https?://\S+|www\.\S+', '', 'g') AS text_nourl,
+  regexp_replace(regexp_replace(text, '(\n){3,}', chr(10)||chr(10), 'g'),
+                 '(\r\n){3,}', chr(13)||chr(10)||chr(13)||chr(10), 'g') AS text_nl
+FROM documents
+"""
+
+
+def _histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        langid_mod.histogram_score(F.col("text"), "en").alias("hist_en"),
+        langid_mod.histogram_score(F.col("text"), "zh").alias("hist_zh"),
+    )
+
+
+def _histogram_oracle() -> str:
+    def one(lang: str) -> str:
+        cls = langid_mod.SCRIPT_CLASSES["latin" if lang == "en" else lang]
+        cls_sql = cls.replace("'", "''")
+        nonspace = (
+            "greatest(len(regexp_replace(text, '\\s', '', 'g')), 1)"
+        )
+        return (
+            f"(CASE WHEN len(regexp_extract_all(text, '{cls_sql}')) "
+            f"/ {nonspace} > 0.8 THEN 1.0 ELSE 0.0 END)"
+        )
+
+    return (
+        f"SELECT doc_id, {one('en')} AS hist_en, {one('zh')} AS hist_zh "
+        f"FROM documents"
+    )
+
+
+def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nemo_curator_spark.operators import semantic
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic.semantic_duplicate_ids(df, k=8, threshold=0.99)
+
+
+def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nemo_curator_spark.operators.classifiers import EmbedderStage
+
+    df = _docs(spark, sf_dir)
+    out = EmbedderStage(dim=32).apply(df)
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for rule in H.RULES:
         out[f"filter_{rule.name}"] = _rule_query(rule.name)
-    out["filter_porn_urls"] = _rule_query("porn_urls")
+    for extra in H.EXTRA_RULES:
+        out[f"filter_{extra}"] = _rule_query(extra)
     out["heuristic_chain_native"] = _chain_native_query
     out["heuristic_chain_full"] = _chain_full_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
@@ -337,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_hourly_agg"] = _events_hourly_query
     out["events_sessionize"] = _sessionize_query
     out["tpch_q1"] = _tpch_q1_query
+    out["modifier_url_newline"] = _modifier_urls_query
+    out["histogram_filter"] = _histogram_query
+    out["semantic_dedup_removal_ids"] = _semantic_dedup_query
+    out["embedder_hash_dim"] = _embedder_query
     return out
 
 
@@ -346,7 +413,8 @@ def oracle_sql() -> dict[str, str]:
         sql = _rule_oracle(rule.name)
         if sql is not None:
             out[f"filter_{rule.name}"] = sql
-    out["filter_porn_urls"] = _rule_oracle("porn_urls")
+    for extra in H.EXTRA_RULES:
+        out[f"filter_{extra}"] = _rule_oracle(extra)
     out["heuristic_chain_native"] = _chain_native_oracle()
     # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
@@ -360,4 +428,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
     out["tpch_q1"] = _TPCH_Q1_ORACLE
+    out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
+    out["histogram_filter"] = _histogram_oracle()
+    # semantic_dedup / embedder: model-backed (KMeans / hashed projection)
+    # -> rows-only here; pytest pins planted behavior
     return out

@@ -649,7 +649,10 @@ RULES.append(
 )
 
 # extra (not part of the English chain cascade but part of the operator
-# surface; SURVEY.md §2.4 #16/#17)
+# surface; SURVEY.md §2.4 #16/#17 + the SQL-expressible code filters —
+# NumberOfLinesOfCodeFilter / XMLHeaderFilter / AlphaFilter, code.py:86-180;
+# the comment-parser/sentencepiece/bs4-backed code filters need libraries
+# absent from this environment and are intentionally not stubbed as rules)
 EXTRA_RULES: dict[str, Rule] = {
     "porn_urls": _mk(
         "porn_urls",
@@ -657,6 +660,48 @@ EXTRA_RULES: dict[str, Rule] = {
         (lambda s: s != 1.0, lambda e: f"({e} <> 1.0)"),
         _porn_urls_duck,
         pyref.pornographic_urls,
+    ),
+    "num_lines": _mk(
+        "num_lines",
+        lambda ctx: (
+            F.length(ctx["text"])
+            - F.length(F.regexp_replace(ctx["text"], "\n", ""))
+            + 1
+        ).cast("double"),
+        _between(10, 20000),
+        lambda c: (
+            f"CAST(len({c}) - len(replace({c}, chr(10), '')) + 1 AS DOUBLE)"
+        ),
+        lambda t: t.count("\n") + 1,
+    ),
+    "xml_header": _mk(
+        "xml_header",
+        lambda ctx: F.when(
+            F.substring(ctx["text"], 1, 100).contains("<?xml version="),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)),
+        (lambda s: s != 1.0, lambda e: f"({e} <> 1.0)"),
+        lambda c: (
+            f"(CASE WHEN contains(left({c}, 100), '<?xml version=') "
+            f"THEN 1.0 ELSE 0.0 END)"
+        ),
+        lambda t: float("<?xml version=" in t[:100]),
+    ),
+    "alpha_ratio": _mk(
+        "alpha_ratio",
+        lambda ctx: _when_empty(
+            ctx["nchar"],
+            0.0,
+            F.regexp_count(ctx["text"], F.lit(C.ALPHA_J)) / ctx["nchar"],
+        ),
+        _ge(0.25),
+        lambda c: (
+            f"(CASE WHEN len({c}) = 0 THEN 0.0 ELSE "
+            f"len(regexp_extract_all({c}, '\\p{{L}}')) / len({c}) END)"
+        ),
+        lambda t: (
+            len(C.ALPHA_PY.findall(t)) / len(t) if len(t) else 0.0
+        ),
     ),
 }
 
