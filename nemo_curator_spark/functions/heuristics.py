@@ -463,6 +463,42 @@ def _dup_ngram_from_tokens(text: str, toks: list[str], n: int) -> float:
     return dup_chars / nchar
 
 
+# --- python fast path for word/line-level rules -------------------------------
+#
+# The array-lambda (HOF) forms of these rules are evaluated by interpreted
+# per-element expression-tree walks on the JVM (HOFs are outside whole-stage
+# codegen), which measures ~10x slower than a plain Python loop over the
+# same semantics. One Arrow batch per partition computes all 14 scores with
+# shared splits (pyref.word_line_scores — identical IEEE arithmetic, so the
+# values are bit-equal to the Column forms; tests pin all three paths).
+
+PY_BATCH_FIELDS = [
+    "symbol_to_word",
+    "bullet_ratio",
+    "boilerplate_string_ratio",
+    "word_count",
+    "max_word_length",
+    "mean_word_length",
+    "common_english_words",
+    "words_without_alphabets",
+    "punctuation",
+    "ellipsis",
+    "repeated_lines",
+    "repeated_paragraphs",
+    "repeated_lines_char",
+    "repeated_paragraphs_char",
+]
+PY_BATCH_STRUCT = T.StructType(
+    [T.StructField(f, T.DoubleType(), False) for f in PY_BATCH_FIELDS]
+)
+
+
+@F.pandas_udf(PY_BATCH_STRUCT)
+def word_line_batch(texts: pd.Series) -> pd.DataFrame:
+    rows = [pyref.word_line_scores(t or "") for t in texts]
+    return pd.DataFrame(rows, columns=PY_BATCH_FIELDS)
+
+
 @F.pandas_udf(NGRAM_STRUCT)
 def ngram_scores(texts: pd.Series) -> pd.DataFrame:
     """All top-/dup-n-gram scores in ONE tokenize pass per document

@@ -96,6 +96,16 @@ class NGramLM:
             lp += self.logprob_token(toks[i - 2], toks[i - 1], toks[i])
         return 10.0 ** (-lp / n)
 
+    def prune(self, min_count: int = 2) -> "NGramLM":
+        """Drop hapax bi/tri-grams: ~5-10x smaller executor payload for a
+        tiny smoothing-side effect (KenLM ships pruned models the same way)."""
+        return NGramLM(
+            self.uni,
+            {k: v for k, v in self.bi.items() if v >= min_count},
+            {k: v for k, v in self.tri.items() if v >= min_count},
+            self.total,
+        )
+
     # --- serialization (SparkFiles / broadcast payload) ---
     def to_json(self) -> str:
         return json.dumps(
@@ -134,7 +144,10 @@ def train_per_language(
     by_lang: dict[str, list[str]] = {}
     for row in sample:
         by_lang.setdefault(row[lang_col], []).append(row[text_col] or "")
-    return {lang: NGramLM.train(texts) for lang, texts in by_lang.items()}
+    return {
+        lang: NGramLM.train(texts).prune(min_count=2)
+        for lang, texts in by_lang.items()
+    }
 
 
 # per-worker parsed-model cache: the serialized payload ships once in the
@@ -190,7 +203,11 @@ def score_perplexity(
     coalesces small buckets.
     """
     if bucket:
-        salt = F.pmod(F.xxhash64(F.col(text_col)), F.lit(16))
+        # salt range >= partition count: a dominant language must span EVERY
+        # partition, not 16 of them (a small modulus caps parallelism at the
+        # salt range and idles the rest of the cluster)
+        n_salt = max(num_partitions or 0, 256)
+        salt = F.pmod(F.xxhash64(F.col(text_col)), F.lit(n_salt))
         if num_partitions:
             df = df.repartition(num_partitions, F.col(lang_col), salt)
         else:

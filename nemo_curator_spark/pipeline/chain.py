@@ -38,36 +38,46 @@ def add_scores(
     text_col: str = "text",
     rules: list[str] | None = None,
     prefix: str = SCORE_PREFIX,
+    py_batch: bool = True,
 ) -> DataFrame:
     """Add one ``{prefix}{rule}`` DOUBLE column per rule.
 
-    Native rules are Column expressions over shared helper columns; if any
-    n-gram rule is requested, the shared ``ngram_scores`` struct is computed
-    once and its fields are projected out.
+    Three execution tiers, all value-identical (tests pin them):
+    * pure char-class/regex rules -> JVM Column exprs (codegen'd);
+    * word/line/paragraph rules -> ONE Arrow pandas UDF (`word_line_batch`;
+      HOF lambdas would be interpreted per-element and ~10x slower) unless
+      ``py_batch=False`` forces the Column forms;
+    * n-gram rules -> the `ngram_scores` pandas UDF struct.
     """
     names = rules if rules is not None else chain_rule_names()
 
-    # Materialize the shared helper arrays as REAL columns first: an
-    # expression used by many rules would otherwise be duplicated into each
-    # consumer (no CSE on the interpreted path — HOF lambdas disable
-    # whole-stage codegen), re-splitting every text ~10x. CollapseProject
-    # keeps non-cheap projections that are referenced more than once, so
-    # each helper is computed exactly once per row.
-    raw_ctx = H.text_ctx(F.col(text_col))
-    helper_names = {k: f"_ctx_{k}" for k in raw_ctx if k != "text"}
-    df = df.withColumns({helper_names[k]: raw_ctx[k] for k in helper_names})
-    ctx: dict[str, Column] = {"text": F.col(text_col)}
-    ctx.update({k: F.col(v) for k, v in helper_names.items()})
+    batch_rules = [
+        n for n in names if py_batch and n in H.PY_BATCH_FIELDS
+    ]
+    ngram_rules = [n for n in names if n in H.NGRAM_COL_FOR_RULE]
+    native_rules = [
+        n for n in names if n not in batch_rules and n not in ngram_rules
+    ]
 
     native_cols: dict[str, Column] = {}
-    ngram_rules: list[str] = []
-    for name in names:
-        rule = H.RULES_BY_NAME[name]
-        if name in H.NGRAM_COL_FOR_RULE:
-            ngram_rules.append(name)
-        else:
-            native_cols[prefix + name] = rule.score(ctx)
+    helper_names: dict[str, str] = {}
+    if native_rules:
+        # Materialize shared helper arrays as REAL columns: an expression
+        # used by many rules would otherwise be duplicated into each
+        # consumer (no CSE on the interpreted path). CollapseProject keeps
+        # non-cheap projections referenced more than once.
+        raw_ctx = H.text_ctx(F.col(text_col))
+        helper_names = {k: f"_ctx_{k}" for k in raw_ctx if k != "text"}
+        df = df.withColumns({helper_names[k]: raw_ctx[k] for k in helper_names})
+        ctx: dict[str, Column] = {"text": F.col(text_col)}
+        ctx.update({k: F.col(v) for k, v in helper_names.items()})
+        for name in native_rules:
+            native_cols[prefix + name] = H.RULES_BY_NAME[name].score(ctx)
 
+    if batch_rules:
+        df = df.withColumn("_wl_scores", H.word_line_batch(F.col(text_col)))
+        for name in batch_rules:
+            native_cols[prefix + name] = F.col("_wl_scores." + name)
     if ngram_rules:
         df = df.withColumn("_ngram_scores", H.ngram_scores(F.col(text_col)))
         for name in ngram_rules:
@@ -75,7 +85,10 @@ def add_scores(
             native_cols[prefix + name] = F.col("_ngram_scores." + field)
 
     df = df.withColumns(native_cols)
-    df = df.drop(*helper_names.values())
+    if helper_names:
+        df = df.drop(*helper_names.values())
+    if batch_rules:
+        df = df.drop("_wl_scores")
     if ngram_rules:
         df = df.drop("_ngram_scores")
     return df

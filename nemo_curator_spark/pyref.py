@@ -255,6 +255,85 @@ def dup_ngram_ratio(text: str, n: int) -> float:
     return dup_chars / nchar
 
 
+def word_line_scores(text: str) -> dict[str, float]:
+    """All word/line/paragraph-level scores in one pass with shared splits
+    (each function above recomputes its splits; this is the batched form
+    used by the Spark fast path — identical arithmetic, so identical IEEE
+    doubles)."""
+    ws = text.split()
+    ls = [x for x in text.split("\n") if x.strip()]
+    ps = text.split("\n\n")
+    n_w, n_l = len(ws), len(ls)
+
+    out: dict[str, float] = {}
+    # symbol_to_word
+    if n_w == 0:
+        out["symbol_to_word"] = 1.0
+    else:
+        bad = 0
+        for w in ws:
+            if w in C.ELLIPSIS_MARKS or len(C.HASH_RUN_PY.findall(w)) / len(w) > 0.5:
+                bad += 1
+        out["symbol_to_word"] = bad / n_w
+    # bullet_ratio
+    out["bullet_ratio"] = (
+        1.0 if n_l == 0 else sum(1 for s in ls if s.strip()[:1] in C.BULLET_CHARS) / n_l
+    )
+    # boilerplate
+    bp = 0.0
+    hits = 0
+    for p in ps:
+        low = p.strip().lower()
+        if "lorem ipsum" in low:
+            bp = 1.0
+            break
+        if any(s in low for s in C.POLICY_SUBSTRINGS):
+            hits += 1
+    out["boilerplate_string_ratio"] = bp if bp else hits / len(ps)
+    # word stats
+    out["word_count"] = float(n_w)
+    out["max_word_length"] = float(max((len(w) for w in ws), default=0))
+    out["mean_word_length"] = (
+        0.0 if n_w == 0 else sum(len(w) for w in ws) / n_w
+    )
+    cnt = 0
+    for w in ws:
+        if w in C.COMMON_ENGLISH_WORDS:
+            cnt += 1
+        if cnt >= 2:
+            break
+    out["common_english_words"] = float(min(cnt, 2))
+    out["words_without_alphabets"] = (
+        0.0 if n_w == 0 else sum(1 for w in ws if C.ALPHA_PY.search(w)) / n_w
+    )
+    # line endings
+    if n_l == 0:
+        out["punctuation"] = 1.0
+        out["ellipsis"] = 1.0
+    else:
+        stripped = [s.strip() for s in ls]
+        out["punctuation"] = sum(
+            1 for s in stripped if not s.endswith(C.END_MARKS)
+        ) / n_l
+        out["ellipsis"] = sum(
+            1
+            for s in stripped
+            if any(s.lower().endswith(m) for m in C.ELLIPSIS_MARKS)
+        ) / n_l
+    # repetition
+    out["repeated_lines"] = 0.0 if n_l == 0 else len(set(ls)) / n_l
+    out["repeated_paragraphs"] = len(set(ps)) / len(ps)
+    tot_l = sum(len(s) for s in ls)
+    out["repeated_lines_char"] = (
+        0.0 if tot_l == 0 else sum(len(s) for s in set(ls)) / tot_l
+    )
+    tot_p = sum(len(p) for p in ps)
+    out["repeated_paragraphs_char"] = (
+        0.0 if tot_p == 0 else sum(len(p) for p in set(ps)) / tot_p
+    )
+    return out
+
+
 # --- the English chain -------------------------------------------------------
 
 

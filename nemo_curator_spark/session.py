@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
+    # RAM-backed shuffle/spill when tmpfs is available: local-mode shuffles
+    # all flow through spark.local.dir, and VM disk latency (D-state storms)
+    # otherwise dominates and jitters every measurement
+    shm = os.environ.get("SPARK_LOCAL_DIR")
+    if shm is None and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = "/dev/shm/spark-local"
+    if shm:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -40,6 +40,18 @@ def test_spark_scores_match_pyref(spark, golden_texts):
             )
 
 
+def test_py_batch_equals_column_forms(spark, golden_texts):
+    """The pandas-UDF fast path must be bit-identical to the Column forms."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(golden_texts)], "doc_id long, text string"
+    )
+    fast = chain.add_scores(df, "text", py_batch=True).orderBy("doc_id").toPandas()
+    slow = chain.add_scores(df, "text", py_batch=False).orderBy("doc_id").toPandas()
+    for col in fast.columns:
+        if col.startswith(chain.SCORE_PREFIX):
+            assert (fast[col] == slow[col]).all(), col
+
+
 def test_spark_keep_labels_match_pyref(spark, golden_texts):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(golden_texts)], "doc_id long, text string"
