@@ -30,7 +30,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     parser.add_argument("--cores", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    parser.add_argument("--web-docs", type=int, default=int(os.environ.get("BENCH_WEB_DOCS", "20000")))
+    parser.add_argument("--web-docs", type=int, default=int(os.environ.get("BENCH_WEB_DOCS", "50000")))
     parser.add_argument("--skip-generate", action="store_true")
     args = parser.parse_args()
 
@@ -64,14 +64,18 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    # q1: full curation pipeline over the web corpus (the headline number)
+    # q1: full curation pipeline over the web corpus (the headline number).
+    # cold = first run (JIT/codegen warmup included); warm = steady-state
+    # executors, the deployment shape on a real cluster.
     cfg = webpages.CurationConfig(salt_partitions=int(args.cores) * 2)
-    timed(
-        "curate_full",
-        lambda: webpages.curate(web, models, cfg)
-        .agg(F.sum(F.col("keep").cast("long")))
-        .collect(),
-    )
+
+    def run_curate():
+        webpages.curate(web, models, cfg).agg(
+            F.sum(F.col("keep").cast("long"))
+        ).collect()
+
+    timed("curate_full_cold", run_curate)
+    timed("curate_full", run_curate)
     # q2: 28-rule heuristic chain alone (reference benchmark shape)
     timed(
         "heuristic_chain",
