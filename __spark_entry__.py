@@ -338,6 +338,38 @@ FROM documents
 """
 
 
+def _substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubstringFilter('the', position='any') — reference string.py:470-501."""
+    df = _docs(spark, sf_dir)
+    score = F.col("text").contains("the").cast("int")
+    return df.select("doc_id", score.alias("score"), (score == 1).cast("int").alias("keep"))
+
+
+_SUBSTRING_ORACLE = """
+SELECT doc_id, CAST(contains(text, 'the') AS INT) AS score,
+       CAST(contains(text, 'the') AS INT) AS keep
+FROM documents
+"""
+
+
+def _markdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    return df.select("doc_id", M.remove_markdown(F.col("text")).alias("text_md"))
+
+
+_MARKDOWN_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '\*\*(.*?)\*\*', '\1', 'g'),
+    '\*(.*?)\*', '\1', 'g'),
+    '_(.*?)_', '\1', 'g'),
+    '\[.*?\]\((.*?)\)', '\1', 'g') AS text_md
+FROM documents
+"""
+
+
 def _histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
     return df.select(
@@ -401,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_sessionize"] = _sessionize_query
     out["tpch_q1"] = _tpch_q1_query
     out["modifier_url_newline"] = _modifier_urls_query
+    out["filter_substring_any"] = _substring_query
+    out["modifier_markdown"] = _markdown_query
     out["histogram_filter"] = _histogram_query
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query
     out["embedder_hash_dim"] = _embedder_query
@@ -429,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_sessionize"] = _SESSIONIZE_ORACLE
     out["tpch_q1"] = _TPCH_Q1_ORACLE
     out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
+    out["filter_substring_any"] = _SUBSTRING_ORACLE
+    out["modifier_markdown"] = _MARKDOWN_ORACLE
     out["histogram_filter"] = _histogram_oracle()
     # semantic_dedup / embedder: model-backed (KMeans / hashed projection)
     # -> rows-only here; pytest pins planted behavior

@@ -170,7 +170,18 @@ def jaccard_ngram(
             )
         )
     )
-    g = df.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    # compute grams ONLY for docs that appear in candidate pairs (semi-join
+    # first): candidates are a small fraction of the corpus, and gram
+    # construction is the expensive part of verification
+    needed = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    g = (
+        df.join(needed, id_col, "left_semi")
+        .select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+    )
     joined = (
         pairs.join(g.withColumnRenamed("_id", "a").withColumnRenamed("_grams", "ga"), "a")
         .join(g.withColumnRenamed("_id", "b").withColumnRenamed("_grams", "gb"), "b")
