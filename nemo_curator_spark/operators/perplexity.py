@@ -187,6 +187,51 @@ def perplexity_udf(models: dict[str, NGramLM]):
     return _udf
 
 
+def ship_models(spark, models: dict[str, NGramLM], name: str = "ppl_models.json") -> str:
+    """Distribute serialized LMs to executors via ``SparkContext.addFile``
+    (the north rule's SparkFiles broadcast path; the closure-payload path in
+    :func:`perplexity_udf` stays the zero-setup default for local mode).
+
+    Returns the artifact file name to pass to :func:`perplexity_udf_from_file`.
+    """
+    import os
+    import tempfile
+
+    payload = {k: json.loads(m.to_json()) for k, m in models.items()}
+    path = os.path.join(tempfile.mkdtemp(prefix="ppl_models_"), name)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    spark.sparkContext.addFile(path)
+    return name
+
+
+def perplexity_udf_from_file(artifact_name: str):
+    """Scorer whose models load lazily per worker from SparkFiles (no model
+    bytes in the task closure — the executor fetches the artifact once)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+        from pyspark import SparkFiles
+
+        key = ("sparkfiles", artifact_name)
+        models = _MODEL_CACHE.get(key)
+        if models is None:
+            with open(SparkFiles.get(artifact_name)) as f:
+                raw = json.load(f)
+            models = {
+                lg: NGramLM(d["uni"], d["bi"], d["tri"], d["total"])
+                for lg, d in raw.items()
+            }
+            _MODEL_CACHE[key] = models
+        out = []
+        for t, lg in zip(text, lang):
+            lm = models.get(lg)
+            out.append(float("nan") if lm is None else lm.perplexity(t or ""))
+        return pd.Series(out, dtype="float64")
+
+    return _udf
+
+
 def score_perplexity(
     df: DataFrame,
     models: dict[str, NGramLM],
@@ -195,6 +240,7 @@ def score_perplexity(
     out_col: str = "ppl",
     bucket: bool = True,
     num_partitions: int | None = None,
+    sparkfiles_artifact: str | None = None,
 ) -> DataFrame:
     """Language-bucketed perplexity scoring.
 
@@ -212,5 +258,8 @@ def score_perplexity(
             df = df.repartition(num_partitions, F.col(lang_col), salt)
         else:
             df = df.repartition(F.col(lang_col), salt)
-    udf = perplexity_udf(models)
+    if sparkfiles_artifact:
+        udf = perplexity_udf_from_file(sparkfiles_artifact)
+    else:
+        udf = perplexity_udf(models)
     return df.withColumn(out_col, udf(F.col(text_col), F.col(lang_col)))
