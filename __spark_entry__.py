@@ -69,8 +69,10 @@ def _rule_oracle(rule_name: str) -> str | None:
     )
 
 
-def _chain_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    names = chain.chain_rule_names(include_ngrams=False)
+def _chain_native_query(
+    spark: SparkSession, sf_dir: str, english: bool = True
+) -> DataFrame:
+    names = chain.chain_rule_names(include_ngrams=False, english=english)
     df = _docs(spark, sf_dir)
     labeled = chain.add_labels(df, "text", rules=names)
     return labeled.select(
@@ -78,8 +80,8 @@ def _chain_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chain_native_oracle() -> str:
-    names = chain.chain_rule_names(include_ngrams=False)
+def _chain_native_oracle(english: bool = True) -> str:
+    names = chain.chain_rule_names(include_ngrams=False, english=english)
     keep_exprs = []
     for n in names:
         rule = H.RULES_BY_NAME[n]
@@ -419,6 +421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for extra in H.EXTRA_RULES:
         out[f"filter_{extra}"] = _rule_query(extra)
     out["heuristic_chain_native"] = _chain_native_query
+    out["heuristic_chain_non_english"] = (
+        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
+    )
     out["heuristic_chain_full"] = _chain_full_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
     out["pii_scrub"] = _pii_query
@@ -450,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
     for extra in H.EXTRA_RULES:
         out[f"filter_{extra}"] = _rule_oracle(extra)
     out["heuristic_chain_native"] = _chain_native_oracle()
+    out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
     out["pii_scrub"] = _pii_oracle()

@@ -26,8 +26,22 @@ from nemo_curator_spark.functions import heuristics as H
 SCORE_PREFIX = "score_"
 
 
-def chain_rule_names(include_ngrams: bool = True) -> list[str]:
+# rules present only in the ENGLISH cascade; the non-English variant drops
+# them (reference heuristic_filter_non_english_pipeline.yaml: same order and
+# cutoffs, minus NonAlphaNumeric / WordsWithoutAlphabets / CommonEnglishWords)
+ENGLISH_ONLY_RULES = (
+    "alpha_numeric",
+    "words_without_alphabets",
+    "common_english_words",
+)
+
+
+def chain_rule_names(
+    include_ngrams: bool = True, english: bool = True
+) -> list[str]:
     names = [r.name for r in H.RULES]
+    if not english:
+        names = [n for n in names if n not in ENGLISH_ONLY_RULES]
     if not include_ngrams:
         names = [n for n in names if n not in H.NGRAM_COL_FOR_RULE]
     return names
@@ -94,6 +108,18 @@ def add_scores(
     return df
 
 
+def labels_from_scores(
+    names: list[str], prefix: str = SCORE_PREFIX
+) -> tuple[Column, Column]:
+    """(keep, drop_reason) expressions over already-computed score columns."""
+    keeps = [H.RULES_BY_NAME[n].keep(F.col(prefix + n)) for n in names]
+    keep = reduce(lambda a, b: a & b, keeps)
+    reason = F.lit(None).cast("string")
+    for name, k in zip(reversed(names), reversed(keeps)):
+        reason = F.when(~k, F.lit(name)).otherwise(reason)
+    return keep, reason
+
+
 def add_labels(
     df: DataFrame,
     text_col: str = "text",
@@ -105,16 +131,7 @@ def add_labels(
     """Add scores plus ``keep`` / ``drop_reason`` (first failing rule)."""
     names = rules if rules is not None else chain_rule_names()
     df = add_scores(df, text_col, names, prefix)
-
-    keeps = [
-        H.RULES_BY_NAME[n].keep(F.col(prefix + n)) for n in names
-    ]
-    keep = reduce(lambda a, b: a & b, keeps)
-
-    reason = F.lit(None).cast("string")
-    for name, k in zip(reversed(names), reversed(keeps)):
-        reason = F.when(~k, F.lit(name)).otherwise(reason)
-
+    keep, reason = labels_from_scores(names, prefix)
     return df.withColumn(keep_col, keep).withColumn(reason_col, reason)
 
 
@@ -123,14 +140,17 @@ def english_chain(
     text_col: str = "text",
     mode: str = "filter",
     include_ngrams: bool = True,
+    english: bool = True,
 ) -> DataFrame:
-    """The reference English heuristic cascade.
+    """The reference heuristic cascade (English by default; ``english=False``
+    gives the non-English variant — same order/cutoffs minus the
+    English-specific rules).
 
     mode='filter' → return surviving rows only (original columns), exactly
     the cascade's output set. mode='label' → return all rows + score/keep/
     drop_reason columns (the label-first form used for lineage).
     """
-    names = chain_rule_names(include_ngrams)
+    names = chain_rule_names(include_ngrams, english)
     labeled = add_labels(df, text_col, names)
     if mode == "label":
         return labeled

@@ -88,10 +88,17 @@ def curate(
     df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
 
-    # 4. heuristic chain (labels for all rows; gate applies to English only)
+    # 4. heuristic chain: every rule's score is computed once; English docs
+    # gate on the full cascade, non-English docs on the reference's
+    # non-English variant (same order/cutoffs minus English-specific rules)
     df = chain.add_labels(df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason")
-    heur_ok = F.when(F.col("lang_pred") == "en", F.col("_heur_keep")).otherwise(
-        F.lit(True)
+    non_en_names = chain.chain_rule_names(english=False)
+    non_en_keep, non_en_reason = chain.labels_from_scores(non_en_names)
+    is_en = F.col("lang_pred") == "en"
+    heur_ok = F.when(is_en, F.col("_heur_keep")).otherwise(non_en_keep)
+    df = df.withColumn(
+        "_heur_reason",
+        F.when(is_en, F.col("_heur_reason")).otherwise(non_en_reason),
     )
 
     # 5. perplexity (language-bucketed)

@@ -64,8 +64,14 @@ def curate_stream(
     df = chain.add_labels(
         df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason"
     )
-    heur_ok = F.when(F.col("lang_pred") == "en", F.col("_heur_keep")).otherwise(
-        F.lit(True)
+    non_en_keep, non_en_reason = chain.labels_from_scores(
+        chain.chain_rule_names(english=False)
+    )
+    is_en = F.col("lang_pred") == "en"
+    heur_ok = F.when(is_en, F.col("_heur_keep")).otherwise(non_en_keep)
+    df = df.withColumn(
+        "_heur_reason",
+        F.when(is_en, F.col("_heur_reason")).otherwise(non_en_reason),
     )
     df = df.withColumn(
         "quality_score", quality.lexical_quality_score(F.col(cfg.text_col))
