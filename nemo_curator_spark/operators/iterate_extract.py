@@ -1,0 +1,65 @@
+"""Generic iterate-extract fan-out operator (reference
+DocumentIterateExtractStage, stages/text/download/base/iterator.py:51-152):
+stream records out of an archive/binary payload, optionally transform each
+record, 1→N fan-out via ``mapInPandas``.
+
+The WARC-specific iterator would plug a ``warcio``-based ``iterator_fn``
+here (library absent — the shape is exercised with a length-prefixed test
+format in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def iterate_extract(
+    df: DataFrame,
+    iterator_fn: Callable[[bytes], Iterator[dict]],
+    output_schema: str,
+    payload_col: str = "payload",
+    carry_cols: tuple[str, ...] = (),
+    record_limit: int | None = None,
+    extractor_fn: Callable[[dict], dict | None] | None = None,
+) -> DataFrame:
+    """For each row, yield one output row per record the iterator produces
+    from the binary payload. ``extractor_fn`` may transform or drop
+    (return None) records; ``record_limit`` caps records per payload
+    (reference record_limit semantics)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, src in pdf.iterrows():
+                n = 0
+                for rec in iterator_fn(bytes(src[payload_col])):
+                    # the limit caps ITERATED records, before extraction
+                    # (reference iterator.py record_limit semantics)
+                    if record_limit is not None and n >= record_limit:
+                        break
+                    n += 1
+                    if extractor_fn is not None:
+                        rec = extractor_fn(rec)
+                        if rec is None:
+                            continue
+                    for c in carry_cols:
+                        rec[c] = src[c]
+                    rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(fn, schema=output_schema)
+
+
+def length_prefixed_iterator(payload: bytes) -> Iterator[dict]:
+    """Test-format iterator: [4-byte big-endian length][utf-8 record]..."""
+    pos = 0
+    idx = 0
+    while pos + 4 <= len(payload):
+        n = int.from_bytes(payload[pos : pos + 4], "big")
+        pos += 4
+        yield {"record_id": idx, "content": payload[pos : pos + n].decode("utf-8")}
+        pos += n
+        idx += 1
