@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Print explain('formatted') for the key operators — the plan-quality
+checklist (pushdown reaches the scan, column pruning, no stray exchanges,
+UDF stages where expected). Run: python scripts/show_plans.py [sf_dir]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.operators import dedup, pii, similarity
+from nemo_curator_spark.pipeline import chain
+from nemo_curator_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(master="local[4]")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def show(title, df):
+        print(f"\n{'=' * 70}\n{title}\n{'=' * 70}")
+        df.explain("formatted")
+
+    show(
+        "single rule (expect: ReadSchema pruned to doc_id+text, no exchange)",
+        chain.add_scores(docs, "text", ["word_count"]).select(
+            "doc_id", "score_word_count"
+        ),
+    )
+    show(
+        "filter pushdown (expect: PushedFilters at the scan)",
+        docs.where(F.col("doc_id") < 100).select("doc_id"),
+    )
+    show(
+        "full chain labels (expect: zero exchanges — pure map; "
+        "2 ArrowEvalPython stages: word_line_batch + ngram_scores)",
+        chain.english_chain(docs, "text", mode="label"),
+    )
+    show(
+        "exact dedup (expect: ONE exchange on md5(text), window, filter)",
+        dedup.exact_duplicate_ids(docs),
+    )
+    show(
+        "pii scrub (expect: single projection of regexp chains, no python)",
+        pii.scrub(docs, "text"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    show(
+        "ann topk (expect: bucket-key equi-joins, NO cartesian product)",
+        similarity.ann_topk_hyperplane(emb, k=3, num_tables=2),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
