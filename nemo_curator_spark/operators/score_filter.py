@@ -79,7 +79,12 @@ class Filter(Stage):
 
 @dataclass
 class ScoreFilter(Stage):
-    """Fused score+filter; persists the score only if ``score_field`` set."""
+    """Fused score+filter; persists the score only if ``score_field`` set.
+
+    ``rule`` may be a single rule/name or a list (the reference's chain
+    form, score_filter.py:347-524: one stage applying several filters in
+    order); ``score_field``/``invert`` broadcast across the chain.
+    """
 
     rule: object
     text_field: str = "text"
@@ -87,13 +92,23 @@ class ScoreFilter(Stage):
     invert: bool = False
 
     def apply(self, df: DataFrame) -> DataFrame:
-        rule = _rule(self.rule)
-        score = _score_col(rule, self.text_field)
-        if self.score_field:
-            df = df.withColumn(self.score_field, score)
-            score = F.col(self.score_field)
-        keep = rule.keep(score)
-        return df.where(~keep if self.invert else keep)
+        rules = self.rule if isinstance(self.rule, (list, tuple)) else [self.rule]
+        fields = (
+            self.score_field
+            if isinstance(self.score_field, (list, tuple))
+            else [self.score_field] * len(rules)
+        )
+        if len(fields) != len(rules):
+            raise ValueError("score_field list must match rule list length")
+        for r, field in zip(rules, fields):
+            rule = _rule(r)
+            score = _score_col(rule, self.text_field)
+            if field:
+                df = df.withColumn(field, score)
+                score = F.col(field)
+            keep = rule.keep(score)
+            df = df.where(~keep if self.invert else keep)
+        return df
 
 
 @dataclass
