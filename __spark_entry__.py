@@ -414,6 +414,51 @@ def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.size("embedding").alias("dim"))
 
 
+def _topk_per_user_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rank")
+    )
+
+
+_TOPK_PER_USER_ORACLE = """
+SELECT user_id, event_id, round(value, 6) AS value, rank FROM (
+  SELECT user_id, event_id, value, row_number() OVER (
+    PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+) WHERE rank <= 3
+"""
+
+
+def _rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n, round(sum(l_quantity), 4) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for rule in H.RULES:
@@ -436,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_hyperplane_topk"] = _ann_query
     out["events_hourly_agg"] = _events_hourly_query
     out["events_sessionize"] = _sessionize_query
+    out["events_topk_per_user"] = _topk_per_user_query
+    out["lineitem_rollup"] = _rollup_query
     out["tpch_q1"] = _tpch_q1_query
     out["modifier_url_newline"] = _modifier_urls_query
     out["filter_substring_any"] = _substring_query
@@ -467,6 +514,8 @@ def oracle_sql() -> dict[str, str]:
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
+    out["events_topk_per_user"] = _TOPK_PER_USER_ORACLE
+    out["lineitem_rollup"] = _ROLLUP_ORACLE
     out["tpch_q1"] = _TPCH_Q1_ORACLE
     out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
     out["filter_substring_any"] = _SUBSTRING_ORACLE
