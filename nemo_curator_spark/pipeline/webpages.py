@@ -185,6 +185,42 @@ def lineage(labeled: DataFrame, run_id: str, stage: str = "curate") -> DataFrame
     )
 
 
+def stage_lineage(labeled: DataFrame, run_id: str) -> DataFrame:
+    """Per-stage lineage rows: one row per (stage, partition, source_id)
+    with that stage's input/kept counts — "each stage writes per-partition
+    lineage rows" in label-first form. A document is input to a stage iff
+    no earlier stage dropped it; kept iff this stage didn't drop it either.
+    Stage order mirrors :func:`curate`: langid → heuristic → perplexity →
+    quality_pareto.
+    """
+    stage_of = (
+        F.when(F.col("drop_reason") == "langid", F.lit(0))
+        .when(F.col("drop_reason").startswith("heuristic:"), F.lit(1))
+        .when(F.col("drop_reason") == "perplexity", F.lit(2))
+        .when(F.col("drop_reason") == "quality_pareto", F.lit(3))
+        .otherwise(F.lit(99))  # kept by all stages
+    )
+    base = labeled.withColumn("partition_id", F.spark_partition_id()).withColumn(
+        "_dropped_at", stage_of
+    )
+    stages = ["langid", "heuristic", "perplexity", "quality_pareto"]
+    out = None
+    for i, stage in enumerate(stages):
+        per = (
+            base.where(F.col("_dropped_at") >= i)
+            .groupBy("partition_id", "source_id")
+            .agg(
+                F.count("*").alias("input_count"),
+                F.sum((F.col("_dropped_at") > i).cast("long")).alias("kept_count"),
+            )
+            .withColumn("stage", F.lit(stage))
+        )
+        out = per if out is None else out.unionByName(per)
+    return out.withColumn("run_id", F.lit(run_id)).withColumn(
+        "committed_at", F.current_timestamp()
+    )
+
+
 def drop_reason_histogram(labeled: DataFrame) -> DataFrame:
     return (
         labeled.groupBy("source_id", "drop_reason")

@@ -65,6 +65,24 @@ def test_lineage_rows(spark, web_df):
     assert {"run_id", "stage", "partition_id", "source_id"} <= set(lin.columns)
 
 
+def test_stage_lineage(spark, web_df):
+    labeled = _curate(spark, web_df)
+    lin = webpages.stage_lineage(labeled, run_id="s1").toPandas()
+    per_stage = lin.groupby("stage")[["input_count", "kept_count"]].sum()
+    # stage 0 (langid) sees every row
+    assert per_stage.loc["langid", "input_count"] == 400
+    # funnel: each stage's input == previous stage's kept
+    order = ["langid", "heuristic", "perplexity", "quality_pareto"]
+    for prev, cur in zip(order, order[1:]):
+        assert (
+            per_stage.loc[cur, "input_count"] == per_stage.loc[prev, "kept_count"]
+        ), (prev, cur)
+    # final kept == pipeline keep count
+    assert per_stage.loc["quality_pareto", "kept_count"] == labeled.where(
+        "keep"
+    ).count()
+
+
 def test_checkpoint_resume_half_then_full(spark, web_df, tmp_path):
     """F8: commit half the source buckets, resume, final output == clean run."""
     labeled = _curate(spark, web_df)
