@@ -47,3 +47,21 @@ def test_yaml_pipeline_from_file(spark, tmp_path):
         [("w " * 60,), ("short",)], "text string"
     )
     assert pipe.run(df).count() == 1
+
+
+def test_shipped_english_config_matches_chain(spark):
+    """configs/heuristic_filter_english_pipeline.yaml == chain.english_chain."""
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark import synth
+    from nemo_curator_spark.pipeline import chain as chain_mod
+
+    pipe = load_pipeline("configs/heuristic_filter_english_pipeline.yaml")
+    pdf = synth.generate_web_pages(120, seed=55)[["url", "text"]]
+    df = spark.createDataFrame(pdf)
+    via_config = {r["url"] for r in pipe.run(df).select("url").collect()}
+    via_chain = {
+        r["url"]
+        for r in chain_mod.english_chain(df, "text").select("url").collect()
+    }
+    assert via_config == via_chain
