@@ -472,7 +472,7 @@ def _dup_ngram_from_tokens(text: str, toks: list[str], n: int) -> float:
 # shared splits (pyref.word_line_scores — identical IEEE arithmetic, so the
 # values are bit-equal to the Column forms; tests pin all three paths).
 
-PY_BATCH_FIELDS = [
+PY_BATCH_RULES = [
     "symbol_to_word",
     "bullet_ratio",
     "boilerplate_string_ratio",
@@ -488,6 +488,16 @@ PY_BATCH_FIELDS = [
     "repeated_lines_char",
     "repeated_paragraphs_char",
 ]
+# non-rule extras consumed by langid / the lexical quality score so the
+# whole pipeline needs exactly one word/line batch pass per document
+PY_BATCH_EXTRAS = [
+    "en_stop_hits",
+    "pt_stop_hits",
+    "quality_stop_frac",
+    "punct_end_frac",
+    "uniq_line_frac",
+]
+PY_BATCH_FIELDS = PY_BATCH_RULES + PY_BATCH_EXTRAS
 PY_BATCH_STRUCT = T.StructType(
     [T.StructField(f, T.DoubleType(), False) for f in PY_BATCH_FIELDS]
 )

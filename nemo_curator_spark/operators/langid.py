@@ -39,11 +39,8 @@ SCRIPT_CLASSES: dict[str, str] = {
     "latin": f"[A-Za-z{_R(0xC0, 0xFF)}]",
 }
 
-EN_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
-PT_STOPWORDS = (
-    "de", "que", "não", "uma", "para", "com", "os", "as", "do", "da",
-    "em", "o", "a", "e", "ao", "à", "pelo", "pela",
-)
+# single source of truth (pyref computes batched stop-hits with the same)
+from nemo_curator_spark.pyref import EN_STOPWORDS, PT_STOPWORDS  # noqa: E402
 
 
 def _frac(text: Column, cls: str, total: Column) -> Column:
@@ -103,23 +100,29 @@ def add_langid(
     text_col: str = "text",
     lang_col: str = "lang_pred",
     score_col: str = "lang_score",
+    wl_col: str | None = None,
 ):
     """Two-projection form of :func:`langid_struct` for pipelines: the
     script fractions / stopword hits materialize as columns once, and the
     lang/score CASEs reference them as cheap attributes (the single-Column
     struct form re-evaluates every fraction per consumer on the
-    interpreted path)."""
+    interpreted path). ``wl_col`` reuses en/pt stop-hit fields from an
+    already-computed ``word_line_batch`` struct column."""
     text = F.col(text_col)
     letters = F.greatest(F.regexp_count(text, F.lit(r"\p{L}")), F.lit(1))
     helpers = {
         f"_fr_{k}": _frac(text, v, letters) for k, v in SCRIPT_CLASSES.items()
     }
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
-    words = F.when(
-        stripped == "", F.array().cast("array<string>")
-    ).otherwise(F.split(stripped, r"\s+"))
-    helpers["_en_hits"] = _stop_hits(words, EN_STOPWORDS)
-    helpers["_pt_hits"] = _stop_hits(words, PT_STOPWORDS)
+    if wl_col:
+        helpers["_en_hits"] = F.col(wl_col + ".en_stop_hits")
+        helpers["_pt_hits"] = F.col(wl_col + ".pt_stop_hits")
+    else:
+        stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+        words = F.when(
+            stripped == "", F.array().cast("array<string>")
+        ).otherwise(F.split(stripped, r"\s+"))
+        helpers["_en_hits"] = _stop_hits(words, EN_STOPWORDS)
+        helpers["_pt_hits"] = _stop_hits(words, PT_STOPWORDS)
     df = df.withColumns(helpers)
 
     fr = {k: F.col(f"_fr_{k}") for k in SCRIPT_CLASSES}

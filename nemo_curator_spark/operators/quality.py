@@ -87,6 +87,20 @@ def lexical_quality_score(text: Column) -> Column:
     return score.cast("double")
 
 
+def lexical_quality_from_batch(wl: Column) -> Column:
+    """Same score as :func:`lexical_quality_score`, computed from the
+    ``word_line_batch`` struct fields (one python pass shared with the
+    chain/langid instead of three interpreted HOF passes). The arithmetic
+    mirrors the Column form exactly (same IEEE ops in the same order);
+    tests pin equality."""
+    score = (
+        F.least(wl["quality_stop_frac"] * 4.0, F.lit(1.0)) * 0.4
+        + wl["punct_end_frac"] * 0.3
+        + wl["uniq_line_frac"] * 0.3
+    )
+    return score.cast("double")
+
+
 # --- DuckDB SQL forms -----------------------------------------------------------
 
 

@@ -53,6 +53,7 @@ def add_scores(
     rules: list[str] | None = None,
     prefix: str = SCORE_PREFIX,
     py_batch: bool = True,
+    wl_col: str | None = None,
 ) -> DataFrame:
     """Add one ``{prefix}{rule}`` DOUBLE column per rule.
 
@@ -62,11 +63,14 @@ def add_scores(
       HOF lambdas would be interpreted per-element and ~10x slower) unless
       ``py_batch=False`` forces the Column forms;
     * n-gram rules -> the `ngram_scores` pandas UDF struct.
+
+    ``wl_col``: name of an ALREADY-computed `word_line_batch` struct column
+    to reuse (pipelines compute it once for langid/chain/quality).
     """
     names = rules if rules is not None else chain_rule_names()
 
     batch_rules = [
-        n for n in names if py_batch and n in H.PY_BATCH_FIELDS
+        n for n in names if (py_batch or wl_col) and n in H.PY_BATCH_RULES
     ]
     ngram_rules = [n for n in names if n in H.NGRAM_COL_FOR_RULE]
     native_rules = [
@@ -88,10 +92,13 @@ def add_scores(
         for name in native_rules:
             native_cols[prefix + name] = H.RULES_BY_NAME[name].score(ctx)
 
+    own_wl = bool(batch_rules) and wl_col is None
     if batch_rules:
-        df = df.withColumn("_wl_scores", H.word_line_batch(F.col(text_col)))
+        src = wl_col or "_wl_scores"
+        if own_wl:
+            df = df.withColumn(src, H.word_line_batch(F.col(text_col)))
         for name in batch_rules:
-            native_cols[prefix + name] = F.col("_wl_scores." + name)
+            native_cols[prefix + name] = F.col(src + "." + name)
     if ngram_rules:
         df = df.withColumn("_ngram_scores", H.ngram_scores(F.col(text_col)))
         for name in ngram_rules:
@@ -101,7 +108,7 @@ def add_scores(
     df = df.withColumns(native_cols)
     if helper_names:
         df = df.drop(*helper_names.values())
-    if batch_rules:
+    if own_wl:
         df = df.drop("_wl_scores")
     if ngram_rules:
         df = df.drop("_ngram_scores")
@@ -127,10 +134,11 @@ def add_labels(
     prefix: str = SCORE_PREFIX,
     keep_col: str = "keep",
     reason_col: str = "drop_reason",
+    wl_col: str | None = None,
 ) -> DataFrame:
     """Add scores plus ``keep`` / ``drop_reason`` (first failing rule)."""
     names = rules if rules is not None else chain_rule_names()
-    df = add_scores(df, text_col, names, prefix)
+    df = add_scores(df, text_col, names, prefix, wl_col=wl_col)
     keep, reason = labels_from_scores(names, prefix)
     return df.withColumn(keep_col, keep).withColumn(reason_col, reason)
 

@@ -84,14 +84,25 @@ def curate(
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
         ).drop("html")
 
+    # shared word/line batch struct: ONE python pass feeds langid stop-hits,
+    # the 14 word/line chain rules, and the lexical quality score
+    from nemo_curator_spark.functions import heuristics as H
+
+    df = df.withColumn("_wl", H.word_line_batch(F.col(cfg.text_col)))
+
     # 3. language id (two-projection form: fractions materialize once)
-    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
+    df = langid_mod.add_langid(
+        df, cfg.text_col, "lang_pred", "lang_score", wl_col="_wl"
+    )
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
 
     # 4. heuristic chain: every rule's score is computed once; English docs
     # gate on the full cascade, non-English docs on the reference's
     # non-English variant (same order/cutoffs minus English-specific rules)
-    df = chain.add_labels(df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason")
+    df = chain.add_labels(
+        df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason",
+        wl_col="_wl",
+    )
     non_en_names = chain.chain_rule_names(english=False)
     non_en_keep, non_en_reason = chain.labels_from_scores(non_en_names)
     is_en = F.col("lang_pred") == "en"
@@ -119,8 +130,10 @@ def curate(
         df = df.withColumn("ppl", F.lit(None).cast("double"))
         ppl_ok = F.lit(True)
 
-    # 6. quality score + deterministic Pareto sampling
-    df = df.withColumn("quality_score", quality.lexical_quality_score(F.col(cfg.text_col)))
+    # 6. quality score + deterministic Pareto sampling (from the shared batch)
+    df = df.withColumn(
+        "quality_score", quality.lexical_quality_from_batch(F.col("_wl"))
+    )
     if cfg.apply_quality_sampling:
         qual_ok = quality.pareto_keep(
             F.col("quality_score"), F.col("url"), cfg.pareto_alpha
@@ -142,7 +155,7 @@ def curate(
     return (
         df.withColumn("keep", keep)
         .withColumn("drop_reason", reason)
-        .drop("_heur_keep", "_heur_reason")
+        .drop("_heur_keep", "_heur_reason", "_wl")
     )
 
 

@@ -331,7 +331,30 @@ def word_line_scores(text: str) -> dict[str, float]:
     out["repeated_paragraphs_char"] = (
         0.0 if tot_p == 0 else sum(len(p) for p in set(ps)) / tot_p
     )
+
+    # non-rule extras consumed by langid (stopword hits) and the lexical
+    # quality score — computed here so the pipeline needs ONE batch pass
+    lowered = [w.lower() for w in ws]
+    out["en_stop_hits"] = float(sum(1 for w in lowered if w in EN_STOPWORDS))
+    out["pt_stop_hits"] = float(sum(1 for w in lowered if w in PT_STOPWORDS))
+    out["quality_stop_frac"] = sum(
+        1 for w in lowered if w in C.COMMON_ENGLISH_WORDS
+    ) / max(n_w, 1)
+    out["punct_end_frac"] = (
+        sum(1 for s in (x.strip() for x in ls) if s.endswith(C.END_MARKS))
+        / max(n_l, 1)
+    )
+    out["uniq_line_frac"] = len(set(ls)) / max(n_l, 1)
     return out
+
+
+# stopword lists shared with operators.langid (import cycle avoided by
+# defining them here; langid re-exports)
+EN_STOPWORDS = ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for")
+PT_STOPWORDS = (
+    "de", "que", "não", "uma", "para", "com", "os", "as", "do", "da",
+    "em", "o", "a", "e", "ao", "à", "pelo", "pela",
+)
 
 
 # --- the English chain -------------------------------------------------------

@@ -10,6 +10,7 @@ import math
 import duckdb
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from nemo_curator_spark import pyref
 from nemo_curator_spark.functions import heuristics as H
@@ -113,3 +114,50 @@ def test_duck_labels_sql_runs_and_matches(golden_texts):
 def _py_keep(name: str, score: float) -> bool:
     spec = {s.name: s for s in pyref.english_chain()}[name]
     return spec.keep(score)
+
+
+def test_quality_from_batch_equals_column_form(spark, golden_texts):
+    from nemo_curator_spark.functions import heuristics as HH
+    from nemo_curator_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(golden_texts)], "doc_id long, text string"
+    )
+    both = (
+        df.withColumn("_wl", HH.word_line_batch(F.col("text")))
+        .select(
+            "doc_id",
+            quality.lexical_quality_score(F.col("text")).alias("q_col"),
+            quality.lexical_quality_from_batch(F.col("_wl")).alias("q_batch"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert (both["q_col"] == both["q_batch"]).all()
+
+
+def test_langid_with_batch_equals_standalone(spark, golden_texts):
+    from nemo_curator_spark.functions import heuristics as HH
+    from nemo_curator_spark.operators import langid as L
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(golden_texts)], "doc_id long, text string"
+    )
+    a = (
+        L.add_langid(df, "text")
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    b = (
+        L.add_langid(
+            df.withColumn("_wl", HH.word_line_batch(F.col("text"))),
+            "text",
+            wl_col="_wl",
+        )
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert list(a["lang_pred"]) == list(b["lang_pred"])
+    assert (a["lang_score"] == b["lang_score"]).all()
