@@ -91,6 +91,57 @@ def split_documents(
     )
 
 
+def join_documents_chunked(
+    df: DataFrame,
+    id_col: str,
+    max_length: int,
+    text_col: str = "text",
+    separator: str = "\n\n",
+    segment_col: str = "segment_id",
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """DocumentJoiner's max_length variant (modules/joiner.py:24-199): join
+    segments in order, starting a new output chunk whenever appending the
+    next segment (plus separator) would exceed ``max_length``. Oversized
+    single segments become their own chunk. ``applyInPandas`` per document
+    (the accumulator is inherently sequential per doc)."""
+    import pandas as pd
+
+    other = [
+        c for c in df.columns if c not in (id_col, text_col, segment_col)
+    ]
+    out_fields = f"{id_col} long, {chunk_col} int, {text_col} string"
+    for c in other:
+        out_fields += f", {c} {dict(df.dtypes)[c]}"
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(segment_col)
+        chunks: list[str] = []
+        cur = ""
+        for seg in pdf[text_col]:
+            seg = seg or ""
+            if not cur:
+                cur = seg
+            elif len(cur) + len(separator) + len(seg) <= max_length:
+                cur = cur + separator + seg
+            else:
+                chunks.append(cur)
+                cur = seg
+        if cur or not chunks:
+            chunks.append(cur)
+        first = pdf.iloc[0]
+        rows = {
+            id_col: [first[id_col]] * len(chunks),
+            chunk_col: list(range(len(chunks))),
+            text_col: chunks,
+        }
+        for c in other:
+            rows[c] = [first[c]] * len(chunks)
+        return pd.DataFrame(rows)
+
+    return df.groupBy(id_col).applyInPandas(per_doc, schema=out_fields)
+
+
 def join_documents(
     df: DataFrame,
     id_col: str,

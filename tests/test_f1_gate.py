@@ -45,3 +45,6 @@ def test_keep_drop_f1_vs_reference(spark):
     assert f1 == 1.0  # bit-identical rules -> exact agreement
     assert reason_mismatch == 0  # drop_reason matches cascade order exactly
     assert tn > 100  # the corpus actually exercises drops
+    # exact-count regression gate (reference nightly-benchmark style:
+    # pinned cardinality on a fixed corpus — seed 77, 2000 docs)
+    assert int(got["keep"].sum()) == 1270

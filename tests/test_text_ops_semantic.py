@@ -109,3 +109,24 @@ def test_embedder_stage_deterministic_and_unit_norm(spark):
         va, vb = np.array(a["embedding"][i]), np.array(b["embedding"][i])
         assert np.allclose(va, vb)
         assert abs(np.linalg.norm(va) - 1.0) < 1e-5
+
+
+def test_join_documents_chunked(spark):
+    segs = [
+        (1, 0, "aaaa"),    # 4
+        (1, 1, "bbbb"),    # +2 sep +4 = 10 <= 12 -> same chunk
+        (1, 2, "cccc"),    # would be 16 > 12 -> new chunk
+        (1, 3, "x" * 20),  # oversized single segment -> own chunk
+        (2, 0, "solo"),
+    ]
+    df = spark.createDataFrame(segs, "doc_id long, segment_id int, text string")
+    out = text_ops.join_documents_chunked(
+        df, "doc_id", max_length=12, separator="--"
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["text"] for r in out.collect()
+    }
+    assert got[(1, 0)] == "aaaa--bbbb"
+    assert got[(1, 1)] == "cccc"
+    assert got[(1, 2)] == "x" * 20
+    assert got[(2, 0)] == "solo"
