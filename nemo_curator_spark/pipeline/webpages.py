@@ -84,16 +84,17 @@ def curate(
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
         ).drop("html")
 
-    # shared word/line batch struct: ONE python pass feeds langid stop-hits,
-    # the 14 word/line chain rules, and the lexical quality score
+    # shared word/line batch struct: ONE python pass feeds the 14 word/line
+    # chain rules and the lexical quality score. (Wiring langid's stop-hits
+    # from it measured 5x SLOWER end-to-end than the HOF form — empirically
+    # the struct reference inside langid's helper projection degrades the
+    # whole stage; see CLAUDE.md perf lessons.)
     from nemo_curator_spark.functions import heuristics as H
 
     df = df.withColumn("_wl", H.word_line_batch(F.col(cfg.text_col)))
 
     # 3. language id (two-projection form: fractions materialize once)
-    df = langid_mod.add_langid(
-        df, cfg.text_col, "lang_pred", "lang_score", wl_col="_wl"
-    )
+    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
 
     # 4. heuristic chain: every rule's score is computed once; English docs
