@@ -150,7 +150,9 @@ Reference context (BASELINE.md): the reference's own multi-node study
 reports near-linear scaling (≈1.0) for this workload class, measured
 across physical nodes — consistent with shuffle-free map-heavy pipelines.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw per-run record; the curated analysis lives in BENCH/BASELINE.md
+    # (hand-maintained — update its table from this output)
+    with open(os.path.join(REPO, "BENCH", "last_scaling_run.md"), "w") as f:
         f.write(md)
     print(
         json.dumps(
