@@ -235,6 +235,11 @@ def _ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_hyperplane(df, k=5, n_planes=4, num_tables=8)
 
 
+def _ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(df, k=5, n_lists=8, n_probe=3)
+
+
 def _events_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -479,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_near_dup_pairs"] = _simhash_query
     out["knn_cosine_topk"] = _knn_query
     out["ann_hyperplane_topk"] = _ann_query
+    out["ivf_topk"] = _ivf_query
     out["events_hourly_agg"] = _events_hourly_query
     out["events_sessionize"] = _sessionize_query
     out["events_topk_per_user"] = _topk_per_user_query

@@ -151,6 +151,83 @@ def ann_topk_hyperplane(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus into ``n_lists`` inverted
+    lists; each query scans only its ``n_probe`` nearest centroids' lists
+    (exact cosine re-rank within). The classic FAISS-IVF shape expressed
+    relationally: centroid assignment via pyspark.ml, probing via a
+    broadcast join against the (tiny) centroid table, candidate generation
+    via an equi-join on list id — no corpus x corpus cross join."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    feat = base.withColumn("_features", array_to_vector(F.col("vec")))
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=20, featuresCol="_features",
+        predictionCol="list_id",
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_features")
+
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        centers, f"list_id int, cvec array<double>"
+    )
+
+    # each query probes its n_probe nearest centroid lists
+    probes = (
+        assigned.crossJoin(F.broadcast(centroids.withColumnRenamed("list_id", "probe_list")))
+        .select(
+            "id",
+            "vec",
+            "probe_list",
+            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("probe_list"))
+    probes = (
+        probes.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "probe_list")
+    )
+
+    cands = probes.join(
+        assigned.select(
+            F.col("id").alias("nid"),
+            F.col("vec").alias("nvec"),
+            F.col("list_id").alias("probe_list"),
+        ),
+        "probe_list",
+    ).where(F.col("qid") != F.col("nid"))
+    scored = cands.select(
+        "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -153,3 +153,21 @@ def test_embedding_near_duplicates(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_ivf_topk_recall(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    exact = (
+        similarity.cosine_topk(df, k=5).select("query_id", "neighbor_id").toPandas()
+    )
+    ivf = (
+        similarity.ivf_topk(df, k=5, n_lists=8, n_probe=3)
+        .select("query_id", "neighbor_id")
+        .toPandas()
+    )
+    exact_set = set(map(tuple, exact.values))
+    ivf_set = set(map(tuple, ivf.values))
+    recall = len(exact_set & ivf_set) / len(exact_set)
+    assert recall > 0.6, recall
+    # every query answered with k results
+    assert ivf.groupby("query_id").size().min() == 5
