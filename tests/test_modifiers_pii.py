@@ -164,3 +164,22 @@ def test_pii_scrub_duckdb_parity(spark):
     ).df()
     for col in ["text_scrubbed"] + [c.split(" AS ")[-1] for c in counts]:
         assert list(sdf[col]) == list(ddf[col]), col
+
+
+def test_unicode_reformat_fallback(spark):
+    # ftfy absent in this env -> NFC normalization + control-char strip
+    texts = ["café time", "bad\x00ctrl\x07chars", "keep\ttabs\nand newlines"]
+    out = _apply(spark, M.unicode_reformat, texts)
+    assert out[0] == "café time"          # NFC composed
+    assert out[1] == "badctrlchars"       # control chars stripped
+    assert out[2] == "keep\ttabs\nand newlines"  # \t \n preserved
+
+
+def test_slicer_include_flags(spark):
+    texts = ["prefix START middle END suffix"]
+    inc = _apply(
+        spark,
+        lambda c: M.slicer(c, "START", "END", include_left=True, include_right=True),
+        texts,
+    )
+    assert inc == ["START middle END"]
