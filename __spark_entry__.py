@@ -109,8 +109,17 @@ def _chain_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate removal ids: hash text, keep lowest doc_id per group
-    (reference: stages/deduplication/exact/identification.py:33-120)."""
-    df = _docs(spark, sf_dir)
+    (reference: stages/deduplication/exact/identification.py:33-120).
+
+    The driver's documents table has no exact duplicates, which would make
+    this check vacuous (0 rows both sides) — so the query deterministically
+    unions a re-id'd copy of every 10th doc first, guaranteeing the window
+    logic is actually exercised."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    df = base.unionAll(dup)
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     return (
         df.withColumn("rn", F.row_number().over(w))
@@ -120,9 +129,14 @@ def _exact_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXACT_DEDUP_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
 SELECT doc_id FROM (
   SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-  FROM documents
+  FROM aug
 ) WHERE rn > 1
 """
 
@@ -266,8 +280,16 @@ FROM events GROUP BY 1, 2
 def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # microsecond-exact integer gap (unix_timestamp truncates to whole
+    # seconds and misclassifies gaps in (1800, 1801); epoch doubles round
+    # near 1.7e9 s). timestampdiff works on TIMESTAMP_NTZ and is
+    # timezone-independent.
+    prev = F.lag("ts").over(w)
+    ev = ev.withColumn("_prev_ts", prev)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    new_sess = F.when(
+        F.col("_prev_ts").isNull() | (gap_us > 1_800_000_000), 1
+    ).otherwise(0)
     sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
     return (
         sess.groupBy("user_id", "sess_no")
@@ -282,13 +304,13 @@ _SESSIONIZE_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
-           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
          THEN 1 ELSE 0 END AS is_new
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
   SELECT user_id, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      ROWS UNBOUNDED PRECEDING) AS sess_no
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
   FROM marked
 )
 SELECT user_id, sess_no, count(*) AS n_events, round(sum(value), 4) AS total_value

@@ -49,8 +49,13 @@ def exact_duplicate_ids(df: DataFrame, text_col: str = "text", id_col: str = "do
 
 def remove_duplicates(df: DataFrame, removal_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Anti-join removal (reference TextDuplicatesRemovalStage,
-    text/deduplication/removal.py:37-105); broadcast when small."""
-    return df.join(F.broadcast(removal_ids), on=id_col, how="left_anti")
+    text/deduplication/removal.py:37-105).
+
+    No broadcast hint on purpose: at reference scale the removal list is
+    ~64M ids (BASELINE.md exact-dedup gate) and an unconditional broadcast
+    OOMs the driver/executors. AQE turns the anti-join into a broadcast
+    join at runtime whenever the list actually is small."""
+    return df.join(removal_ids, on=id_col, how="left_anti")
 
 
 # --- minhash -------------------------------------------------------------------
@@ -130,20 +135,20 @@ def lsh_candidate_pairs(
     exploded = df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )
-    buckets = (
-        exploded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
     # STAR edges (min-id -> member), not all-pairs: a bucket of k identical
     # docs yields k-1 edges instead of k(k-1)/2 — connected components
     # recovers the same clusters, and huge boilerplate/spam clusters no
     # longer explode the edge list (reference BucketsToEdgesStage shape,
-    # fuzzy/buckets_to_edges.py:30).
-    pairs = buckets.select(
-        F.element_at("ids", 1).alias("a"),
-        F.explode(F.slice(F.col("ids"), 2, F.size("ids"))).alias("b"),
-    ).distinct()
+    # fuzzy/buckets_to_edges.py:30). Emitted via a window-min rather than
+    # collect_list so a whole identical-text cluster never materializes as
+    # one array row (a 10M-doc spam cluster would be a multi-GB single row).
+    w = Window.partitionBy("band", "bucket")
+    pairs = (
+        exploded.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("_min_id"))
+        .select(F.col("_min_id").alias("a"), F.col(id_col).alias("b"))
+        .distinct()
+    )
     return pairs
 
 
@@ -195,14 +200,23 @@ def jaccard_ngram(
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Min-label propagation over undirected edges (a,b) → (id, component).
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, strict: bool = True
+) -> DataFrame:
+    """Min-label propagation + pointer-doubling over undirected edges
+    (a,b) → (id, component).
 
-    Each iteration joins current labels across edges and keeps the min;
-    converges when no label changes. ``localCheckpoint`` truncates the plan
-    every iteration — without it each round re-derives every previous round
-    and the loop goes exponential. Star-shaped LSH edges keep cluster
-    diameter small, so convergence is a handful of rounds.
+    Each iteration (1) takes the min label across edges, then (2) shortcuts
+    every label to its label's label (``comp = label[comp]``), halving the
+    remaining path length — so convergence is O(log diameter) rounds, not
+    O(diameter) as plain propagation would be (long near-duplicate chains
+    across LSH buckets can have large diameter even with star edges).
+    ``localCheckpoint`` truncates the plan every iteration — without it each
+    round re-derives every previous round and the loop goes exponential.
+
+    If the loop exits without converging, raises (``strict=True``, default)
+    or logs a warning — silently returning partial labels would leave
+    duplicates unremoved.
     """
     sym = (
         edges.select("a", "b")
@@ -216,17 +230,32 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(sym.a.alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+        )
+        # pointer doubling: comp <- label[comp] (labels only ever decrease,
+        # so following the chain one hop is always sound and halves depth)
+        parent = stepped.select(
+            F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.comp == parent._pid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
+                ).alias("comp"),
             )
             .localCheckpoint()
         )
@@ -239,7 +268,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} iterations; "
+            "labels may be partial (duplicates could survive removal)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 
@@ -304,11 +344,24 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4x16-bit bands (a pair within
-    hamming<=3 of 64 bits must agree on >=1 band), verify hamming."""
+    hamming<=3 of 64 bits must agree on >=1 band), verify hamming.
+
+    Skew guards for scale: (1) fp=0 rows (empty/token-less docs) are
+    excluded — at web scale that degenerate key collects millions of rows
+    and the band self-join goes quadratic on it; (2) buckets larger than
+    ``max_bucket_size`` switch from all-pairs to star edges (min-id vs
+    members, k-1 rows instead of k²/2) — a hot bucket is overwhelmingly one
+    near-identical cluster, and downstream connected-components recovers the
+    same clusters from the star; only the explicit pair list within the hot
+    bucket is thinned.
+    """
     fp = simhash_udf()(F.col(text_col))
-    d = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    d = df.select(F.col(id_col).alias("id"), fp.alias("fp")).where(
+        F.col("fp") != 0
+    )
     bands = F.array(
         *[
             F.struct(
@@ -320,13 +373,18 @@ def simhash_near_duplicates(
             for i in range(4)
         ]
     )
-    exploded = d.select("id", "fp", F.explode(bands).alias("bb")).select(
-        "id", "fp", "bb.band", "bb.key"
+    w = Window.partitionBy("band", "key")
+    exploded = (
+        d.select("id", "fp", F.explode(bands).alias("bb"))
+        .select("id", "fp", "bb.band", "bb.key")
+        .withColumn("_bucket_n", F.count("*").over(w))
+        .withColumn("_min", F.min(F.struct("id", "fp")).over(w))
     )
-    pairs = (
-        exploded.alias("x")
+    small = exploded.where(F.col("_bucket_n") <= max_bucket_size)
+    all_pairs = (
+        small.alias("x")
         .join(
-            exploded.alias("y"),
+            small.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key"))
             & (F.col("x.id") < F.col("y.id")),
@@ -334,9 +392,28 @@ def simhash_near_duplicates(
         .select(
             F.col("x.id").alias("a"),
             F.col("y.id").alias("b"),
-            F.bit_count(
-                F.col("x.fp").bitwiseXOR(F.col("y.fp"))
-            ).alias("hamming"),
+            F.col("x.fp").alias("fa"),
+            F.col("y.fp").alias("fb"),
+        )
+    )
+    star_pairs = (
+        exploded.where(
+            (F.col("_bucket_n") > max_bucket_size)
+            & (F.col("id") != F.col("_min.id"))
+        )
+        .select(
+            F.col("_min.id").alias("a"),
+            F.col("id").alias("b"),
+            F.col("_min.fp").alias("fa"),
+            F.col("fp").alias("fb"),
+        )
+    )
+    pairs = (
+        all_pairs.unionByName(star_pairs)
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)

@@ -108,16 +108,25 @@ def ann_topk_hyperplane(
     n_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket candidates, exact
-    cosine re-rank. Buckets shuffle on (table, key) — no cross join."""
+    cosine re-rank. Buckets shuffle on (table, key) — no cross join.
+
+    ``max_bucket_size`` caps the per-table self-join: a hot bucket (many
+    near-identical embeddings, or too few planes for the corpus) would go
+    quadratic; rows in oversized buckets are skipped *in that table* and
+    rely on the other ``num_tables-1`` independent hashings for recall —
+    the standard multi-probe LSH degradation, never a k² blowup."""
     dim = len(df.select(vec_col).limit(1).collect()[0][0])
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
 
     cands = None
     for t in range(num_tables):
         udf = _hyperplane_udf(dim, n_planes, seed + t)
-        keyed = base.withColumn("key", udf(F.col("vec")))
+        keyed = base.withColumn("key", udf(F.col("vec"))).withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("key"))
+        ).where(F.col("_bn") <= max_bucket_size).drop("_bn")
         pairs = (
             keyed.alias("x")
             .join(

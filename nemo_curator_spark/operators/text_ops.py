@@ -110,9 +110,10 @@ def join_documents_chunked(
     other = [
         c for c in df.columns if c not in (id_col, text_col, segment_col)
     ]
-    out_fields = f"{id_col} long, {chunk_col} int, {text_col} string"
+    dtypes = dict(df.dtypes)
+    out_fields = f"{id_col} {dtypes[id_col]}, {chunk_col} int, {text_col} string"
     for c in other:
-        out_fields += f", {c} {dict(df.dtypes)[c]}"
+        out_fields += f", {c} {dtypes[c]}"
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(segment_col)

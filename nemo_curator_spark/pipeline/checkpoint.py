@@ -126,5 +126,26 @@ class CheckpointedOutput:
         committed = self.committed_source_ids()
         return df.where(F.col("source_id").isin([int(c) for c in committed]))
 
+    def committed_run_ids(self) -> set[str]:
+        run_ids: set[str] = set()
+        for name in sorted(os.listdir(self.snap_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.snap_dir, name)) as f:
+                    run_ids.add(json.load(f)["run_id"])
+        return run_ids
+
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.lineage_dir, "*"))
+        """Lineage of COMMITTED runs only — a run that wrote lineage but
+        crashed before commit() stays invisible, matching the data-side
+        visibility contract (read_data filters to committed source_ids)."""
+        committed = self.committed_run_ids()
+        run_dirs = [
+            os.path.join(self.lineage_dir, r)
+            for r in sorted(committed)
+            if os.path.isdir(os.path.join(self.lineage_dir, r))
+        ]
+        if not run_dirs:
+            raise FileNotFoundError(
+                f"no committed lineage under {self.lineage_dir}"
+            )
+        return spark.read.parquet(*run_dirs)

@@ -4,9 +4,12 @@ Input: the Common-Crawl-style table ``(url, warc_ts, html, text, lang)``.
 Stages (each label-first — scores/flags become columns, rows are never
 dropped until the caller asks, so lineage falls out of a groupBy):
 
-1. **salted repartition** by url-hash — defuses host-level skew before the
-   Python-UDF stages (a hot host's pages spread over all partitions).
-2. **extract** — html → text (Arrow pandas UDF, byte-identical contract).
+1. **extract** — html → text (Arrow pandas UDF, byte-identical contract),
+   map-side on the scan partitions so the raw html bytes never cross the
+   network; html is dropped before any shuffle.
+2. **salted repartition** by url-hash — defuses host-level skew before the
+   Python-UDF scoring stages (a hot host's pages spread over all
+   partitions), carrying only the extracted text.
 3. **langid** — native script/stopword struct<lang,score>; drop if score
    < 0.3 (reference FastTextLangId cutoff).
 4. **heuristic chain** — the 28-rule English cascade for predicted-English
@@ -68,21 +71,24 @@ def curate(
     cfg = config or CurationConfig()
     df = add_source_id(df, "url", cfg.n_source_buckets)
 
-    # 1. salted repartition by url-hash (explicit skew defusal)
-    n_parts = cfg.salt_partitions
-    if n_parts:
-        df = df.repartition(n_parts, F.xxhash64("url"))
-    else:
-        df = df.repartition(F.xxhash64("url"))
-
-    # 2. extraction (only when an html column is present); html is dropped
-    # afterwards so later shuffles (language bucketing) don't carry the raw
-    # bytes — at 100 TB that is most of the row width
+    # 1. extraction FIRST, map-side on the scan partitions (input splits
+    # already spread hosts roughly evenly); html is dropped before any
+    # shuffle — at 100 TB the raw bytes are most of the row width, and
+    # shipping them through the salt exchange would be a full-corpus
+    # network pass that buys only skew insurance
     if cfg.use_html and "html" in df.columns:
         df = df.withColumn(
             cfg.text_col,
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
         ).drop("html")
+
+    # 2. salted repartition by url-hash (skew defusal for the UDF-heavy
+    # scoring stages), now carrying only the extracted text
+    n_parts = cfg.salt_partitions
+    if n_parts:
+        df = df.repartition(n_parts, F.xxhash64("url"))
+    else:
+        df = df.repartition(F.xxhash64("url"))
 
     # shared word/line batch struct: ONE python pass feeds the 14 word/line
     # chain rules and the lexical quality score. (Wiring langid's stop-hits
