@@ -210,6 +210,68 @@ def _token_fp_oracle() -> str:
     )
 
 
+def _general_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeneralCommentToCodeFilter (reference code.py:50-84), C-family
+    comment stand-in — fully JVM Column expr, DuckDB-oracled."""
+    from nemo_curator_spark.operators import code_filters as CF
+
+    df = _docs(spark, sf_dir)
+    score = CF.general_comment_ratio(F.col("text"))
+    return df.select(
+        "doc_id",
+        F.round(score, 8).alias("score"),
+        CF.keep(score).cast("int").alias("keep"),
+    )
+
+
+def _general_comment_oracle() -> str:
+    from nemo_curator_spark.operators import code_filters as CF
+
+    s = CF.duck_general_comment_ratio_sql("text")
+    keep = CF.duck_keep_sql("score")
+    return (
+        f"SELECT doc_id, round(score, 8) AS score, CAST({keep} AS INT) AS keep "
+        f"FROM (SELECT doc_id, CAST({s} AS DOUBLE) AS score FROM documents)"
+    )
+
+
+def _python_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PythonCommentToCodeFilter (reference code.py:27-48): stdlib ast +
+    tokenize per doc -> pandas UDF; not SQL-expressible (rows-only gate,
+    exact semantics pinned by tests/test_code_filters.py)."""
+    from nemo_curator_spark.operators import code_filters as CF
+
+    df = _docs(spark, sf_dir)
+    score = CF.python_comment_ratio_udf()(F.col("text"))
+    return df.select(
+        "doc_id",
+        F.round(score, 8).alias("score"),
+        CF.keep(score).cast("int").alias("keep"),
+    )
+
+
+def _perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship scorer: per-language trigram LM perplexity,
+    language-bucketed scoring (CCNet recipe; no reference code — SURVEY §7.1
+    M5). Deterministic: the LM trains on a seed-pinned sample of the same
+    table. Not SQL-expressible (trained model state) -> rows-only gate;
+    exact numerics pinned by tests/test_langid_quality_ppl.py."""
+    from nemo_curator_spark.operators import perplexity as ppl_mod
+
+    df = _docs(spark, sf_dir)
+    models = ppl_mod.train_per_language(
+        df, text_col="text", lang_col="lang", max_docs_per_lang=500
+    )
+    scored = ppl_mod.score_perplexity(
+        df, models, text_col="text", lang_col="lang", out_col="ppl"
+    )
+    return scored.select(
+        "doc_id",
+        F.round(F.col("ppl"), 4).alias("ppl"),
+        (F.col("ppl") <= 1e6).cast("int").alias("keep"),
+    )
+
+
 def _fuzzy_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
     return dedup.fuzzy_duplicate_ids(
@@ -502,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["langid"] = _langid_query
     out["quality_pareto"] = _quality_query
     out["token_count_fingerprint"] = _token_fp_query
+    out["filter_general_comment_ratio"] = _general_comment_query
+    out["filter_python_comment_ratio"] = _python_comment_query
+    out["perplexity_bucketed"] = _perplexity_query
     out["fuzzy_dedup_removal_ids"] = _fuzzy_dedup_query
     out["simhash_near_dup_pairs"] = _simhash_query
     out["knn_cosine_topk"] = _knn_query
@@ -529,6 +594,8 @@ def oracle_sql() -> dict[str, str]:
             out[f"filter_{rule.name}"] = sql
     for extra in H.EXTRA_RULES:
         out[f"filter_{extra}"] = _rule_oracle(extra)
+    out["filter_general_comment_ratio"] = _general_comment_oracle()
+    # filter_python_comment_ratio: ast/tokenize per doc -> rows-only
     out["heuristic_chain_native"] = _chain_native_oracle()
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check

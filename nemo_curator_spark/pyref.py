@@ -255,6 +255,84 @@ def dup_ngram_ratio(text: str, n: int) -> float:
     return dup_chars / nchar
 
 
+def _python_docstrings(source: str) -> str:
+    """Joined docstrings, mirroring the reference's stdlib-only extraction
+    (text_utils.py:168-197: ast.walk over Module/ClassDef/FunctionDef,
+    grouped+sorted by node-type name then symbol name)."""
+    import ast
+    from itertools import groupby
+
+    node_types = {
+        ast.ClassDef: "Class",
+        ast.FunctionDef: "Function/Method",
+        ast.Module: "Module",
+    }
+    tree = ast.parse(source)
+    triples = [
+        (node, getattr(node, "name", None), ast.get_docstring(node))
+        for node in ast.walk(tree)
+        if isinstance(node, tuple(node_types))
+    ]
+    triples.sort(key=lambda x: (node_types.get(type(x[0])), x[1]))
+    results = []
+    for _, group in groupby(triples, key=lambda x: node_types.get(type(x[0]))):
+        for _, name, docstring in group:
+            if docstring:
+                results.append(docstring)
+    return "\n".join(results)
+
+
+def _python_comments(source: str) -> str:
+    """COMMENT tokens untokenized back to one string (text_utils.py:155-166)."""
+    import io
+    import tokenize
+
+    toks = [
+        (tok.type, tok.string)
+        for tok in tokenize.generate_tokens(io.StringIO(source).readline)
+        if tok.type == tokenize.COMMENT
+    ]
+    return tokenize.untokenize(toks)
+
+
+def python_comment_ratio(source: str) -> float:
+    """PythonCommentToCodeFilter score (reference code.py:27-48):
+    (len(comments)+len(docstrings))/len(source); 0 when either extraction
+    fails (syntax/tokenization error). Deviation: empty source -> 0.0
+    (the reference would raise ZeroDivisionError)."""
+    if not source:
+        return 0.0
+    try:
+        docstrings = _python_docstrings(source)
+    except Exception:
+        return 0.0
+    try:
+        comments = _python_comments(source)
+    except Exception:
+        return 0.0
+    return (len(comments) + len(docstrings)) / len(source)
+
+
+GENERAL_COMMENT_RE = re.compile(r"/\*[\s\S]*?\*/|//[^\n]*")
+
+
+def general_comment_ratio(source: str) -> float:
+    """GeneralCommentToCodeFilter score for C-family mimes (reference
+    code.py:50-84). The reference delegates to the comment_parser library
+    (absent here); this stand-in extracts ``//`` line and ``/* */`` block
+    comments leftmost-first with one alternation, strips the markers (the
+    reference likewise excludes them from the length), joins with a single
+    space and takes len/len(source). Deviations: comment markers inside
+    string literals are not lexed away; no 9999 tokenization-error path;
+    empty source -> 0.0."""
+    if not source:
+        return 0.0
+    parts = []
+    for m in GENERAL_COMMENT_RE.findall(source):
+        parts.append(m[2:] if m.startswith("//") else m[2:-2])
+    return len(" ".join(parts)) / len(source)
+
+
 def word_line_scores(text: str) -> dict[str, float]:
     """All word/line/paragraph-level scores in one pass with shared splits
     (each function above recomputes its splits; this is the batched form
