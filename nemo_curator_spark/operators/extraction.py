@@ -70,13 +70,28 @@ def extract_paragraphs(html_text: str) -> list[str]:
     return paras
 
 
-def extract_text_bytes(raw: bytes | None) -> str | None:
+def extract_text_bytes(
+    raw: bytes | None, algorithm: str = "simple", language: str = "ENGLISH"
+) -> str | None:
+    """decode -> paragraphs -> ``"\\n\\n".join`` (reference extract.py:88-104).
+
+    algorithm='simple': the synth-corpus byte-identical extractor (default).
+    algorithm='justext': the stdlib jusText reimplementation
+    (operators/justext_like.py) — the reference pipeline's default
+    algorithm, golden-pinned by tests/test_extraction_goldens.py.
+    """
     if raw is None:
         return None
     decoded = decode_html(bytes(raw))
     if decoded is None:
         return None
-    paras = extract_paragraphs(decoded)
+    if algorithm == "justext":
+        from nemo_curator_spark.operators import justext_like as J
+
+        stop = J.ENGLISH_STOPWORDS if language == "ENGLISH" else frozenset()
+        paras = J.extract_text(decoded, stop, language)
+    else:
+        paras = extract_paragraphs(decoded)
     if not paras:
         return None
     return "\n\n".join(paras)
@@ -85,10 +100,22 @@ def extract_text_bytes(raw: bytes | None) -> str | None:
 from pyspark.sql import types as T
 
 
+def make_extract_udf(algorithm: str = "simple", language: str = "ENGLISH"):
+    @F.pandas_udf(T.StringType())
+    def _udf(html_bytes: pd.Series) -> pd.Series:
+        return html_bytes.map(
+            lambda b: extract_text_bytes(b, algorithm, language)
+        )
+
+    return _udf
+
+
 @F.pandas_udf(T.StringType())
 def extract_text_udf(html_bytes: pd.Series) -> pd.Series:
     return html_bytes.map(extract_text_bytes)
 
 
-def extract_text(html_col: Column) -> Column:
-    return extract_text_udf(html_col)
+def extract_text(html_col: Column, algorithm: str = "simple") -> Column:
+    if algorithm == "simple":
+        return extract_text_udf(html_col)
+    return make_extract_udf(algorithm)(html_col)

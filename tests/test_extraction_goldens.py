@@ -1,0 +1,246 @@
+# ruff: noqa: RUF001
+"""Reference HTML-extraction goldens, ported from the reference's own test
+suite (tests/stages/text/download/test_html_extractors_implementation.py:
+76-115 English, :117-145 simple, :146-237 Thai/Chinese/Japanese, :287-330
+Korean) and asserted against our stdlib jusText reimplementation
+(nemo_curator_spark/operators/justext_like.py).
+
+Pass / deviation table (the byte-identical-text contract, SURVEY §2.1):
+
+| reference fixture                     | extractor      | status |
+|---------------------------------------|----------------|--------|
+| English (is_boilerplate=False)        | justext        | PASS (exact paragraph list) |
+| simple English (default boilerplate)  | justext        | PASS (exact) |
+| Thai                                  | justext        | PASS (exact) |
+| Chinese                               | justext        | PASS (exact) |
+| Japanese                              | justext        | PASS (exact) |
+| Korean                                | justext        | PASS (exact) |
+| all fixtures                          | resiliparse    | DEVIATION: library absent; not reimplemented (different segmentation model — space-joined, nav-dropped); the justext path is the reference pipeline's default |
+| all fixtures                          | trafilatura    | DEVIATION: library absent; not reimplemented (its goldens encode library quirks, e.g. duplicated paragraphs in the CJK outputs) |
+
+Known semantic deviations of justext_like (documented, not exercised by
+these fixtures): stdlib html.parser performs no malformed-markup recovery
+(lxml rebalances bad nesting; we return None exactly when parsing raises),
+and the English stop list is our own function-word list rather than
+justext's shipped file (classification thresholds identical).
+"""
+
+from __future__ import annotations
+
+from nemo_curator_spark.operators import justext_like as J
+
+# -- fixtures (verbatim from the reference test suite) ------------------------
+
+ENGLISH_HTML = """<!doctype html>
+        <head>
+            <title>My Title</title>
+            <meta charset="utf-8">
+            <style>* { margin: 0; }</style>
+        </head>
+        <body>
+            <section id="wrapper">
+                <nav>
+                    <ul>
+                        <li>Nav 1</li>
+                        <li>
+                            <p>Nav 2</p>
+                            <ul>
+                                <li><p>Nav 3</p></li>
+                            </ul>
+                        </li>
+                    </ul>
+                </nav>
+                <main>
+                    This is a sample paragraph. In it we write words.
+                    These are stopwords: because did than has near we almost while what still.
+                    <a href="#foo" hidden>bar</a>
+
+                    <p>
+                    This paragraph doesn't have many stopwords. Remove it.
+                    <br>Let's keep this paragraph: either came does last new took taken making became from.
+                    </p>
+
+                    <button aria-hidden="true">Click here</button>
+                    <input type="hidden" value="foo">
+                    <input type="text" value="Some text" placeholder="Insert text">
+                    <input type="text" placeholder="Insert text">
+                    <img src="" alt="Some image">
+                    <object data="" class="some-class hidden">Cannot display object</object>
+                </main>
+                <script language="vbscript" type="text/vbscript">MsgBox("Hello World!")</script>
+                <noscript>Sorry, your browser doesn't support VB Script!</noscript>
+                <div><div><div><footer id="global-footer">
+                    Copyright (C) 2021 Foo Bar
+                </footer></div></div></div>
+            </section>
+        </body>
+    </html>"""
+
+ENGLISH_EXPECTED = [
+    "Nav 1",
+    "Nav 2",
+    "Nav 3",
+    "This is a sample paragraph. In it we write words.\nThese are stopwords: because did than has near we almost while what still.\nbar",
+    "This paragraph doesn't have many stopwords. Remove it.\nLet's keep this paragraph: either came does last new took taken making became from.",
+    "Cannot display object\nSorry, your browser doesn't support VB Script!",
+    "Copyright (C) 2021 Foo Bar",
+]
+
+SIMPLE_HTML = (
+    "<html><body><p>Common Crawl test paragraph for extraction. Four score "
+    "and seven years ago our fathers brought forth on this continent a new "
+    "nation, conceived in liberty, and dedicated to the proposition that "
+    "all men are created equal.</p></body></html>"
+)
+SIMPLE_EXPECTED = [
+    "Common Crawl test paragraph for extraction. Four score and seven years "
+    "ago our fathers brought forth on this continent a new nation, conceived "
+    "in liberty, and dedicated to the proposition that all men are created "
+    "equal.",
+]
+
+THAI_HTML = """<!doctype html>
+            <head>
+                <title>ชื่อเรื่องของฉัน</title>
+            </head>
+            <body>
+                    <main>
+                        นี่คือตัวอย่างย่อหน้า ในนั้นเราเขียนคำต่างๆ
+                        เหล่านี้เป็นคำหยุด: เพราะว่า ทำ กว่า มี ใกล้ เรา เกือบจะ ขณะที่ อะไร ยังคง
+
+                        <p>
+                        ย่อหน้านี้ไม่มีคำหยุดมากนัก ลบออก
+                        <br>เรามาเก็บย่อหน้าไว้ดังนี้: ไม่ว่าจะมาทำอะไรใหม่ ๆ ก็เกิดขึ้น เกิดขึ้นจาก
+                        </p>
+
+                    </main>
+            </body>
+        </html>"""
+THAI_EXPECTED = [
+    "นี่คือตัวอย่างย่อหน้า ในนั้นเราเขียนคำต่างๆ\nเหล่านี้เป็นคำหยุด: เพราะว่า ทำ กว่า มี ใกล้ เรา เกือบจะ ขณะที่ อะไร ยังคง",
+    "ย่อหน้านี้ไม่มีคำหยุดมากนัก ลบออก\nเรามาเก็บย่อหน้าไว้ดังนี้: ไม่ว่าจะมาทำอะไรใหม่ ๆ ก็เกิดขึ้น เกิดขึ้นจาก",
+]
+
+CHINESE_HTML = """<!doctype html>
+            <head>
+                <title>我的标题</title>
+            </head>
+            <body>
+                    <main>
+                        这是一个示例段落。我们在其中写下单词。
+
+                        <p>
+                        本段落没有太多停用词。请将其删除。
+                        <br>让我们保留这一段：要么来了，要么最后来了，要么新来了，要么采取了行动。
+                        </p>
+
+                    </main>
+            </body>
+        </html>"""
+CHINESE_EXPECTED = [
+    "这是一个示例段落。我们在其中写下单词。",
+    "本段落没有太多停用词。请将其删除。\n让我们保留这一段：要么来了，要么最后来了，要么新来了，要么采取了行动。",
+]
+
+JAPANESE_HTML = """<!doctype html>
+            <head>
+                <title>私のタイトル</title>
+            </head>
+            <body>
+                    <main>
+                        これはサンプルの段落です。ここに単語を書き込みます。
+
+                        <p>
+                        この段落にはストップワードがあまりありません。削除してください。
+                        <br>この段落を維持しましょう: どちらかが来て、最後に新しいものを取って、作成し、なったのです。
+                        </p>
+
+                    </main>
+            </body>
+        </html>"""
+JAPANESE_EXPECTED = [
+    "これはサンプルの段落です。ここに単語を書き込みます。",
+    "この段落にはストップワードがあまりありません。削除してください。\nこの段落を維持しましょう: どちらかが来て、最後に新しいものを取って、作成し、なったのです。",
+]
+
+KOREAN_HTML = """<!doctype html>
+            <head>
+                <title>내 제목</title>
+            </head>
+            <body>
+                    <main>
+                        이것은 샘플 문단입니다. 여기에 단어를 적습니다.
+                        이것들은 불용어입니다: 왜냐하면, 했으므로, 보다, 가까이에, 우리, 거의, 동안, 무엇, 아직도.
+
+                        <p>
+                        이 문단에는 불용어가 많지 않습니다. 제거하세요.
+                        <br>이 문단을 유지해 보겠습니다: 왔거나 마지막이거나 새로운 것이거나 가져갔거나 만들어지거나 되었거나에서 왔습니다.
+                        </p>
+
+                    </main>
+            </body>
+        </html>"""
+KOREAN_EXPECTED = [
+    "이것은 샘플 문단입니다. 여기에 단어를 적습니다.\n이것들은 불용어입니다: 왜냐하면, 했으므로, 보다, 가까이에, 우리, 거의, 동안, 무엇, 아직도.",
+    "이 문단에는 불용어가 많지 않습니다. 제거하세요.\n이 문단을 유지해 보겠습니다: 왔거나 마지막이거나 새로운 것이거나 가져갔거나 만들어지거나 되었거나에서 왔습니다.",
+]
+
+
+def test_english_golden_all_paragraphs():
+    # reference: JusTextExtractor(is_boilerplate=False) -> every paragraph
+    result = J.extract_text(
+        ENGLISH_HTML, J.ENGLISH_STOPWORDS, "ENGLISH", is_boilerplate=False
+    )
+    assert result == ENGLISH_EXPECTED
+
+
+def test_simple_english_golden_boilerplate_on():
+    result = J.extract_text(SIMPLE_HTML, J.ENGLISH_STOPWORDS, "ENGLISH")
+    assert result == SIMPLE_EXPECTED
+
+
+def test_thai_golden():
+    assert J.extract_text(THAI_HTML, frozenset(), "THAI") == THAI_EXPECTED
+
+
+def test_chinese_golden():
+    assert J.extract_text(CHINESE_HTML, frozenset(), "CHINESE") == CHINESE_EXPECTED
+
+
+def test_japanese_golden():
+    assert J.extract_text(JAPANESE_HTML, frozenset(), "JAPANESE") == JAPANESE_EXPECTED
+
+
+def test_korean_golden():
+    assert J.extract_text(KOREAN_HTML, frozenset(), "KOREAN") == KOREAN_EXPECTED
+
+
+def test_boilerplate_classification_drops_nav():
+    # with the boilerplate check ON, every paragraph in this fixture dies:
+    # the content paragraphs are <=200 chars (can never be context-free
+    # good) and sit between bad nav/footer blocks — which is exactly why
+    # the reference's own test runs this fixture with is_boilerplate=False
+    result = J.extract_text(ENGLISH_HTML, J.ENGLISH_STOPWORDS, "ENGLISH")
+    assert result == []
+    # lengthen the stopword-dense paragraph past length_high and it
+    # classifies good while nav/footer stay boilerplate
+    grown = ENGLISH_HTML.replace(
+        "In it we write words.",
+        "In it we write words, and then we write many more words so that "
+        "the paragraph grows past the two hundred character high-confidence "
+        "threshold that the algorithm uses for good blocks.",
+    )
+    result = J.extract_text(grown, J.ENGLISH_STOPWORDS, "ENGLISH")
+    assert any("high-confidence" in p for p in result)
+    for nav in ("Nav 1", "Nav 2", "Nav 3"):
+        assert not any(nav == p for p in result)
+    assert not any("Copyright" in p for p in result)
+
+
+def test_parse_failure_returns_none(monkeypatch):
+    class Boom(J._Segmenter):
+        def feed(self, data):
+            raise ValueError("boom")
+
+    monkeypatch.setattr(J, "_Segmenter", Boom)
+    assert J.extract_text("<p>x</p>", frozenset(), "ENGLISH") is None
