@@ -210,6 +210,41 @@ def _token_fp_oracle() -> str:
     )
 
 
+def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastTextLangId through the REAL model code path (reference
+    fasttext_filters.py:58-111): a deterministic MiniFastText artifact
+    (fastText architecture, operators/fasttext_mini.py) trained on a
+    seed-pinned per-language sample of the same table, loaded per worker
+    from disk, batch-predicted. Model inference isn't SQL-expressible ->
+    rows-only; exact behavior pinned by tests/test_fasttext_mini.py."""
+    import os
+    import tempfile
+
+    from nemo_curator_spark.operators import fasttext_mini as FT
+    from nemo_curator_spark.operators.langid import FastTextLangId
+
+    df = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    sample = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 50)
+        .select("text", "lang")
+        .collect()
+    )
+    model = FT.train(
+        [(r["text"], r["lang"]) for r in sample], dim=8, epochs=30, seed=42
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="minift_"), "langid.minift.json")
+    model.save(path)
+    scorer = FastTextLangId(model_path=path, min_langid_score=0.3)
+    pred = scorer.udf()(F.col("text"))
+    return df.select(
+        "doc_id",
+        pred["lang"].alias("lang_pred"),
+        F.round(pred["score"], 6).alias("lang_score"),
+    )
+
+
 def _general_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeneralCommentToCodeFilter (reference code.py:50-84), C-family
     comment stand-in — fully JVM Column expr, DuckDB-oracled."""
@@ -564,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["langid"] = _langid_query
     out["quality_pareto"] = _quality_query
     out["token_count_fingerprint"] = _token_fp_query
+    out["fasttext_langid_mini"] = _fasttext_langid_query
     out["filter_general_comment_ratio"] = _general_comment_query
     out["filter_python_comment_ratio"] = _python_comment_query
     out["perplexity_bucketed"] = _perplexity_query

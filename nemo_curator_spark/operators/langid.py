@@ -237,9 +237,16 @@ class FastTextLangId:
     def _get_model(self):
         if self.model is not None:
             return self.model
-        import fasttext  # gated: not present in this environment
+        try:
+            import fasttext  # gated: not present in this environment
 
-        self.model = fasttext.load_model(self.model_path)
+            self.model = fasttext.load_model(self.model_path)
+        except ImportError:
+            # deterministic pure-python fastText-architecture fallback
+            # (same predict API; operators/fasttext_mini.py)
+            from nemo_curator_spark.operators.fasttext_mini import MiniFastText
+
+            self.model = MiniFastText.load(self.model_path)
         return self.model
 
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
