@@ -497,28 +497,22 @@ FROM documents
 
 
 def _histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HistogramFilter backed by checked-in M2M-100-format artifacts
+    (reference filters/histogram/histogram.py:24-121; artifacts built by
+    scripts/build_histograms.py, exact strip/ratio/threshold formula)."""
     df = _docs(spark, sf_dir)
     return df.select(
         "doc_id",
-        langid_mod.histogram_score(F.col("text"), "en").alias("hist_en"),
-        langid_mod.histogram_score(F.col("text"), "zh").alias("hist_zh"),
+        langid_mod.histogram_artifact_score(F.col("text"), "en").alias("hist_en"),
+        langid_mod.histogram_artifact_score(F.col("text"), "zh").alias("hist_zh"),
     )
 
 
 def _histogram_oracle() -> str:
-    def one(lang: str) -> str:
-        cls = langid_mod.SCRIPT_CLASSES["latin" if lang == "en" else lang]
-        cls_sql = cls.replace("'", "''")
-        nonspace = (
-            "greatest(len(regexp_replace(text, '\\s', '', 'g')), 1)"
-        )
-        return (
-            f"(CASE WHEN len(regexp_extract_all(text, '{cls_sql}')) "
-            f"/ {nonspace} > 0.8 THEN 1.0 ELSE 0.0 END)"
-        )
-
     return (
-        f"SELECT doc_id, {one('en')} AS hist_en, {one('zh')} AS hist_zh "
+        f"SELECT doc_id, "
+        f"{langid_mod.duck_histogram_artifact_sql('text', 'en')} AS hist_en, "
+        f"{langid_mod.duck_histogram_artifact_sql('text', 'zh')} AS hist_zh "
         f"FROM documents"
     )
 

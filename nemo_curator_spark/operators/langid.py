@@ -19,6 +19,7 @@ Three tiers, mirroring the reference's surface (SURVEY.md §2.4 #24/#26):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import reduce
 
@@ -214,6 +215,64 @@ def histogram_score(text: Column, lang: str) -> Column:
     )
     frac = F.regexp_count(text, F.lit(cls)) / nonspace
     return F.when(frac > 0.8, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+HISTOGRAM_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "histograms"
+)
+
+
+def load_histogram(lang: str, threshold_char: str = "]") -> set[str]:
+    """Read an M2M-100-format histogram artifact: one char per line,
+    frequency-descending, stop at the threshold char (reference
+    filters/histogram/histogram.py:85-105). Artifacts are checked in under
+    nemo_curator_spark/artifacts/histograms (scripts/build_histograms.py)."""
+    chars: set[str] = set()
+    with open(os.path.join(HISTOGRAM_DIR, lang)) as f:
+        for line in f:
+            c = line[0]
+            if c == threshold_char:
+                break
+            chars.add(c)
+    return chars
+
+
+def histogram_score_py(text: str, hist: set[str], threshold: float = 0.8) -> float:
+    """Exact reference formula (histogram.py:106-116): count chars of
+    text.strip() in the histogram, ratio over len(text) UNstripped; score
+    1 if ratio > threshold else 0. Deviation: empty text -> 0.0 (the
+    reference raises ZeroDivisionError)."""
+    if not text:
+        return 0.0
+    cnt = sum(1 for c in text.strip() if c in hist)
+    return 1.0 if cnt / len(text) > threshold else 0.0
+
+
+def histogram_artifact_score(
+    text: Column, lang: str, threshold: float = 0.8
+) -> Column:
+    """JVM form of :func:`histogram_score_py`: membership counting via
+    ``translate`` (len(stripped) - len(stripped minus histogram chars)) —
+    no regex, so arbitrary histogram characters need no escaping."""
+    hist = "".join(sorted(load_histogram(lang)))
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    cnt = F.length(stripped) - F.length(F.translate(stripped, hist, ""))
+    nchar = F.length(text)
+    return F.when(nchar == 0, F.lit(0.0)).otherwise(
+        F.when(cnt.cast("double") / nchar > threshold, F.lit(1.0)).otherwise(
+            F.lit(0.0)
+        )
+    )
+
+
+def duck_histogram_artifact_sql(col: str, lang: str, threshold: float = 0.8) -> str:
+    hist = "".join(sorted(load_histogram(lang))).replace("'", "''")
+    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    cnt = f"(len({stripped}) - len(translate({stripped}, '{hist}', '')))"
+    return (
+        f"(CASE WHEN len({col}) = 0 THEN 0.0 "
+        f"WHEN {cnt} / len({col}) > {threshold} THEN 1.0 ELSE 0.0 END)"
+    )
 
 
 # --- fastText-semantics tier ----------------------------------------------------

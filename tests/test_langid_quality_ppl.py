@@ -184,3 +184,73 @@ def test_perplexity_spark_bucketed(spark):
     assert lm.perplexity(pdf[pdf.lang == "en"].iloc[0]["text"]) < lm.perplexity(
         "qq zz vv kk jj ww xx yy"
     )
+
+
+# --- artifact-backed HistogramFilter (M2M-100 format) -------------------------
+
+
+def test_histogram_artifact_three_way(spark):
+    """Exact reference formula (histogram.py:106-116) pinned 3-way:
+    python / Spark translate-form / DuckDB oracle, on texts where the
+    score actually varies (the driver corpus is ascii-only -> constant)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark.operators import langid as L
+
+    texts = [
+        "plain english text with spaces and punctuation.",
+        "Zwölf Boxkämpfer jagen Viktor über den Deich",  # umlauts not in en hist
+        "的一是不了人我在有他 this is mixed 的一是不了",
+        "的一是不了人我在有他这为之大来以个中上们到说",
+        "   leading and trailing   ",
+        "",
+        "№§µ¶†‡ unusual €£¥ symbols ©®™",
+    ]
+    hist_en = L.load_histogram("en")
+    hist_zh = L.load_histogram("zh")
+    expected_en = [L.histogram_score_py(t, hist_en) for t in texts]
+    expected_zh = [L.histogram_score_py(t, hist_zh) for t in texts]
+    assert len(set(expected_en)) > 1  # discriminative on this corpus
+    assert len(set(expected_zh)) > 1
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = (
+        df.select(
+            "doc_id",
+            L.histogram_artifact_score(F.col("text"), "en").alias("en"),
+            L.histogram_artifact_score(F.col("text"), "zh").alias("zh"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(got["en"]) == expected_en
+    assert list(got["zh"]) == expected_zh
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    duck = con.execute(
+        f"SELECT doc_id, {L.duck_histogram_artifact_sql('text', 'en')} AS en, "
+        f"{L.duck_histogram_artifact_sql('text', 'zh')} AS zh "
+        "FROM docs ORDER BY doc_id"
+    ).df()
+    assert list(duck["en"]) == expected_en
+    assert list(duck["zh"]) == expected_zh
+
+
+def test_histogram_artifact_format_roundtrip(tmp_path):
+    """Reader stops at the ']' threshold char (M2M file format)."""
+    import os
+
+    from nemo_curator_spark.operators import langid as L
+
+    p = tmp_path / "xx"
+    p.write_text("a\nb\nc\n]\nd\ne\n")
+    old = L.HISTOGRAM_DIR
+    L.HISTOGRAM_DIR = str(tmp_path)
+    try:
+        assert L.load_histogram("xx") == {"a", "b", "c"}
+    finally:
+        L.HISTOGRAM_DIR = old
