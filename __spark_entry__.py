@@ -577,6 +577,226 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+# --- round-2 framework/modifier/splitter coverage -----------------------------
+
+
+def _framework_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Score/Filter/Modify framework itself (reference score_filter.py:
+    29-344) exercised through a 3-stage Pipeline: Score(word_count) →
+    Filter(keep) → Modify(UrlRemover)."""
+    from nemo_curator_spark.operators import modifiers as M
+    from nemo_curator_spark.operators.score_filter import (
+        Filter,
+        Modify,
+        Pipeline,
+        Score,
+    )
+
+    df = _docs(spark, sf_dir)
+    pipe = Pipeline(
+        [
+            Score("word_count", score_field="wc", text_field="text"),
+            Filter("word_count", filter_field="wc"),
+            Modify(M.remove_urls, text_field="text", output_field="text_clean"),
+        ]
+    )
+    out = pipe.run(df)
+    return out.select("doc_id", F.col("wc").cast("double").alias("wc"), "text_clean")
+
+
+def _framework_oracle() -> str:
+    rule = H.RULES_BY_NAME["word_count"]
+    score = f"CAST({rule.duck_score('text')} AS DOUBLE)"
+    keep = rule.duck_keep("wc")
+    return (
+        "SELECT doc_id, wc, "
+        r"regexp_replace(text, '(?i)https?://\S+|www\.\S+', '', 'g') AS text_clean "
+        f"FROM (SELECT doc_id, text, {score} AS wc FROM documents) WHERE {keep}"
+    )
+
+
+def _line_quote_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LineRemover + QuotationRemover (reference line_remover.py:18-34,
+    quotation_remover.py:18-36). The table's docs are single-line and
+    unquoted, so lines are manufactured (space→newline) and quotes wrapped
+    inside the query to make both paths non-vacuous."""
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    lined = F.translate(F.col("text"), " ", "\n")
+    quoted = F.concat(F.lit('"'), F.col("text"), F.lit('"'))
+    return df.select(
+        "doc_id",
+        M.remove_lines(lined, ["the", "a", "spark"]).alias("text_nolines"),
+        M.remove_wrapping_quotes(quoted).alias("text_unquoted"),
+    )
+
+
+_LINE_QUOTE_ORACLE = r"""
+SELECT doc_id,
+  array_to_string(
+    list_filter(string_split(replace(text, ' ', chr(10)), chr(10)),
+                x -> x NOT IN ('the', 'a', 'spark')), chr(10)) AS text_nolines,
+  CASE WHEN len(regexp_replace(q, '^\s+|\s+$', '', 'g')) > 2
+        AND left(q, 1) = '"' AND right(q, 1) = '"'
+        AND (NOT contains(regexp_replace(q, '^\s+|\s+$', '', 'g'), chr(10))
+             OR right(string_split(q, chr(10))[1], 1) <> '"')
+       THEN substr(q, 2, len(q) - 2) ELSE q END AS text_unquoted
+FROM (SELECT doc_id, text, '"' || text || '"' AS q FROM documents)
+"""
+
+
+def _slicer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slicer (reference slicer.py:18-76): by first-marker and by index."""
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        M.slicer(F.col("text"), left="the", right=None).alias("from_the"),
+        M.slicer(F.col("text"), left=0, right=40).alias("head40"),
+    )
+
+
+_SLICER_ORACLE = r"""
+SELECT doc_id,
+  CASE WHEN strpos(text, 'the') = 0 THEN ''
+       ELSE regexp_replace(substr(text, strpos(text, 'the')), '^\s+|\s+$', '', 'g')
+  END AS from_the,
+  regexp_replace(substr(text, 1, 40), '^\s+|\s+$', '', 'g') AS head40
+FROM documents
+"""
+
+
+def _boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoilerPlateStringModifier (reference string/c4.py:23-87): a policy
+    paragraph is prepended inside the query (the table has none) so the
+    contiguous-top removal path actually runs."""
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    manufactured = F.concat(
+        F.lit("this site uses cookies and our privacy policy applies\n\n"),
+        F.col("text"),
+        F.lit("\n\nsee the terms of use"),
+    )
+    return df.select(
+        "doc_id", M.remove_boilerplate(manufactured).alias("text_clean")
+    )
+
+
+def _boilerplate_oracle() -> str:
+    from nemo_curator_spark import constants as C
+
+    policy = " OR ".join(
+        f"contains(lower(x), '{s}')" for s in C.POLICY_SUBSTRINGS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    'this site uses cookies and our privacy policy applies' || chr(10) || chr(10)
+      || text || chr(10) || chr(10) || 'see the terms of use' AS t
+  FROM documents
+), split AS (
+  SELECT doc_id, t, string_split(t, chr(10) || chr(10)) AS paras FROM base
+), hits AS (
+  SELECT doc_id, t, paras,
+    list_filter(list_transform(paras,
+        (x, i) -> CASE WHEN ({policy}) THEN i ELSE NULL END),
+      h -> h IS NOT NULL) AS hit_idx,
+    len(list_filter(paras, x -> contains(lower(x), 'lorem ipsum'))) > 0 AS lorem
+  FROM split
+)
+SELECT doc_id,
+  CASE
+    WHEN lorem THEN ''
+    WHEN len(hit_idx) = 0 THEN t
+    WHEN len(hit_idx) <> len(paras)
+         AND hit_idx[len(hit_idx)] - hit_idx[1] + 1 = len(hit_idx)
+         AND (hit_idx[1] = 1 OR hit_idx[len(hit_idx)] = len(paras))
+    THEN array_to_string(
+           list_transform(
+             list_filter(list_transform(paras, (x, i) -> i),
+                         i -> NOT list_contains(hit_idx, i)),
+             i -> paras[i]),
+           chr(10) || chr(10))
+    ELSE t
+  END AS text_clean
+FROM hits
+"""
+
+
+def _unicode_nfc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnicodeReformatter fallback path (ftfy absent -> NFC + control-char
+    strip; reference unicode_reformatter.py:23-152, deviation documented)."""
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id", M.unicode_reformat(F.col("text")).alias("text_fixed")
+    )
+
+
+def _unicode_nfc_oracle() -> str:
+    ctrl = "".join(f"chr({i})||" for i in range(1, 32) if i not in (9, 10, 13))
+    return (
+        f"SELECT doc_id, translate(nfc_normalize(text), {ctrl[:-2]}, '') "
+        f"AS text_fixed FROM documents"
+    )
+
+
+def _splitter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentSplitter (reference modules/splitter.py:22-96): posexplode
+    with per-doc segment index; space separator so it actually fans out."""
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    out = text_ops.split_documents(df, "text", separator=" ")
+    return out.select("doc_id", "segment_id", F.col("text").alias("segment"))
+
+
+_SPLITTER_ORACLE = """
+SELECT doc_id, i - 1 AS segment_id, segs[i] AS segment
+FROM (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+     UNNEST(generate_series(1, len(segs))) AS t(i)
+"""
+
+
+def _joiner_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentJoiner round-trip (reference modules/joiner.py:24-199):
+    split -> explode -> global groupBy re-join (sorted by segment_id)."""
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    segs = text_ops.split_documents(df, "text", separator=" ")
+    joined = text_ops.join_documents(segs, "doc_id", "text", separator=" ")
+    return joined.select("doc_id", F.col("text").alias("text_joined"))
+
+
+_JOINER_ORACLE = """
+WITH segs AS (
+  SELECT doc_id, i - 1 AS segment_id, segs[i] AS segment
+  FROM (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+       UNNEST(generate_series(1, len(segs))) AS t(i)
+)
+SELECT doc_id, string_agg(segment, ' ' ORDER BY segment_id) AS text_joined
+FROM segs GROUP BY doc_id
+"""
+
+
+def _fasttext_label_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastTextLabelModifier (reference fasttext_label.py:18-25)."""
+    from nemo_curator_spark.operators import modifiers as M
+
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        M.fasttext_label(F.col("text"), "__label__hq").alias("labeled"),
+    )
+
+
+_FASTTEXT_LABEL_ORACLE = """
+SELECT doc_id, '__label__hq ' || replace(text, chr(10), ' ') AS labeled
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for rule in H.RULES:
@@ -613,6 +833,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["histogram_filter"] = _histogram_query
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query
     out["embedder_hash_dim"] = _embedder_query
+    out["score_filter_framework"] = _framework_query
+    out["modifier_line_quote"] = _line_quote_query
+    out["modifier_slicer"] = _slicer_query
+    out["modifier_boilerplate"] = _boilerplate_query
+    out["modifier_unicode_nfc"] = _unicode_nfc_query
+    out["doc_splitter"] = _splitter_query
+    out["doc_joiner_roundtrip"] = _joiner_query
+    out["modifier_fasttext_label"] = _fasttext_label_query
     return out
 
 
@@ -648,4 +876,12 @@ def oracle_sql() -> dict[str, str]:
     out["histogram_filter"] = _histogram_oracle()
     # semantic_dedup / embedder: model-backed (KMeans / hashed projection)
     # -> rows-only here; pytest pins planted behavior
+    out["score_filter_framework"] = _framework_oracle()
+    out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
+    out["modifier_slicer"] = _SLICER_ORACLE
+    out["modifier_boilerplate"] = _boilerplate_oracle()
+    out["modifier_unicode_nfc"] = _unicode_nfc_oracle()
+    out["doc_splitter"] = _SPLITTER_ORACLE
+    out["doc_joiner_roundtrip"] = _JOINER_ORACLE
+    out["modifier_fasttext_label"] = _FASTTEXT_LABEL_ORACLE
     return out
