@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -577,6 +578,115 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenCountFilter + TokenizerFertilityFilter through the real
+    pluggable-tokenizer path (reference token_count.py:70-95,
+    code.py:100-122) with the vendored MiniBPE tokenizer trained on a
+    seed-pinned sample of the same table. BPE encoding isn't
+    SQL-expressible -> rows-only; pinned by tests/test_bpe_code_filters.py."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.functions import bpe
+
+    df = _docs(spark, sf_dir)
+    sample = [
+        r["text"]
+        for r in df.select("text")
+        .orderBy(F.xxhash64("text"))
+        .limit(200)
+        .collect()
+    ]
+    merges = bpe.train_bpe(sample, num_merges=256)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType()),
+            T.StructField("fertility", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        tok = bpe.MiniBPE(merges)
+        tc = bpe.TokenCountFilter(tok, min_tokens=10, max_tokens=100_000)
+        fert = bpe.TokenizerFertilityFilter(tok)
+        counts = [tc.score_document(t or "") for t in texts]
+        ferts = [fert.score_document(t or "") for t in texts]
+        return pd.DataFrame({"n_tokens": counts, "fertility": ferts})
+
+    s = _udf(F.col("text"))
+    return df.select(
+        "doc_id",
+        s["n_tokens"].alias("n_tokens"),
+        ((s["n_tokens"] >= 10) & (s["n_tokens"] <= 100_000))
+        .cast("int")
+        .alias("keep_count"),
+        F.round(s["fertility"], 6).alias("fertility"),
+        (s["fertility"] >= 2.5).cast("int").alias("keep_fertility"),
+    )
+
+
+_HTML_WRAP_PRE = "<html><head><style>p{margin:0}</style></head><body><p>"
+_HTML_WRAP_POST = "</p><script>var x=1;</script></body></html>"
+
+
+def _html_boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTMLBoilerplateFilter (reference code.py:165-196): visible-text /
+    source ratio via the stdlib get_text analogue. The table is plain text,
+    so an html wrapper is manufactured in-query; the oracle can then compute
+    the exact ratio arithmetically (driver texts contain no &<> — verified;
+    a regeneration with markup would surface as a hash mismatch here)."""
+    from nemo_curator_spark.operators import code_filters as CF
+
+    df = _docs(spark, sf_dir)
+    wrapped = F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"), F.lit(_HTML_WRAP_POST))
+    score = CF.html_boilerplate_udf()(wrapped)
+    return df.select(
+        "doc_id",
+        F.round(score, 8).alias("score"),
+        (score >= 0.2).cast("int").alias("keep"),
+    )
+
+
+def _html_boilerplate_oracle() -> str:
+    wrapper_len = len(_HTML_WRAP_PRE) + len(_HTML_WRAP_POST)
+    score = (
+        f"(CASE WHEN len(text) < 100 THEN 0.0 "
+        f"ELSE len(text) / (len(text) + {wrapper_len}) END)"
+    )
+    return (
+        f"SELECT doc_id, round(score, 8) AS score, "
+        f"CAST(score >= 0.2 AS INT) AS keep "
+        f"FROM (SELECT doc_id, CAST({score} AS DOUBLE) AS score FROM documents)"
+    )
+
+
+def _per_extension_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PerExtensionFilter (reference code.py:200-297) with the vendored
+    artifacts/code_meta.csv, (text, txt) params."""
+    from nemo_curator_spark.operators import code_filters as CF
+
+    params = CF.load_per_extension_meta(language="text")[("text", "txt")]
+    df = _docs(spark, sf_dir)
+    score = CF.per_extension_score(F.col("text"), params)
+    return df.select(
+        "doc_id",
+        score.alias("score"),
+        (score == 1.0).cast("int").alias("keep"),
+    )
+
+
+def _per_extension_oracle() -> str:
+    from nemo_curator_spark.operators import code_filters as CF
+
+    params = CF.load_per_extension_meta(language="text")[("text", "txt")]
+    s = CF.duck_per_extension_sql("text", params)
+    return (
+        f"SELECT doc_id, score, CAST(score = 1.0 AS INT) AS keep "
+        f"FROM (SELECT doc_id, CAST({s} AS DOUBLE) AS score FROM documents)"
+    )
+
+
 # --- round-2 framework/modifier/splitter coverage -----------------------------
 
 
@@ -841,6 +951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_splitter"] = _splitter_query
     out["doc_joiner_roundtrip"] = _joiner_query
     out["modifier_fasttext_label"] = _fasttext_label_query
+    out["filter_token_count_bpe"] = _token_bpe_query
+    out["filter_html_boilerplate"] = _html_boilerplate_query
+    out["filter_per_extension"] = _per_extension_query
     return out
 
 
@@ -884,4 +997,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_splitter"] = _SPLITTER_ORACLE
     out["doc_joiner_roundtrip"] = _JOINER_ORACLE
     out["modifier_fasttext_label"] = _FASTTEXT_LABEL_ORACLE
+    # filter_token_count_bpe: BPE encoding not SQL-expressible -> rows-only
+    out["filter_html_boilerplate"] = _html_boilerplate_oracle()
+    out["filter_per_extension"] = _per_extension_oracle()
     return out
