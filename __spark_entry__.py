@@ -837,13 +837,19 @@ FROM hits
 
 
 def _unicode_nfc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UnicodeReformatter fallback path (ftfy absent -> NFC + control-char
-    strip; reference unicode_reformatter.py:23-152, deviation documented)."""
+    """UnicodeReformatter (reference unicode_reformatter.py:23-152) through
+    the ftfy_mini path (ftfy absent), NFC requested. On this ascii corpus
+    the mojibake/unescape fixers are identity, so the oracle reduces to
+    nfc_normalize + control-char strip; non-ascii behavior is pinned by
+    tests/test_modifiers_pii.py instead."""
     from nemo_curator_spark.operators import modifiers as M
 
     df = _docs(spark, sf_dir)
     return df.select(
-        "doc_id", M.unicode_reformat(F.col("text")).alias("text_fixed")
+        "doc_id",
+        M.unicode_reformat(F.col("text"), normalization="NFC").alias(
+            "text_fixed"
+        ),
     )
 
 

@@ -164,35 +164,34 @@ def remove_boilerplate(
     return udf(text)
 
 
-def unicode_reformat(text: Column) -> Column:
-    """ftfy-style unicode fixing.
-
-    The reference wraps ``ftfy.fix_text`` (modifiers/unicode/
-    unicode_reformatter.py:23-152). ftfy is not available in this
-    environment, so this falls back to NFC normalization + control-char
-    stripping (the two highest-impact ftfy effects); when ftfy is
-    importable it is used directly.
-    """
-    import unicodedata
-
+def unicode_reformat(text: Column, **config) -> Column:
+    """ftfy-style unicode fixing with the reference UnicodeReformatter's 16
+    tunables (modifiers/unicode/unicode_reformatter.py:23-152): mojibake
+    repair (incl. double-encoding, byte-a0 restore, lossy sequences,
+    inconsistent utf-8, C1 controls), html unescape, terminal escapes,
+    ligatures, character width, curly quotes, line breaks, surrogates,
+    control chars, normalization. Uses the real ftfy when importable, else
+    :mod:`nemo_curator_spark.functions.ftfy_mini` (documented subset —
+    simpler badness heuristic)."""
     try:
-        import ftfy  # noqa: F401
+        import ftfy
 
-        have_ftfy = True
+        fixer = ftfy.fix_text
+        cfg_kwargs = dict(config)
+
+        def fix(t: str) -> str:
+            return fixer(t, **cfg_kwargs)
+
     except ImportError:
-        have_ftfy = False
+        from nemo_curator_spark.functions import ftfy_mini
+
+        cfg = ftfy_mini.TextFixerConfig(**config)
+
+        def fix(t: str) -> str:
+            return ftfy_mini.fix_text(t, config=cfg)
 
     @F.pandas_udf("string")
     def udf(s: pd.Series) -> pd.Series:
-        if have_ftfy:
-            import ftfy
-
-            return s.map(lambda t: ftfy.fix_text(t or ""))
-        ctrl = dict.fromkeys(
-            c for c in range(32) if chr(c) not in ("\n", "\t", "\r")
-        )
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", (t or "")).translate(ctrl)
-        )
+        return s.map(lambda t: fix(t or ""))
 
     return udf(text)

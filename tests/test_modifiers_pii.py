@@ -167,12 +167,28 @@ def test_pii_scrub_duckdb_parity(spark):
 
 
 def test_unicode_reformat_fallback(spark):
-    # ftfy absent in this env -> NFC normalization + control-char strip
-    texts = ["café time", "bad\x00ctrl\x07chars", "keep\ttabs\nand newlines"]
-    out = _apply(spark, M.unicode_reformat, texts)
-    assert out[0] == "café time"          # NFC composed
+    # ftfy absent in this env -> ftfy_mini with NFC requested explicitly
+    # (the reference class default is normalization=None,
+    # unicode_reformatter.py:41 — ftfy's own default NFC is overridden)
+    texts = ["cafe\u0301 time", "bad\x00ctrl\x07chars", "keep\ttabs\nand newlines"]
+    out = _apply(
+        spark, lambda c: M.unicode_reformat(c, normalization="NFC"), texts
+    )
+    assert out[0] == "caf\u00e9 time"      # NFC composed
     assert out[1] == "badctrlchars"       # control chars stripped
     assert out[2] == "keep\ttabs\nand newlines"  # \t \n preserved
+
+
+def test_unicode_reformat_mojibake(spark):
+    # default config: mojibake repair on, cosmetic fixers off
+    texts = ["s\u00c3\u00a9rieux", "\u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u201e\u00a2",
+             "a\u2019b", "&amp; fine", "<b>&amp;</b>"]
+    out = _apply(spark, M.unicode_reformat, texts)
+    assert out[0] == "s\u00e9rieux"        # single utf-8/cp1252 mojibake
+    assert out[1] == "\u2019"              # double mojibake unwinds
+    assert out[2] == "a\u2019b"            # uncurl_quotes off by default
+    assert out[3] == "& fine"             # unescape_html auto
+    assert out[4] == "<b>&amp;</b>"       # ...but disabled on real HTML
 
 
 def test_slicer_include_flags(spark):
