@@ -142,6 +142,39 @@ SELECT doc_id FROM (
 """
 
 
+def _dedup_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextDuplicatesRemovalStage (reference text/deduplication/
+    removal.py:37-105): anti-join the corpus against a removal-id list.
+    Built on the same deterministic duplicated slice as
+    exact_dedup_removal_ids, so the anti-join removes real rows."""
+    from nemo_curator_spark.operators import dedup as dedup_mod
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    df = base.unionAll(dup)
+    removal = dedup_mod.exact_duplicate_ids(df, "text", "doc_id")
+    kept = dedup_mod.remove_duplicates(df, removal, "doc_id")
+    return kept.select("doc_id")
+
+
+_DEDUP_REMOVAL_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+), removal AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM aug
+  ) WHERE rn > 1
+)
+SELECT doc_id FROM aug WHERE doc_id NOT IN (SELECT doc_id FROM removal)
+"""
+
+
 def _pii_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _docs(spark, sf_dir)
     out = pii.scrub(df, "text")
@@ -523,6 +556,41 @@ def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semantic.semantic_duplicate_ids(df, k=8, threshold=0.99)
+
+
+class _TokenCountModel:
+    """Deterministic classifier model (predict_batch/prob_batch contract,
+    classifiers.py:36): label by token count — the plumbing is the real
+    tokenize->infer composite; only the model is synthetic, and its output
+    is SQL-expressible so the whole stage gets a value-hash oracle."""
+
+    def predict_batch(self, tokens):
+        return ["long" if len(t) >= 50 else "short" for t in tokens]
+
+    def prob_batch(self, tokens):
+        return [min(len(t) / 512.0, 1.0) for t in tokens]
+
+
+def _classifier_stage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nemo_curator_spark.operators.classifiers import ClassifierStage
+
+    df = _docs(spark, sf_dir)
+    out = ClassifierStage(model=_TokenCountModel()).apply(df, "text")
+    return out.select(
+        "doc_id", "pred_label", F.round("pred_prob", 8).alias("pred_prob")
+    )
+
+
+_CLASSIFIER_STAGE_ORACLE = r"""
+SELECT doc_id,
+  CASE WHEN n >= 50 THEN 'long' ELSE 'short' END AS pred_label,
+  round(least(n / 512.0, 1.0), 8) AS pred_prob
+FROM (
+  SELECT doc_id,
+    least(len(list_filter(string_split(text, ' '), w -> w <> '')), 512) AS n
+  FROM documents
+)
+"""
 
 
 def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["heuristic_chain_full"] = _chain_full_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
+    out["text_dedup_removal"] = _dedup_removal_query
     out["pii_scrub"] = _pii_query
     out["langid"] = _langid_query
     out["quality_pareto"] = _quality_query
@@ -949,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["histogram_filter"] = _histogram_query
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query
     out["embedder_hash_dim"] = _embedder_query
+    out["classifier_stage"] = _classifier_stage_query
     out["score_filter_framework"] = _framework_query
     out["modifier_line_quote"] = _line_quote_query
     out["modifier_slicer"] = _slicer_query
@@ -977,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
+    out["text_dedup_removal"] = _DEDUP_REMOVAL_ORACLE
     out["pii_scrub"] = _pii_oracle()
     out["langid"] = _langid_oracle()
     out["quality_pareto"] = _quality_oracle()
@@ -995,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
     out["histogram_filter"] = _histogram_oracle()
     # semantic_dedup / embedder: model-backed (KMeans / hashed projection)
     # -> rows-only here; pytest pins planted behavior
+    out["classifier_stage"] = _CLASSIFIER_STAGE_ORACLE
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
     out["modifier_slicer"] = _SLICER_ORACLE

@@ -117,3 +117,106 @@ def test_unknown_codec_raises(spark):
     )
     with pytest.raises(Exception, match="no image codec|NotImplementedError"):
         df.select(multimodal.image_meta(F.col("media"))).collect()
+
+
+# --- real codecs: PPM / BMP / WAV (round 2) ------------------------------------
+
+
+def _gradient(h, w):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(w, dtype=np.uint8)[None, :] * (255 // max(w - 1, 1))
+    img[:, :, 1] = np.arange(h, dtype=np.uint8)[:, None] * (255 // max(h - 1, 1))
+    img[:, :, 2] = 7
+    return img
+
+
+def test_ppm_roundtrip():
+    import numpy as np
+
+    from nemo_curator_spark.operators import multimodal as MM
+
+    img = _gradient(6, 4)
+    raw = MM.encode_ppm(img)
+    w, h, c, px = MM.decode_ppm(raw)
+    assert (w, h, c) == (4, 6, 3)
+    assert np.array_equal(px.reshape(6, 4, 3), img)
+    # generic dispatch + comments in header
+    commented = raw[:2] + b"\n# a comment\n" + raw[3:]
+    w2, h2, c2, px2 = MM._decode(commented)
+    assert (w2, h2, c2) == (4, 6, 3) and np.array_equal(px2, px)
+
+
+def test_bmp_decode_bottom_up():
+    import struct
+
+    import numpy as np
+
+    from nemo_curator_spark.operators import multimodal as MM
+
+    # hand-build a 2x2 24-bit BMP: rows bottom-up, BGR, padded to 4 bytes
+    # top row = red,green ; bottom row = blue,white
+    rows_topdown = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (255, 255, 255)],
+    ]
+    row_data = b""
+    for row in reversed(rows_topdown):  # bottom-up storage
+        r = b"".join(bytes([b, g, rr]) for rr, g, b in row)
+        row_data += r + b"\x00" * ((4 - len(r) % 4) % 4)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(row_data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(row_data), 0, 0, 0, 0)
+    raw = header + info + row_data
+    w, h, c, px = MM.decode_bmp(raw)
+    assert (w, h, c) == (2, 2, 3)
+    got = px.reshape(2, 2, 3)
+    assert np.array_equal(got[0, 0], [255, 0, 0])   # rgb order restored
+    assert np.array_equal(got[0, 1], [0, 255, 0])
+    assert np.array_equal(got[1, 0], [0, 0, 255])
+
+
+def test_resize_nearest_real_pixels(spark):
+    import numpy as np
+
+    from nemo_curator_spark.operators import multimodal as MM
+
+    img = _gradient(8, 8)
+    raw = MM.encode_ppm(img)
+    resized = MM.resize_nearest(raw, 4, 4)
+    w, h, c, px = MM.decode_ppm(resized)
+    assert (w, h, c) == (4, 4, 3)
+    # nearest-neighbor: pixel (0,0) of the small image samples (0,0) of the big
+    assert np.array_equal(px.reshape(4, 4, 3)[0, 0], img[0, 0])
+    # through the Spark mapInPandas path
+    df = spark.createDataFrame(
+        [(1, raw, "image", "u")], "media_id long, media binary, media_type string, url string"
+    )
+    out = MM.resize_images(df, target=4).collect()
+    assert MM.decode_ppm(bytes(out[0]["media"]))[:2] == (4, 4)
+
+
+def test_wav_decode_and_features(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark.operators import multimodal as MM
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    sine = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    raw = MM.encode_wav(sine, 16000)
+    ch, rate, samples = MM.decode_wav(raw)
+    assert (ch, rate, len(samples)) == (1, 16000, 16000)
+    df = spark.createDataFrame(
+        [(1, raw, "audio", "u")], "media_id long, media binary, media_type string, url string"
+    )
+    row = df.select(
+        MM.audio_meta(F.col("media")).alias("m"),
+        MM.audio_features(F.col("media")).alias("f"),
+    ).collect()[0]
+    assert row["m"]["duration_sec"] == 1.0
+    rms, zcr, peak = row["f"]
+    # sine at amplitude 20000/32768: rms = amp/sqrt(2), zcr = 2*f/rate
+    assert abs(rms - (20000 / 32768) / 2**0.5) < 0.01
+    assert abs(zcr - 880 / 16000) < 0.005
+    assert 0.6 < peak <= 0.62
