@@ -182,10 +182,16 @@ def ivf_topk(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )
     feat = base.withColumn("_features", array_to_vector(F.col("vec")))
+    # centroids train on a bounded deterministic sample (the standard IVF
+    # recipe — FAISS trains on ~max(10k, 50*n_lists) vectors); full-corpus
+    # KMeans would make training the bottleneck at scale while the
+    # centroids barely change
+    train_cap = max(10_000, 50 * n_lists)
+    train = feat.orderBy(F.xxhash64(F.col("id"))).limit(train_cap)
     model = KMeans(
-        k=n_lists, seed=seed, maxIter=20, featuresCol="_features",
+        k=n_lists, seed=seed, maxIter=10, featuresCol="_features",
         predictionCol="list_id",
-    ).fit(feat)
+    ).fit(train)
     assigned = model.transform(feat).drop("_features")
 
     centers = [

@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan-split sizing: extraction (the heaviest python stage) runs
+        # map-side on SCAN partitions since round 2 (the raw html column
+        # must never cross a shuffle at 100 TB). Default 128 MB splits
+        # coalesce this repo's small local corpora into 1-2 tasks and
+        # starve local[32]; 2 MB splits + 1 MB open-cost give one task per
+        # part file here while at 100 TB splits are abundant either way
+        # (a real deployment re-tunes toward 16-64 MB for UDF-heavy scans).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "2m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
