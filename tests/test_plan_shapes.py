@@ -1,0 +1,81 @@
+"""Plan-shape pins: the properties that make the engine scale to 100 TB,
+asserted on the optimized physical plans (not just observed in benchmarks).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from nemo_curator_spark.pipeline import chain, webpages
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_inputs(plan: str) -> list[str]:
+    """Input-column lists of every Exchange node in a formatted plan."""
+    # formatted plan: "(7) Exchange\nInput [5]: [url#1, ...]\nArguments: ..."
+    out = []
+    for m in re.finditer(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        out.append(m.group(1))
+    return out
+
+
+def test_html_never_crosses_an_exchange(spark):
+    """Extraction runs map-side before the salted shuffle; the raw html
+    binary column (most of the row width at 100 TB) must not appear in the
+    input of ANY Exchange node."""
+    web = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    labeled = webpages.curate(web, models=None)
+    plan = _formatted_plan(labeled)
+    exchanges = _exchange_inputs(plan)
+    assert exchanges, "expected at least the salted repartition exchange"
+    for cols in exchanges:
+        assert "html" not in cols, f"html crosses an exchange: [{cols}]"
+
+
+def test_chain_labels_are_exchange_free(spark):
+    """The label-first heuristic chain is a pure map: zero exchanges."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    labeled = chain.english_chain(docs, "text", mode="label")
+    plan = _formatted_plan(labeled)
+    assert "Exchange" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    ).write.parquet(p)
+    df = spark.read.parquet(p).where(F.col("doc_id") < 10).select("doc_id")
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]" in plan
+    # column pruning: text not read
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m and "text" not in m.group(1)
+
+
+def test_ann_has_no_cartesian_product(spark):
+    from nemo_curator_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _formatted_plan(
+        similarity.ann_topk_hyperplane(emb, k=2, num_tables=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
