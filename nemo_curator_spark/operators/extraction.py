@@ -119,3 +119,99 @@ def extract_text(html_col: Column, algorithm: str = "simple") -> Column:
     if algorithm == "simple":
         return extract_text_udf(html_col)
     return make_extract_udf(algorithm)(html_col)
+
+
+# --- CommonCrawl composite (WARC rows -> curated text rows) --------------------
+
+# cld2-style UPPERCASE language names (the reference's lang_detect returns
+# these, download/utils.py:62-77)
+_SCRIPT_RANGES = [
+    ("JAPANESE", chr(0x3040), chr(0x30FF), 0.05),  # hiragana+katakana
+    ("THAI", chr(0x0E00), chr(0x0E7F), 0.5),
+    ("KOREAN", chr(0xAC00), chr(0xD7AF), 0.5),     # hangul syllables
+    ("RUSSIAN", chr(0x0400), chr(0x04FF), 0.5),    # cyrillic
+    ("ARABIC", chr(0x0600), chr(0x06FF), 0.5),
+    ("CHINESE", chr(0x4E00), chr(0x9FFF), 0.5),    # CJK unified
+]
+_LATIN_STOPWORDS = {
+    "ENGLISH": {"the", "and", "is", "of", "to", "in", "that", "with"},
+    "GERMAN": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit"},
+    "FRENCH": {"le", "la", "les", "et", "est", "une", "dans", "que"},
+    "SPANISH": {"el", "la", "los", "es", "una", "que", "con", "para"},
+}
+
+
+def lang_detect(html_text: str) -> str:
+    """cld2-contract language name (UPPERCASE). Uses pycld2 when importable
+    (the reference path, utils.py:62-77); else a deterministic script-class
+    + stopword stand-in covering this repo's language set."""
+    try:
+        import pycld2
+
+        return pycld2.detect(html_text, returnVectors=False)[2][0][0].upper()
+    except ImportError:
+        pass
+    chars = [c for c in html_text if not c.isspace()]
+    if not chars:
+        return "UNKNOWN"
+    n = len(chars)
+    for name, lo, hi, cutoff in _SCRIPT_RANGES:
+        frac = sum(1 for c in chars if lo <= c <= hi) / n
+        if frac > cutoff:
+            return name
+    words = {w.lower() for w in html_text.split()}
+    best, best_hits = "ENGLISH", -1
+    for name, stops in _LATIN_STOPWORDS.items():
+        hits = len(words & stops)
+        if hits > best_hits:
+            best, best_hits = name, hits
+    return best
+
+
+def common_crawl_extract(df, algorithm: str = "justext"):
+    """The CommonCrawlHTMLExtractor composite (reference extract.py:28-104):
+    (url, warc_id, source_id, content) -> (url, warc_id, source_id,
+    language, text) with rows dropped when decode/extraction yields
+    nothing — decode_html -> lang_detect -> per-language stop list ->
+    jusText paragraphs -> ``"\\n\\n".join``. mapInPandas because the
+    extractor FILTERS rows (a Column expression cannot)."""
+    from nemo_curator_spark.operators import justext_like as J
+
+    def fan(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = r["content"]
+                if raw is None or len(raw) == 0:
+                    continue
+                html = decode_html(bytes(raw))
+                if html is None:
+                    continue
+                lang = lang_detect(html)
+                stops = (
+                    J.ENGLISH_STOPWORDS if lang == "ENGLISH" else frozenset()
+                )
+                paras = J.extract_text(html, stops, lang)
+                if not paras:
+                    continue
+                rows.append(
+                    {
+                        "url": r["url"],
+                        "warc_id": r["warc_id"],
+                        "source_id": r["source_id"],
+                        "language": lang,
+                        "text": "\n\n".join(paras),
+                    }
+                )
+            cols = ["url", "warc_id", "source_id", "language", "text"]
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            )
+
+    return df.mapInPandas(
+        fan,
+        schema="url string, warc_id string, source_id string, "
+        "language string, text string",
+    )

@@ -91,3 +91,52 @@ def test_warc_to_rows_spark(spark, tmp_path):
     assert rows["f0"]["url"] == "http://x0.com"
     assert rows["f0"]["source_id"] == "f0.warc"
     assert bytes(rows["f0"]["content"]) == b"<html><body>Test</body></html>\r\n"
+
+
+def test_common_crawl_composite_end_to_end(spark, tmp_path):
+    """WARC bytes -> records -> decode -> lang_detect -> justext ->
+    \\n\\n-joined text (reference extract.py:66-95 contract), asserting the
+    reference's simple-English golden paragraph."""
+    from nemo_curator_spark.operators import extraction
+    from tests.test_extraction_goldens import (
+        SIMPLE_EXPECTED,
+        SIMPLE_HTML,
+        THAI_EXPECTED,
+        THAI_HTML,
+    )
+
+    def http(html: str) -> bytes:
+        return b"HTTP/1.1 200 OK\r\n\r\n" + html.encode("utf-8")
+
+    (tmp_path / "cc.warc").write_bytes(
+        _record(body=http(SIMPLE_HTML), rec_id="<urn:uuid:en1>", uri="http://en.com")
+        + _record(body=http(THAI_HTML), rec_id="<urn:uuid:th1>", uri="http://th.com")
+        + _record(body=http("<p></p>"), rec_id="<urn:uuid:empty>", uri="http://e.com")
+    )
+    rows = {
+        r["warc_id"]: r
+        for r in extraction.common_crawl_extract(
+            warc.warc_to_rows(spark, str(tmp_path / "cc.warc"))
+        ).collect()
+    }
+    # empty doc filtered (extractor returned no paragraphs)
+    assert set(rows) == {"en1", "th1"}
+    assert rows["en1"]["language"] == "ENGLISH"
+    assert rows["en1"]["text"] == "\n\n".join(SIMPLE_EXPECTED)
+    assert rows["th1"]["language"] == "THAI"
+    assert rows["th1"]["text"] == "\n\n".join(THAI_EXPECTED)
+
+
+def test_lang_detect_standin():
+    from nemo_curator_spark.operators.extraction import lang_detect
+
+    assert lang_detect("the cat is on the mat and that is fine") == "ENGLISH"
+    assert lang_detect("der hund und die katze das ist ein haus") == "GERMAN"
+    assert lang_detect("le chien est dans la maison et les chats") == "FRENCH"
+    assert lang_detect("el perro es una mascota que vive con para") == "SPANISH"
+    assert lang_detect("这是一个中文句子没有空格") == "CHINESE"
+    assert lang_detect("これは日本語の文です") == "JAPANESE"
+    assert lang_detect("นี่คือประโยคภาษาไทย") == "THAI"
+    assert lang_detect("이것은 한국어 문장입니다") == "KOREAN"
+    assert lang_detect("это русское предложение для теста") == "RUSSIAN"
+    assert lang_detect("") == "UNKNOWN"
