@@ -92,6 +92,22 @@ class MiniBPE:
             out.extend(self._encode_word(w))
         return out
 
+    def decode(self, ids: list[int]) -> str:
+        """Inverse of encode (merge expansion) — lossless by construction."""
+        out = bytearray()
+
+        def expand(i: int) -> None:
+            if i < 256:
+                out.append(i)
+            else:
+                a, b = self.merges[i - 256]
+                expand(a)
+                expand(b)
+
+        for i in ids:
+            expand(i)
+        return out.decode("utf-8", errors="replace")
+
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump({"merges": self.merges}, f)

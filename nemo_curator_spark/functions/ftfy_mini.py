@@ -198,7 +198,16 @@ def fix_text(text: str, config: TextFixerConfig | None = None, **kwargs) -> str:
     segments = []
     step = cfg.max_decode_length
     for start in range(0, max(len(text), 1), step):
-        segments.append(_fix_segment(text[start : start + step], cfg))
+        seg = text[start : start + step]
+        # ftfy applies its fixers repeatedly until the text stops changing
+        # (late fixers like control-char removal can expose another
+        # mojibake layer); fix_text is idempotent, property-tested
+        for _ in range(6):
+            new = _fix_segment(seg, cfg)
+            if new == seg:
+                break
+            seg = new
+        segments.append(seg)
     return "".join(segments)
 
 
@@ -212,9 +221,17 @@ def _fix_segment(text: str, cfg: TextFixerConfig) -> str:
     if cfg.fix_surrogates:
         text = _fix_surrogates(text)
     if cfg.fix_encoding:
-        text = _fix_encoding(text, cfg)
-        if cfg.fix_c1_controls:
-            text = _fix_c1(text)
+        # iterate encoding-repair + C1 mapping to a fixpoint: mapping C1
+        # controls to their cp1252 meanings can EXPOSE another mojibake
+        # layer (e.g. 'Â\\x80' -> 'Â€' -> '€'), which must resolve within
+        # this call (fix_text is idempotent, property-tested)
+        for _ in range(6):
+            new = _fix_encoding(text, cfg)
+            if cfg.fix_c1_controls:
+                new = _fix_c1(new)
+            if new == text:
+                break
+            text = new
     if cfg.fix_latin_ligatures:
         text = "".join(LIGATURES.get(c, c) for c in text)
     if cfg.fix_character_width:
