@@ -60,10 +60,16 @@ def _rule_query(rule_name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 def _rule_oracle(rule_name: str) -> str | None:
     rule = H.RULES_BY_NAME[rule_name]
+    keep = rule.duck_keep("score")
+    if rule.duck_query is not None:
+        # CTE-structured oracle (heavy list ops materialized once per row)
+        return (
+            f"SELECT doc_id, score, CAST({keep} AS INT) AS keep FROM "
+            f"({rule.duck_query('documents')})"
+        )
     if rule.duck_score is None:
         return None
     score = f"CAST({rule.duck_score('text')} AS DOUBLE)"
-    keep = rule.duck_keep("score")
     return (
         f"SELECT doc_id, score, CAST({keep} AS INT) AS keep FROM "
         f"(SELECT doc_id, {score} AS score FROM documents)"
@@ -97,6 +103,39 @@ def _chain_native_oracle(english: bool = True) -> str:
     return (
         f"SELECT doc_id, CAST(({keep}) AS INT) AS keep, {reason} AS drop_reason "
         f"FROM documents"
+    )
+
+
+def _chain_full_oracle() -> str:
+    """The FULL 28-rule chain (incl. the nine n-gram rules, whose DuckDB
+    forms are CTE queries): scalar scores in one subquery, one join per
+    n-gram rule, keep/drop_reason in exact chain order."""
+    names = chain.chain_rule_names()
+    scalar = [n for n in names if H.RULES_BY_NAME[n].duck_query is None]
+    ngram = [n for n in names if H.RULES_BY_NAME[n].duck_query is not None]
+    scalar_scores = ",\n    ".join(
+        f"CAST({H.RULES_BY_NAME[n].duck_score('text')} AS DOUBLE) AS s_{n}"
+        for n in scalar
+    )
+    joins = "\n".join(
+        f"JOIN ({H.RULES_BY_NAME[n].duck_query('documents')}) q_{n} "
+        f"ON q_{n}.doc_id = s.doc_id"
+        for n in ngram
+    )
+    score_ref = {
+        n: (f"s_{n}" if n in scalar else f"q_{n}.score") for n in names
+    }
+    keeps = {n: H.RULES_BY_NAME[n].duck_keep(score_ref[n]) for n in names}
+    keep = " AND ".join(keeps[n] for n in names)
+    reason = (
+        "CASE "
+        + " ".join(f"WHEN NOT {keeps[n]} THEN '{n}'" for n in names)
+        + " ELSE NULL END"
+    )
+    return (
+        f"SELECT s.doc_id, CAST(({keep}) AS INT) AS keep, {reason} AS drop_reason\n"
+        f"FROM (SELECT doc_id, text,\n    {scalar_scores}\n FROM documents) s\n"
+        f"{joins}"
     )
 
 
@@ -140,6 +179,25 @@ SELECT doc_id FROM (
   FROM aug
 ) WHERE rn > 1
 """
+
+
+def _jsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonlWriter -> JsonlReader round-trip fidelity (reference
+    io/writer/jsonl.py:24, io/reader/jsonl.py:30-81): write the documents
+    table as JSONL, read it back, return the content — the oracle reads
+    the original table, so any writer/reader drift hash-mismatches."""
+    import tempfile
+
+    from nemo_curator_spark.io import tables
+
+    df = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs.jsonl"
+    tables.write_table(df, out, fmt="jsonl")
+    back = tables.read_table(spark, out, fields=["doc_id", "text", "lang"])
+    return back
+
+
+_JSONL_ROUNDTRIP_ORACLE = "SELECT doc_id, text, lang FROM documents"
 
 
 def _dedup_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["heuristic_chain_full"] = _chain_full_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
     out["text_dedup_removal"] = _dedup_removal_query
+    out["io_jsonl_roundtrip"] = _jsonl_roundtrip_query
     out["pii_scrub"] = _pii_query
     out["langid"] = _langid_query
     out["quality_pareto"] = _quality_query
@@ -1045,9 +1104,10 @@ def oracle_sql() -> dict[str, str]:
     # filter_python_comment_ratio: ast/tokenize per doc -> rows-only
     out["heuristic_chain_native"] = _chain_native_oracle()
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
-    # heuristic_chain_full: n-gram rules are pandas-UDF-only -> rows-only check
+    out["heuristic_chain_full"] = _chain_full_oracle()
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
     out["text_dedup_removal"] = _DEDUP_REMOVAL_ORACLE
+    out["io_jsonl_roundtrip"] = _JSONL_ROUNDTRIP_ORACLE
     out["pii_scrub"] = _pii_oracle()
     out["langid"] = _langid_oracle()
     out["quality_pareto"] = _quality_oracle()

@@ -119,6 +119,11 @@ class Rule:
     duck_keep: Callable[[str], str]
     # pure-Python pin used by tests
     py_score: Callable[[str], float]
+    # optional FULL DuckDB query builder (table -> "SELECT doc_id, <expr>
+    # AS score ..."), for rules whose oracle needs CTEs — a scalar
+    # expression with repeated heavy subtrees re-evaluates each textual
+    # occurrence and goes quadratic (the top-ngram rules)
+    duck_query: Callable[[str], str] | None = None
 
 
 def _between(lo: float, hi: float):
@@ -534,9 +539,9 @@ def ngram_scores(texts: pd.Series) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _mk(name, score, keepers, duck_score, py_score) -> Rule:
+def _mk(name, score, keepers, duck_score, py_score, duck_query=None) -> Rule:
     keep, duck_keep = keepers
-    return Rule(name, score, keep, duck_score, duck_keep, py_score)
+    return Rule(name, score, keep, duck_score, duck_keep, py_score, duck_query)
 
 
 RULES: list[Rule] = [
@@ -672,6 +677,42 @@ RULES: list[Rule] = [
     ),
 ]
 
+def _top_ngram_duck_query(n: int):
+    """DuckDB oracle for top_ngram_ratio as a full CTE query: words and
+    grams materialize ONCE per row (a scalar-expression form re-evaluates
+    every textual occurrence and takes ~100s/query; this runs in ~0.1s).
+    Tie-break = first gram holding the max count (pyref's first-seen
+    rule); coverage via replace() length delta. 0 mismatches vs pyref at
+    sf0.01."""
+
+    def duck(table: str) -> str:
+        return f"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM {table}
+), g AS (
+  SELECT doc_id, text, words,
+    list_filter(list_transform(words, (x, i) ->
+      CASE WHEN i + {n - 1} <= len(words)
+           THEN array_to_string(words[i:i+{n - 1}], ' ') END),
+      x -> x IS NOT NULL) AS grams
+  FROM w
+), c AS (
+  SELECT doc_id, text, words, grams,
+    list_transform(grams, x -> len(list_filter(grams, y -> y = x))) AS counts
+  FROM g
+)
+SELECT doc_id, CAST(CASE WHEN len(words) < {n} OR len(text) = 0 THEN 1.0
+  ELSE (len(text) - len(replace(text,
+         grams[list_position(counts, list_max(counts))], ''))) / len(text)
+END AS DOUBLE) AS score
+FROM c
+"""
+
+    return duck
+
+
 for _n, _cut in TOP_NGRAM_PARAMS:
     RULES.append(
         _mk(
@@ -680,8 +721,61 @@ for _n, _cut in TOP_NGRAM_PARAMS:
             _le(_cut),
             None,
             lambda t, n=_n: pyref.top_ngram_ratio(t, n),
+            duck_query=_top_ngram_duck_query(_n),
         )
     )
+def _dup_ngram_duck_query(n: int):
+    """DuckDB oracle for dup_ngram_ratio. The sequential overlap state has
+    a closed form: overlap before gram i = max(n - (i - j), 0) where j is
+    the most recent duplicate index before i (a duplicate resets overlap to
+    n, which then decrements once per gram) — so the whole fold becomes
+    per-position list lambdas. 0 mismatches vs pyref at sf0.01, n=5..10."""
+
+    def duck(table: str) -> str:
+        ov = (
+            f"(CASE WHEN prev_dup[i] IS NULL THEN 0 "
+            f"ELSE greatest({n} - (i - prev_dup[i]), 0) END)"
+        )
+        return f"""
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM {table}
+), g AS (
+  SELECT doc_id, text, words,
+    list_filter(list_transform(words, (x, i) ->
+      CASE WHEN i + {n - 1} <= len(words)
+           THEN array_to_string(words[i:i+{n - 1}], ' ') END),
+      x -> x IS NOT NULL) AS grams
+  FROM w
+), d AS (
+  SELECT doc_id, text, words, grams,
+    list_transform(grams, (x, i) -> list_position(grams, x) < i) AS dup
+  FROM g
+), pd AS (
+  SELECT doc_id, text, words, grams, dup,
+    list_transform(grams, (x, i) ->
+      list_max(list_filter(list_transform(grams, (y, j) ->
+        CASE WHEN j < i AND dup[j] THEN j END), v -> v IS NOT NULL))) AS prev_dup
+  FROM d
+), contrib AS (
+  SELECT doc_id, text, words,
+    list_transform(grams, (x, i) -> CASE WHEN NOT dup[i] THEN 0 ELSE
+      coalesce(list_aggregate(
+        list_transform(words[i + {ov} : i + {n - 1}], y -> len(y)), 'sum'), 0)
+      + least({n} - {ov}, {n - 1})
+    END) AS contribs
+  FROM pd
+)
+SELECT doc_id, CAST(CASE WHEN len(words) < {n} OR len(text) = 0 THEN 1.0
+  ELSE coalesce(list_aggregate(contribs, 'sum'), 0) / len(text)
+END AS DOUBLE) AS score
+FROM contrib
+"""
+
+    return duck
+
+
 for _n, _cut in DUP_NGRAM_PARAMS:
     RULES.append(
         _mk(
@@ -690,6 +784,7 @@ for _n, _cut in DUP_NGRAM_PARAMS:
             _le(_cut),
             None,
             lambda t, n=_n: pyref.dup_ngram_ratio(t, n),
+            duck_query=_dup_ngram_duck_query(_n),
         )
     )
 

@@ -73,3 +73,28 @@ def test_histogram_formula_bounds(text, k):
     hist = set("abcdefghijklmnopqrstuvwxyz "[:k])
     s = L.histogram_score_py(text, hist)
     assert s in (0.0, 1.0)
+
+
+# repeated-word texts stress the ngram oracles' tie-break + overlap logic
+WORDS = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "spark", "the"]),
+    min_size=0, max_size=60,
+).map(" ".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(WORDS, st.sampled_from([2, 3, 5, 7]))
+def test_ngram_duck_oracles_match_pyref(text, n):
+    import duckdb
+
+    from nemo_curator_spark.functions import heuristics as H
+
+    rule = H.RULES_BY_NAME[
+        f"repeating_top_{n}grams" if n <= 4 else f"repeating_dup_{n}gram"
+    ]
+    expected = rule.py_score(text)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    got = con.execute(rule.duck_query("documents")).df()["score"][0]
+    assert abs(got - expected) < 1e-12, (text, n, expected, got)
