@@ -813,6 +813,99 @@ def _per_extension_oracle() -> str:
     )
 
 
+def _curate_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-rule flagship, end-to-end and value-hash-gated: the full
+    webpages.curate label pipeline (langid -> English/non-English 28-rule
+    heuristic cascade -> perplexity (no models here -> pass-through) ->
+    deterministic Pareto quality -> keep/drop_reason) over the documents
+    table, against a complete DuckDB oracle assembled from the per-stage
+    SQL forms. PII scrub columns are checked separately (pii_scrub row)."""
+    from nemo_curator_spark.pipeline import webpages
+
+    df = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("http://doc/"), F.col("doc_id").cast("string"))
+    )
+    labeled = webpages.curate(df, models=None)
+    return labeled.select(
+        "doc_id",
+        "lang_pred",
+        "lang_score",
+        "quality_score",
+        F.col("keep").cast("int").alias("keep"),
+        "drop_reason",
+    )
+
+
+def _curate_labels_oracle() -> str:
+    from nemo_curator_spark.operators import quality
+    from nemo_curator_spark.pipeline import webpages as WP
+
+    lang_sql, lang_score_sql = langid_mod.duck_langid_sql("text")
+    q_sql = quality.duck_lexical_quality_sql("text")
+
+    en_names = chain.chain_rule_names()
+    non_en_names = chain.chain_rule_names(english=False)
+    ngram = [n for n in en_names if H.RULES_BY_NAME[n].duck_query is not None]
+    scalar = [n for n in en_names if n not in ngram]
+
+    scalar_scores = ",\n    ".join(
+        f"CAST({H.RULES_BY_NAME[n].duck_score('text')} AS DOUBLE) AS s_{n}"
+        for n in scalar
+    )
+    joins = "\n".join(
+        f"JOIN ({H.RULES_BY_NAME[n].duck_query('documents')}) q_{n} "
+        f"ON q_{n}.doc_id = s.doc_id"
+        for n in ngram
+    )
+    # keep/drop evaluate in the OUTER select, where every score (scalar and
+    # ngram-join alike) is exposed under the uniform s_<rule> alias
+    keeps = {n: H.RULES_BY_NAME[n].duck_keep(f"s_{n}") for n in en_names}
+
+    def keep_of(names):
+        return " AND ".join(keeps[n] for n in names)
+
+    def reason_of(names):
+        return (
+            "CASE "
+            + " ".join(f"WHEN NOT {keeps[n]} THEN 'heuristic:{n}'" for n in names)
+            + " ELSE NULL END"
+        )
+
+    is_en = "(lang_pred = 'en')"
+    heur_keep = (
+        f"(CASE WHEN {is_en} THEN ({keep_of(en_names)}) "
+        f"ELSE ({keep_of(non_en_names)}) END)"
+    )
+    heur_reason = (
+        f"(CASE WHEN {is_en} THEN ({reason_of(en_names)}) "
+        f"ELSE ({reason_of(non_en_names)}) END)"
+    )
+    lang_ok = f"(lang_score >= {WP.LANGID_CUTOFF})"
+    qual_ok = quality.duck_pareto_keep_sql("quality_score", "url")
+    keep = f"({lang_ok} AND {heur_keep} AND {qual_ok})"
+    reason = (
+        f"CASE WHEN NOT {lang_ok} THEN 'langid' "
+        f"WHEN NOT {heur_keep} THEN {heur_reason} "
+        f"WHEN NOT {qual_ok} THEN 'quality_pareto' ELSE NULL END"
+    )
+    return f"""
+SELECT doc_id, lang_pred, lang_score, quality_score,
+       CAST({keep} AS INT) AS keep, {reason} AS drop_reason
+FROM (
+  SELECT s.doc_id, s.url,
+    {lang_sql} AS lang_pred,
+    CAST({lang_score_sql} AS DOUBLE) AS lang_score,
+    CAST({q_sql} AS DOUBLE) AS quality_score,
+    {", ".join(f"s_{n}" for n in scalar)},
+    {", ".join(f"q_{n}.score AS s_{n}" for n in ngram)}
+  FROM (SELECT doc_id, text, 'http://doc/' || doc_id AS url,
+    {scalar_scores}
+   FROM documents) s
+  {joins}
+)
+"""
+
+
 # --- round-2 framework/modifier/splitter coverage -----------------------------
 
 
@@ -1050,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
     )
     out["heuristic_chain_full"] = _chain_full_query
+    out["curate_full_labels"] = _curate_labels_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
     out["text_dedup_removal"] = _dedup_removal_query
     out["io_jsonl_roundtrip"] = _jsonl_roundtrip_query
@@ -1105,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
     out["heuristic_chain_native"] = _chain_native_oracle()
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     out["heuristic_chain_full"] = _chain_full_oracle()
+    out["curate_full_labels"] = _curate_labels_oracle()
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
     out["text_dedup_removal"] = _DEDUP_REMOVAL_ORACLE
     out["io_jsonl_roundtrip"] = _JSONL_ROUNDTRIP_ORACLE
