@@ -29,10 +29,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full 28-rule English heuristic chain, label-first, with the
-    drop-reason histogram as the result (lineage-style aggregate)."""
-    df = _docs(spark, "/root/testdata/sf0.001")
-    labeled = chain.english_chain(df, "text", mode="label")
+    """Flagship: the full north-rule curation pipeline (langid -> 28-rule
+    heuristic cascade with the non-English variant gate -> deterministic
+    Pareto quality -> PII scrub), label-first, returning the drop-reason
+    histogram (the lineage aggregate)."""
+    from nemo_curator_spark.pipeline import webpages
+
+    df = _docs(spark, "/root/testdata/sf0.001").withColumn(
+        "url", F.concat(F.lit("http://doc/"), F.col("doc_id").cast("string"))
+    )
+    labeled = webpages.curate(df, models=None)
     return (
         labeled.groupBy("keep", "drop_reason")
         .agg(F.count("*").alias("n_docs"))
