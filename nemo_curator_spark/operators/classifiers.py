@@ -82,6 +82,100 @@ class ClassifierStage:
 
 
 @dataclass
+class CategoricalClassifier:
+    """The DistributedDataClassifier config surface (reference
+    classifiers/base.py:68-261): label/score field names, ``filter_by``
+    post-filter, ``max_chars`` truncation, pluggable model. Each concrete
+    classifier below mirrors one reference class's defaults and HF model id
+    (the model itself is the documented plug point — no transformer runtime
+    ships in this environment; reference tests mock it the same way)."""
+
+    model_name: str = ""
+    label_field: str = "pred"
+    score_field: str | None = None
+    text_field: str = "text"
+    filter_by: list[str] | None = None
+    max_chars: int = 2000
+    model: object | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_field)
+        if self.max_chars and self.max_chars > 0:
+            text = F.substring(text, 1, self.max_chars)
+        df = df.withColumn("_clf_text", text)
+        stage = ClassifierStage(
+            model=self.model,
+            pred_col=self.label_field,
+            prob_col=self.score_field or "_clf_prob",
+        )
+        out = stage.apply(df, "_clf_text").drop("_clf_text")
+        if not self.score_field:
+            out = out.drop("_clf_prob")
+        if self.filter_by:
+            out = out.where(F.col(self.label_field).isin(self.filter_by))
+        return out
+
+
+def domain_classifier(**kw) -> CategoricalClassifier:
+    """Reference DomainClassifier (classifiers/domain.py:29)."""
+    return CategoricalClassifier(
+        model_name="nvidia/domain-classifier",
+        label_field=kw.pop("label_field", "domain_pred"),
+        **kw,
+    )
+
+
+def multilingual_domain_classifier(**kw) -> CategoricalClassifier:
+    """Reference MultilingualDomainClassifier (domain.py:88)."""
+    return CategoricalClassifier(
+        model_name="nvidia/multilingual-domain-classifier",
+        label_field=kw.pop("label_field", "domain_pred"),
+        **kw,
+    )
+
+
+def quality_classifier(**kw) -> CategoricalClassifier:
+    """Reference QualityClassifier (quality.py:28); max_chars=6000 there."""
+    return CategoricalClassifier(
+        model_name="nvidia/quality-classifier-deberta",
+        label_field=kw.pop("label_field", "quality_pred"),
+        max_chars=kw.pop("max_chars", 6000),
+        **kw,
+    )
+
+
+def content_type_classifier(**kw) -> CategoricalClassifier:
+    """Reference ContentTypeClassifier (content_type.py:28); max_chars=5000."""
+    return CategoricalClassifier(
+        model_name="nvidia/content-type-classifier-deberta",
+        label_field=kw.pop("label_field", "content_pred"),
+        max_chars=kw.pop("max_chars", 5000),
+        **kw,
+    )
+
+
+def fineweb_edu_classifier(**kw) -> CategoricalClassifier:
+    """Reference FineWebEduClassifier family (fineweb_edu.py:233-358):
+    regression-style 0-5 educational score; label = rounded int string."""
+    return CategoricalClassifier(
+        model_name="HuggingFaceFW/fineweb-edu-classifier",
+        label_field=kw.pop("label_field", "fineweb-edu-score-label"),
+        score_field=kw.pop("score_field", "fineweb-edu-score"),
+        max_chars=kw.pop("max_chars", -1),
+        **kw,
+    )
+
+
+def aegis_classifier(**kw) -> CategoricalClassifier:
+    """Reference AegisClassifier (aegis.py:370-509): safety labels."""
+    return CategoricalClassifier(
+        model_name="nvidia/Aegis-AI-Content-Safety-LlamaGuard-Defensive-1.0",
+        label_field=kw.pop("label_field", "aegis_pred"),
+        **kw,
+    )
+
+
+@dataclass
 class EmbedderStage:
     """Text -> array<float> embedding stage (reference embedders/base.py
     shape). Default model: deterministic hashed bag-of-words projection —

@@ -55,3 +55,50 @@ def test_score_filter_persists_scores_per_rule(spark):
     row = out.collect()[0]
     assert row["wc"] == 62.0
     assert 0.0 <= row["an"] <= 0.25
+
+
+# --- named classifier family (reference classifiers/domain.py etc.) ------------
+
+
+class _MockModel:
+    def predict_batch(self, tokens):
+        return ["News" if len(t) > 3 else "Games" for t in tokens]
+
+    def prob_batch(self, tokens):
+        return [0.9 if len(t) > 3 else 0.6 for t in tokens]
+
+
+def test_named_classifiers_config_surface(spark):
+    from nemo_curator_spark.operators import classifiers as CL
+
+    df = spark.createDataFrame(
+        [
+            (1, "a long news article with many words present here"),
+            (2, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    clf = CL.domain_classifier(model=_MockModel(), score_field="domain_prob")
+    out = clf.apply(df).orderBy("doc_id").collect()
+    assert clf.model_name == "nvidia/domain-classifier"
+    assert [r["domain_pred"] for r in out] == ["News", "Games"]
+    assert out[0]["domain_prob"] == 0.9
+
+    # filter_by post-filter (reference base.py categorical contract)
+    kept = CL.quality_classifier(
+        model=_MockModel(), filter_by=["News"]
+    ).apply(df).collect()
+    assert len(kept) == 1 and kept[0]["quality_pred"] == "News"
+    assert CL.quality_classifier().max_chars == 6000
+
+    # max_chars truncation reaches the model (token ids per word)
+    class LenModel:
+        def predict_batch(self, tokens):
+            return [str(len(t)) for t in tokens]
+
+    long_df = spark.createDataFrame(
+        [(1, "ab " * 2500)], "doc_id long, text string"
+    )
+    out = CL.CategoricalClassifier(model=LenModel(), max_chars=100).apply(long_df)
+    # 100 chars of "ab " -> 34 words, not 2500
+    assert out.collect()[0]["pred"] == "34"
