@@ -30,10 +30,15 @@ def cluster_embeddings(
     from pyspark.ml.functions import array_to_vector
 
     feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    # centroids train on a bounded deterministic sample (same recipe as
+    # similarity.ivf_topk): at corpus scale full-data Lloyd's makes
+    # training the bottleneck while the centroids barely move
+    train_cap = max(10_000, 50 * k)
+    train = feat.orderBy(F.xxhash64(F.col(id_col))).limit(train_cap)
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
         predictionCol="cluster",
-    ).fit(feat)
+    ).fit(train)
     return model.transform(feat).drop("_features")
 
 
@@ -44,19 +49,31 @@ def semantic_near_duplicates(
     k: int = 16,
     threshold: float = 0.95,
     seed: int = 42,
+    max_cluster_size: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs (a < b, cosine >= threshold), pairwise within KMeans
-    clusters only."""
+    clusters only.
+
+    Skew guard: clusters larger than ``max_cluster_size`` switch from
+    all-pairs to star edges (min-id vs members) — a hot cluster would go
+    quadratic; downstream connected-components recovers the same dedup
+    groups from the star, only the explicit pair list is thinned."""
+    from pyspark.sql.window import Window
+
     clustered = cluster_embeddings(df, id_col, vec_col, k, seed)
+    w = Window.partitionBy("cluster")
     side = clustered.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         "cluster",
+    ).withColumn("_n", F.count("*").over(w)).withColumn(
+        "_min", F.min(F.struct("id", "vec")).over(w)
     )
-    pairs = (
-        side.alias("x")
+    small = side.where(F.col("_n") <= max_cluster_size)
+    all_pairs = (
+        small.alias("x")
         .join(
-            side.alias("y"),
+            small.alias("y"),
             (F.col("x.cluster") == F.col("y.cluster"))
             & (F.col("x.id") < F.col("y.id")),
         )
@@ -65,9 +82,20 @@ def semantic_near_duplicates(
             F.col("y.id").alias("b"),
             cosine(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
     )
-    return pairs
+    star_pairs = (
+        side.where(
+            (F.col("_n") > max_cluster_size) & (F.col("id") != F.col("_min.id"))
+        )
+        .select(
+            F.col("_min.id").alias("a"),
+            F.col("id").alias("b"),
+            cosine(F.col("_min.vec"), F.col("vec")).alias("cosine"),
+        )
+    )
+    return all_pairs.unionByName(star_pairs).where(
+        F.col("cosine") >= threshold
+    )
 
 
 def semantic_duplicate_ids(

@@ -71,3 +71,23 @@ def test_connected_components_long_chain_converges(spark):
     labels = dedup.connected_components(edges, max_iter=25, strict=True)
     comps = {r["comp"] for r in labels.collect()}
     assert comps == {0}
+
+
+def test_semantic_hot_cluster_star_fallback(spark):
+    from nemo_curator_spark.operators import semantic
+
+    # 600 identical embeddings + a distinct tail -> one hot cluster
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(600)]
+    rows += [(1000 + j, [0.0, 1.0, float(j) / 10.0, 1.0]) for j in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic.semantic_near_duplicates(
+        df, k=2, threshold=0.99, max_cluster_size=100
+    )
+    n = pairs.count()
+    # star fallback: 599 edges from the hot cluster, not ~180k
+    assert n < 650
+    removal = semantic.semantic_duplicate_ids(
+        df, k=2, threshold=0.99, seed=42
+    )
+    ids = {r["vec_id"] for r in removal.collect()}
+    assert set(range(1, 600)) <= ids  # identical block deduped to min id
