@@ -912,6 +912,22 @@ FROM (
 """
 
 
+def _curate_lineage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineage drop-reason histogram over the full curation labels
+    (north-rule lineage contract; what entry() returns), hash-gated."""
+    labeled = _curate_labels_query(spark, sf_dir)
+    return labeled.groupBy("keep", "drop_reason").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _curate_lineage_oracle() -> str:
+    return (
+        f"SELECT keep, drop_reason, count(*) AS n_docs FROM "
+        f"({_curate_labels_oracle()}) GROUP BY keep, drop_reason"
+    )
+
+
 # --- round-2 framework/modifier/splitter coverage -----------------------------
 
 
@@ -1150,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["heuristic_chain_full"] = _chain_full_query
     out["curate_full_labels"] = _curate_labels_query
+    out["curate_lineage_histogram"] = _curate_lineage_query
     out["exact_dedup_removal_ids"] = _exact_dedup_query
     out["text_dedup_removal"] = _dedup_removal_query
     out["io_jsonl_roundtrip"] = _jsonl_roundtrip_query
@@ -1206,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     out["heuristic_chain_full"] = _chain_full_oracle()
     out["curate_full_labels"] = _curate_labels_oracle()
+    out["curate_lineage_histogram"] = _curate_lineage_oracle()
     out["exact_dedup_removal_ids"] = _EXACT_DEDUP_ORACLE
     out["text_dedup_removal"] = _DEDUP_REMOVAL_ORACLE
     out["io_jsonl_roundtrip"] = _JSONL_ROUNDTRIP_ORACLE
