@@ -1,0 +1,149 @@
+"""Megatron indexed-dataset writer (.bin/.idx pretraining shards), the
+reference MegatronTokenizerWriter's on-disk contract
+(io/writer/megatron_tokenizer.py:36-240; layout documented at :195-204 and
+in Megatron-LM's indexed_dataset.py):
+
+  .bin  concatenated per-document token arrays (uint16 when vocab fits in
+        16 bits — dtype code 8 — else int32 — code 4), C order
+  .idx  b"MMIDIDX\\x00\\x00" | uint64 version=1 | uint8 dtype code |
+        uint64 sequence count | uint64 document count |
+        int32 lengths[n] | int64 byte pointers[n] (cumulative, from 0) |
+        int64 document indices[n+1] (0..n)
+
+The reference tokenizes with HF AutoTokenizer (absent here); any object
+with ``encode(text) -> list[int]`` plugs in — the vendored MiniBPE
+(functions/bpe.py) by default. A reader is included so tests verify the
+byte layout round-trips.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+INDEX_HEADER = b"MMIDIDX\x00\x00"
+
+
+def _dtype_for_vocab(vocab_size: int) -> tuple[np.dtype, int]:
+    if vocab_size > np.iinfo(np.uint16).max + 1:
+        return np.dtype(np.int32), 4
+    return np.dtype(np.uint16), 8
+
+
+def write_shard(
+    texts: list[str],
+    file_prefix: str,
+    tokenizer,
+    vocab_size: int,
+    append_eod: bool = False,
+    eod_token_id: int | None = None,
+) -> dict:
+    """Tokenize and write one .bin/.idx shard pair; returns shard stats."""
+    token_dtype, dtype_code = _dtype_for_vocab(vocab_size)
+    if append_eod and eod_token_id is None:
+        append_eod = False  # reference: disable when the tokenizer has no eos
+    lengths: list[int] = []
+    with open(file_prefix + ".bin", "wb") as f:
+        for text in texts:
+            tokens = tokenizer.encode(text or "")
+            if append_eod:
+                tokens = [*tokens, eod_token_id]
+            lengths.append(len(tokens))
+            f.write(np.asarray(tokens, dtype=token_dtype).tobytes(order="C"))
+    _write_idx(file_prefix, token_dtype.itemsize, dtype_code, lengths)
+    return {
+        "file_prefix": file_prefix,
+        "num_docs": len(lengths),
+        "num_tokens": int(sum(lengths)),
+        "token_size": token_dtype.itemsize,
+    }
+
+
+def _write_idx(
+    file_prefix: str, token_size: int, dtype_code: int, lengths: list[int]
+) -> None:
+    n = len(lengths)
+    with open(file_prefix + ".idx", "wb") as f:
+        f.write(INDEX_HEADER)
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<B", dtype_code))
+        f.write(struct.pack("<Q", n))
+        doc_indices = np.arange(n + 1, dtype=np.int64)
+        f.write(struct.pack("<Q", len(doc_indices)))
+        arr = np.asarray(lengths, dtype=np.int32)
+        f.write(arr.tobytes(order="C"))
+        pointers = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            pointers[1:] = np.cumsum(arr[:-1], dtype=np.int64) * token_size
+        f.write(pointers.tobytes(order="C"))
+        f.write(doc_indices.tobytes(order="C"))
+
+
+def read_shard(file_prefix: str) -> list[np.ndarray]:
+    """Read back per-document token arrays (layout verification)."""
+    with open(file_prefix + ".idx", "rb") as f:
+        header = f.read(9)
+        if header != INDEX_HEADER:
+            raise ValueError(f"bad index header: {header!r}")
+        (version,) = struct.unpack("<Q", f.read(8))
+        if version != 1:
+            raise ValueError(f"unsupported version {version}")
+        (dtype_code,) = struct.unpack("<B", f.read(1))
+        dtype = np.uint16 if dtype_code == 8 else np.int32
+        (n,) = struct.unpack("<Q", f.read(8))
+        struct.unpack("<Q", f.read(8))  # document count
+        lengths = np.frombuffer(f.read(4 * n), dtype=np.int32)
+        pointers = np.frombuffer(f.read(8 * n), dtype=np.int64)
+    data = np.fromfile(file_prefix + ".bin", dtype=dtype)
+    out = []
+    item = np.dtype(dtype).itemsize
+    for ln, ptr in zip(lengths, pointers):
+        start = ptr // item
+        out.append(data[start : start + ln])
+    return out
+
+
+def write_megatron(
+    df,
+    out_dir: str,
+    merges: list,
+    text_col: str = "text",
+    append_eod: bool = False,
+    eod_token_id: int | None = None,
+):
+    """Distributed shard writing: one .bin/.idx pair per partition via
+    mapInPandas (the reference writes one pair per DocumentBatch), shard
+    names deterministic in the partition's content (xxhash of ids). Returns
+    the manifest DataFrame (collect it to materialize the write)."""
+    import os
+
+    import pandas as pd
+
+    from nemo_curator_spark.functions.bpe import MiniBPE
+
+    os.makedirs(out_dir, exist_ok=True)
+    vocab_size = 256 + len(merges)
+
+    def fn(batches):
+        tok = MiniBPE(merges)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            import zlib
+
+            digest = zlib.crc32(
+                ",".join(str(x) for x in pdf.index.tolist()).encode()
+                + pdf[text_col].str.len().sum().astype(str).encode()
+            )
+            prefix = os.path.join(out_dir, f"shard-{digest:08x}")
+            stats = write_shard(
+                pdf[text_col].tolist(), prefix, tok, vocab_size,
+                append_eod, eod_token_id,
+            )
+            yield pd.DataFrame([stats])
+
+    return df.mapInPandas(
+        fn,
+        schema="file_prefix string, num_docs long, num_tokens long, token_size int",
+    )
