@@ -32,9 +32,17 @@ def cluster_embeddings(
     feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
     # centroids train on a bounded deterministic sample (same recipe as
     # similarity.ivf_topk): at corpus scale full-data Lloyd's makes
-    # training the bottleneck while the centroids barely move
+    # training the bottleneck while the centroids barely move. Hash-filter
+    # instead of orderBy+limit — no full-table sort for a sample.
     train_cap = max(10_000, 50 * k)
-    train = feat.orderBy(F.xxhash64(F.col(id_col))).limit(train_cap)
+    n_rows = feat.count()
+    if n_rows > train_cap:
+        modulus = -(-n_rows // train_cap)  # ceil
+        train = feat.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0
+        )
+    else:
+        train = feat
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
         predictionCol="cluster",

@@ -185,9 +185,17 @@ def ivf_topk(
     # centroids train on a bounded deterministic sample (the standard IVF
     # recipe — FAISS trains on ~max(10k, 50*n_lists) vectors); full-corpus
     # KMeans would make training the bottleneck at scale while the
-    # centroids barely change
+    # centroids barely change. Hash-filter, not orderBy+limit: a sort
+    # would shuffle the whole embeddings table just to pick a sample.
     train_cap = max(10_000, 50 * n_lists)
-    train = feat.orderBy(F.xxhash64(F.col("id"))).limit(train_cap)
+    n_rows = feat.count()
+    if n_rows > train_cap:
+        modulus = -(-n_rows // train_cap)  # ceil
+        train = feat.where(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(modulus)) == 0
+        )
+    else:
+        train = feat
     model = KMeans(
         k=n_lists, seed=seed, maxIter=10, featuresCol="_features",
         predictionCol="list_id",

@@ -54,6 +54,18 @@ def main() -> None:
         "ann topk (expect: bucket-key equi-joins, NO cartesian product)",
         similarity.ann_topk_hyperplane(emb, k=3, num_tables=2),
     )
+    from nemo_curator_spark.pipeline import webpages
+
+    web = spark.createDataFrame(
+        [],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    show(
+        "full curate (expect: extraction ArrowEvalPython BEFORE the salted "
+        "Exchange; html absent from every Exchange input — pinned by "
+        "tests/test_plan_shapes.py)",
+        webpages.curate(web, models=None),
+    )
     spark.stop()
 
 
