@@ -542,6 +542,90 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _tpch_q3_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (3-way join + agg + deterministic top-10): the
+    relational capabilities the reference lacks entirely (SURVEY §2.6) —
+    Spark's planner broadcasts the filtered customer dim; no custom code."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = "1996-06-30 00:00:00"
+    return (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+_TPCH_Q3_ORACLE = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _tpch_q5_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-way snowflake join): nation/region dims broadcast,
+    fact joins shuffle on keys — all planner-chosen."""
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    return (
+        read("customer")
+        .join(read("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1997-01-01 00:00:00")
+        )
+        .join(read("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            read("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(read("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(read("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_TPCH_Q5_ORACLE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def _modifier_urls_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nemo_curator_spark.operators import modifiers as M
 
@@ -1188,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_topk_per_user"] = _topk_per_user_query
     out["lineitem_rollup"] = _rollup_query
     out["tpch_q1"] = _tpch_q1_query
+    out["tpch_q3"] = _tpch_q3_query
+    out["tpch_q5"] = _tpch_q5_query
     out["modifier_url_newline"] = _modifier_urls_query
     out["filter_substring_any"] = _substring_query
     out["modifier_markdown"] = _markdown_query
@@ -1239,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
     out["events_topk_per_user"] = _TOPK_PER_USER_ORACLE
     out["lineitem_rollup"] = _ROLLUP_ORACLE
     out["tpch_q1"] = _TPCH_Q1_ORACLE
+    out["tpch_q3"] = _TPCH_Q3_ORACLE
+    out["tpch_q5"] = _TPCH_Q5_ORACLE
     out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
     out["filter_substring_any"] = _SUBSTRING_ORACLE
     out["modifier_markdown"] = _MARKDOWN_ORACLE
