@@ -13,7 +13,10 @@ with zipfile.ZipFile("dist/nemo_curator_spark.zip", "w", zipfile.ZIP_DEFLATED) a
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .py modules + data artifacts (histograms, code_meta.csv);
+            # artifacts load driver-side (plan build), so a repo checkout
+            # on the driver suffices even when executors import the zip
+            if f.endswith(".py") or "/artifacts" in root:
                 z.write(os.path.join(root, f))
 print("wrote dist/nemo_curator_spark.zip")
 EOF
