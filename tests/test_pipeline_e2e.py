@@ -126,3 +126,28 @@ def test_checkpoint_resume_half_then_full(spark, web_df, tmp_path):
     # idempotent re-run: nothing left to do
     res3 = out.write_run(labeled, lin, run_id="run3")
     assert res3["committed"] == []
+
+
+def test_uncommitted_lineage_invisible(spark, web_df, tmp_path):
+    """A run that wrote lineage but crashed before commit() must be
+    invisible to read_lineage — same visibility contract as the data side
+    (checkpoint.py read_lineage; the reference's LMDB actor only surfaces
+    committed sources)."""
+    import os
+
+    from nemo_curator_spark.pipeline import webpages
+    from nemo_curator_spark.pipeline.checkpoint import CheckpointedOutput
+
+    out = CheckpointedOutput(str(tmp_path / "out"))
+    labeled = webpages.curate(web_df.limit(50), models=None)
+    lin = webpages.lineage(labeled, run_id="run_a")
+    out.write_run(labeled, lin, run_id="run_a")
+
+    # simulate a crashed second run: lineage written, NO snapshot commit
+    crashed_dir = os.path.join(out.lineage_dir, "crashed_run")
+    lin.write.mode("overwrite").parquet(crashed_dir)
+
+    visible = out.read_lineage(spark)
+    assert set(
+        r["run_id"] for r in visible.select("run_id").distinct().collect()
+    ) == {"run_a"}
