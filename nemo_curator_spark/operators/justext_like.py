@@ -150,9 +150,11 @@ class _Segmenter(HTMLParser):
             return
         if tag in PARAGRAPH_TAGS:
             self._br_pending = False
-            self._flush()
             if tag in HEADING_TAGS and self._heading_depth:
+                # decrement BEFORE flushing: the paragraph that starts
+                # after </hN> is not a heading
                 self._heading_depth -= 1
+            self._flush()
             return
         if tag == "a" and self._link_depth:
             self._link_depth -= 1

@@ -244,3 +244,22 @@ def test_parse_failure_returns_none(monkeypatch):
 
     monkeypatch.setattr(J, "_Segmenter", Boom)
     assert J.extract_text("<p>x</p>", frozenset(), "ENGLISH") is None
+
+
+def test_heading_flag_and_promotion():
+    long_good = (
+        "This is a long and very stopword dense paragraph because it has "
+        "the and of and to and in and that and with and for and was and "
+        "are and this and from and they and have and been and which and "
+        "more and will and would and could and should make it clearly good."
+    )
+    html = f"<body><h2>Short Head</h2><p>{long_good}</p><div>tail</div></body>"
+    paras = J.segment_paragraphs(html)
+    texts = [p.text for p in paras]
+    assert texts == ["Short Head", long_good, "tail"]
+    # only the <h2> block carries the heading flag (the paragraph AFTER
+    # </h2> must not — regression for the depth/flush ordering)
+    assert [p.heading for p in paras] == [True, False, False]
+    # context-sensitive promotion: the short heading survives next to good
+    result = J.extract_text(html, J.ENGLISH_STOPWORDS, "ENGLISH")
+    assert result == ["Short Head", long_good]
