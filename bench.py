@@ -66,6 +66,12 @@ def main() -> None:
     webpages.curate(warm_slice, models, webpages.CurationConfig()).agg(
         F.sum(F.col("keep").cast("long"))
     ).collect()
+    # the bare chain is a DIFFERENT plan shape than curate's; compile its
+    # whole-stage codegen too (the first run of a novel 28-rule projection
+    # costs ~20-30s of janino compilation alone)
+    chain.english_chain(warm_slice, "text", mode="label").agg(
+        F.sum(F.col("keep").cast("long"))
+    ).collect()
     dedup.fuzzy_duplicate_ids(
         warm_slice.select(F.xxhash64("url").alias("doc_id"), "text"),
         num_perms=64, num_bands=16, jaccard_threshold=0.8,

@@ -43,6 +43,10 @@ def cluster_embeddings(
         )
     else:
         train = feat
+    # the sample is bounded (~train_cap rows) regardless of corpus size;
+    # a handful of partitions beats per-iteration task overhead in
+    # distributed Lloyd's on tiny data
+    train = train.coalesce(4)
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
         predictionCol="cluster",

@@ -196,6 +196,10 @@ def ivf_topk(
         )
     else:
         train = feat
+    # the sample is bounded (~train_cap rows) regardless of corpus size;
+    # a handful of partitions beats per-iteration task overhead in
+    # distributed Lloyd's on tiny data
+    train = train.coalesce(4)
     model = KMeans(
         k=n_lists, seed=seed, maxIter=10, featuresCol="_features",
         predictionCol="list_id",
