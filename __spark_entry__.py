@@ -542,6 +542,36 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every click event enriched with the
+    latest preceding purchase value per user — union + one window pass, no
+    range join; oracle = DuckDB's native ASOF LEFT JOIN."""
+    from nemo_curator_spark.operators.asof import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    out = as_of_join(clicks, purchases, on="user_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+_ASOF_JOIN_ORACLE = """
+SELECT l.user_id, l.event_id, round(r.value, 6) AS last_purchase_value
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _tpch_q3_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (3-way join + agg + deterministic top-10): the
     relational capabilities the reference lacks entirely (SURVEY §2.6) —
@@ -1274,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tpch_q1"] = _tpch_q1_query
     out["tpch_q3"] = _tpch_q3_query
     out["tpch_q5"] = _tpch_q5_query
+    out["events_asof_join"] = _asof_join_query
     out["modifier_url_newline"] = _modifier_urls_query
     out["filter_substring_any"] = _substring_query
     out["modifier_markdown"] = _markdown_query
@@ -1327,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
     out["tpch_q1"] = _TPCH_Q1_ORACLE
     out["tpch_q3"] = _TPCH_Q3_ORACLE
     out["tpch_q5"] = _TPCH_Q5_ORACLE
+    out["events_asof_join"] = _ASOF_JOIN_ORACLE
     out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
     out["filter_substring_any"] = _SUBSTRING_ORACLE
     out["modifier_markdown"] = _MARKDOWN_ORACLE

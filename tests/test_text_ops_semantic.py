@@ -130,3 +130,24 @@ def test_join_documents_chunked(spark):
     assert got[(1, 1)] == "cccc"
     assert got[(1, 2)] == "x" * 20
     assert got[(2, 0)] == "solo"
+
+
+def test_as_of_join(spark):
+    from nemo_curator_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 15.0, "c"), (1, 5.0, "d")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 100.0), (1, 18.0, 200.0), (2, 30.0, 300.0)],
+        "k long, ts double, val double",
+    )
+    out = {
+        (r["k"], r["ts"]): r["val"]
+        for r in as_of_join(left, right, on="k").collect()
+    }
+    assert out[(1, 10.0)] == 100.0   # latest right at ts<=10 is 5
+    assert out[(1, 20.0)] == 200.0   # 18 <= 20
+    assert out[(1, 5.0)] == 100.0    # inclusive >= at equal ts
+    assert out[(2, 15.0)] is None    # no preceding right row
