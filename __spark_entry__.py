@@ -542,6 +542,81 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _events_cube_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour-of-day)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("hod", F.hour("ts"))
+        .cube("event_type", "hod")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hod").cast("int"), F.lit(-1)).alias("hod"),
+            "n",
+            "total",
+        )
+    )
+
+
+_EVENTS_CUBE_ORACLE = """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hod, -1) AS hod, count(*) AS n, round(sum(value), 4) AS total
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hod, value FROM events)
+GROUP BY CUBE (event_type, hod)
+"""
+
+
+def _set_ops_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over two filtered id sets (absent from the
+    reference; Spark built-ins)."""
+    df = _docs(spark, sf_dir)
+    long_docs = df.where(F.col("n_chars") > 200).select("doc_id")
+    en_docs = df.where(F.col("lang") == "en").select("doc_id")
+    both = long_docs.intersect(en_docs).withColumn("set_op", F.lit("both"))
+    long_only = long_docs.exceptAll(en_docs).withColumn(
+        "set_op", F.lit("long_only")
+    )
+    return both.unionByName(long_only)
+
+
+_SET_OPS_ORACLE = """
+SELECT doc_id, 'both' AS set_op FROM
+  (SELECT doc_id FROM documents WHERE n_chars > 200
+   INTERSECT SELECT doc_id FROM documents WHERE lang = 'en')
+UNION ALL
+SELECT doc_id, 'long_only' AS set_op FROM
+  (SELECT doc_id FROM documents WHERE n_chars > 200
+   EXCEPT ALL SELECT doc_id FROM documents WHERE lang = 'en')
+"""
+
+
+def _range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: for each error event, count same-user events
+    within the preceding 30 minutes (equi key + range predicate — Spark
+    plans sort-merge on user_id with the range as a join filter)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+    )
+    others = ev.select("user_id", "ts", "event_id")
+    win = F.expr("timestampdiff(SECOND, ts, err_ts)")
+    joined = errors.join(others, "user_id").where(
+        (F.col("event_id") != F.col("err_id")) & (win >= 0) & (win <= 1800)
+    )
+    return joined.groupBy("err_id").agg(F.count("*").alias("n_preceding"))
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT e.err_id, count(*) AS n_preceding
+FROM (SELECT user_id, ts AS err_ts, event_id AS err_id FROM events
+      WHERE event_type = 'error') e
+JOIN events o ON o.user_id = e.user_id
+WHERE o.event_id <> e.err_id
+  AND date_diff('second', o.ts, e.err_ts) BETWEEN 0 AND 1800
+GROUP BY e.err_id
+"""
+
+
 def _asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): every click event enriched with the
     latest preceding purchase value per user — union + one window pass, no
@@ -1305,6 +1380,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tpch_q3"] = _tpch_q3_query
     out["tpch_q5"] = _tpch_q5_query
     out["events_asof_join"] = _asof_join_query
+    out["events_cube"] = _events_cube_query
+    out["doc_set_ops"] = _set_ops_query
+    out["events_range_join"] = _range_join_query
     out["modifier_url_newline"] = _modifier_urls_query
     out["filter_substring_any"] = _substring_query
     out["modifier_markdown"] = _markdown_query
@@ -1359,6 +1437,9 @@ def oracle_sql() -> dict[str, str]:
     out["tpch_q3"] = _TPCH_Q3_ORACLE
     out["tpch_q5"] = _TPCH_Q5_ORACLE
     out["events_asof_join"] = _ASOF_JOIN_ORACLE
+    out["events_cube"] = _EVENTS_CUBE_ORACLE
+    out["doc_set_ops"] = _SET_OPS_ORACLE
+    out["events_range_join"] = _RANGE_JOIN_ORACLE
     out["modifier_url_newline"] = _MODIFIER_URLS_ORACLE
     out["filter_substring_any"] = _SUBSTRING_ORACLE
     out["modifier_markdown"] = _MARKDOWN_ORACLE
