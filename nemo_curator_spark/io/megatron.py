@@ -114,8 +114,9 @@ def write_megatron(
 ):
     """Distributed shard writing: one .bin/.idx pair per partition via
     mapInPandas (the reference writes one pair per DocumentBatch), shard
-    names deterministic in the partition's content (xxhash of ids). Returns
-    the manifest DataFrame (collect it to materialize the write)."""
+    names unique per (partitionId, batch) with a content digest of the
+    text bytes; refuses to overwrite an existing shard. Returns the
+    manifest DataFrame (collect it to materialize the write)."""
     import os
 
     import pandas as pd
@@ -126,17 +127,31 @@ def write_megatron(
     vocab_size = 256 + len(merges)
 
     def fn(batches):
+        import hashlib
+
+        from pyspark import TaskContext
+
         tok = MiniBPE(merges)
-        for pdf in batches:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        for bi, pdf in enumerate(batches):
             if len(pdf) == 0:
                 continue
-            import zlib
-
-            digest = zlib.crc32(
-                ",".join(str(x) for x in pdf.index.tolist()).encode()
-                + pdf[text_col].str.len().sum().astype(str).encode()
+            # Shard identity = (partition, batch-in-partition) + a content
+            # digest over the actual text bytes. pdf.index is a RangeIndex
+            # (NOT doc ids) and equal-length batches are the norm under
+            # Arrow's 10k-row batching, so any length-derived name collides.
+            h = hashlib.md5()
+            for t in pdf[text_col]:
+                h.update((t or "").encode("utf-8", "surrogatepass"))
+                h.update(b"\x00")
+            prefix = os.path.join(
+                out_dir, f"shard-{pid:05d}-{bi:04d}-{h.hexdigest()[:8]}"
             )
-            prefix = os.path.join(out_dir, f"shard-{digest:08x}")
+            if os.path.exists(prefix + ".bin"):
+                raise FileExistsError(
+                    f"megatron shard would overwrite {prefix}.bin"
+                )
             stats = write_shard(
                 pdf[text_col].tolist(), prefix, tok, vocab_size,
                 append_eod, eod_token_id,

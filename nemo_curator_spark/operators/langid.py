@@ -230,6 +230,8 @@ def load_histogram(lang: str, threshold_char: str = "]") -> set[str]:
     chars: set[str] = set()
     with open(os.path.join(HISTOGRAM_DIR, lang)) as f:
         for line in f:
+            if not line.rstrip("\n"):
+                continue
             c = line[0]
             if c == threshold_char:
                 break
