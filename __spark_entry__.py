@@ -811,9 +811,21 @@ def _histogram_oracle() -> str:
 
 
 def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup removal ids (reference deduplication/semantic/*): KMeans
+    clusters, within-cluster max-cosine-to-earlier ranking, threshold at
+    1-eps. The synthetic embeddings have no pairs above 0.99 cosine, which
+    would make this row vacuous — so the query deterministically unions a
+    re-id'd copy of every 10th vector first (same recipe as
+    exact_dedup_removal_ids), guaranteeing nonzero removals."""
     from nemo_curator_spark.operators import semantic
 
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    df = base.unionAll(dup)
     return semantic.semantic_duplicate_ids(df, k=8, threshold=0.99)
 
 

@@ -1,112 +1,250 @@
-"""Semantic deduplication: KMeans clustering + within-cluster pairwise
-cosine (reference deduplication/semantic/*: kmeans.py:48,483,
-pairwise.py:74,254 — GPU cuML there; pyspark.ml here).
+"""Semantic deduplication — the SemDeDup recipe, aligned with the
+reference's semantics (deduplication/semantic/kmeans.py,
+pairwise.py:37-254, ranking.py, identify_duplicates.py:100-118):
 
-Shape: embed column → KMeans (pyspark.ml, Spark-native distributed Lloyd's)
-→ per-cluster pairwise cosine ONLY within clusters (the quadratic work is
-bounded by cluster size, not corpus size) → near-dup pairs above a cosine
-threshold → removal ids via keep-min-per-component.
+1. L2-normalize embeddings (kmeans.py:449-452 normalizes at read).
+2. KMeans on the normalized vectors; every row gets its cluster plus
+   ``cosine_dist_to_cent`` = 1 - cos(vec, centroid) (kmeans.py:456-473).
+   Centroids train on a bounded hash-filtered sample, fit in numpy on the
+   driver (functions/kmeans_np.py); full-corpus assignment is one Arrow
+   projection. ``k`` defaults to scaling with corpus size — a fixed small
+   k at corpus scale would make every cluster huge and the within-cluster
+   pairwise stage quadratic.
+3. Within each cluster, rank rows: ``which_to_keep="hard"`` sorts by
+   (cosine_dist_to_cent DESC, id DESC) — keep outliers; "easy" ascending;
+   "random" by a seeded hash (pairwise.py:280-304).
+4. ``cosine_sim_score[i]`` = max cosine to any EARLIER-ranked row in the
+   cluster, 0 for the top-ranked row (pairwise_cosine_similarity_batched,
+   pairwise.py:37-72: triu + column max). ``max_id`` is the argmax row.
+5. Removal ids = rows with ``cosine_sim_score >= threshold`` where
+   threshold = 1 - eps (identify_duplicates.py:100-105 reads with a
+   ``cosine_sim_score >= 1 - eps`` filter).
+
+The quadratic stage is bounded per cluster, not per corpus; clusters
+bigger than ``max_cluster_size`` only compare against their first
+``max_cluster_size`` ranked rows (the reference requires each cluster to
+fit in GPU memory and tells users to raise n_clusters — same pressure,
+graceful degradation here instead of an OOM).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
-from nemo_curator_spark.operators import dedup as dedup_mod
-from nemo_curator_spark.operators.similarity import cosine
+from nemo_curator_spark.functions.kmeans_np import (
+    NUMPY_KMEANS_MAX_K,
+    kmeans_fit,
+    sample_training_rows,
+)
+
+
+def _auto_k(n_rows: int) -> int:
+    """Scale cluster count with corpus size: average cluster ~2000 rows
+    keeps the within-cluster quadratic stage bounded (reference
+    workflow.py warns when n_clusters is small for the corpus)."""
+    return int(min(max(16, -(-n_rows // 2000)), 100_000))
+
+
+def _assign_udf(cmat: np.ndarray):
+    """One Arrow pass: normalize the vector, assign the nearest centroid
+    (L2 on normalized vectors, exactly what KMeans-on-normalized does),
+    and compute cosine_dist_to_cent against the re-normalized centroid
+    (reference kmeans.py:462-473)."""
+    cmat = np.asarray(cmat, dtype=np.float64)
+    csq = np.einsum("ij,ij->i", cmat, cmat)
+    cn = np.linalg.norm(cmat, axis=1)
+    cn[cn == 0.0] = 1.0
+    cnorm = cmat / cn[:, None]
+
+    schema = T.StructType(
+        [
+            T.StructField("nvec", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("cosine_dist_to_cent", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0.0] = 1.0
+        Vn = V / vn[:, None]
+        # argmin ||v - c||^2 = argmax (v.c - |c|^2/2)
+        labels = np.argmax(Vn @ cmat.T - 0.5 * csq[None, :], axis=1)
+        cos_dist = 1.0 - np.einsum("ij,ij->i", Vn, cnorm[labels])
+        return pd.DataFrame(
+            {
+                "nvec": list(Vn),
+                "cluster": labels.astype(np.int32),
+                "cosine_dist_to_cent": cos_dist,
+            }
+        )
+
+    return _udf
 
 
 def cluster_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     seed: int = 42,
     max_iter: int = 20,
 ) -> DataFrame:
-    """Assign a KMeans cluster id to every row (adds ``cluster``)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Adds ``cluster``, ``cosine_dist_to_cent`` and the L2-normalized
+    vector ``nvec`` to every row. ``k=None`` scales with corpus size."""
+    base = df.withColumn("_vec", F.col(vec_col).cast("array<double>"))
+    n_rows = base.count()
+    if k is None:
+        k = _auto_k(n_rows)
+    k = max(1, min(k, n_rows))
 
-    feat = df.withColumn("_features", array_to_vector(F.col(vec_col).cast("array<double>")))
-    # centroids train on a bounded deterministic sample (same recipe as
-    # similarity.ivf_topk): at corpus scale full-data Lloyd's makes
-    # training the bottleneck while the centroids barely move. Hash-filter
-    # instead of orderBy+limit — no full-table sort for a sample.
-    train_cap = max(10_000, 50 * k)
-    n_rows = feat.count()
-    if n_rows > train_cap:
-        modulus = -(-n_rows // train_cap)  # ceil
+    if k <= NUMPY_KMEANS_MAX_K:
+        train_cap = max(10_000, 50 * k)
+        _, rows = sample_training_rows(base, id_col, ["_vec"], train_cap)
+        X = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        cmat = kmeans_fit(X / norms[:, None], k, seed=seed, max_iter=max_iter)
+    else:
+        # very large k: the driver fit is no longer cheap — distributed
+        # Lloyd's via pyspark.ml on the (still bounded) sample
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train_cap = max(10_000, 50 * k)
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _l2n(vecs: pd.Series) -> pd.Series:
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = 1.0
+            return pd.Series(list(V / n[:, None]))
+
+        feat = base.withColumn("_features", array_to_vector(_l2n(F.col("_vec"))))
+        modulus = max(1, -(-n_rows // train_cap))
         train = feat.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0
         )
-    else:
-        train = feat
-    # the sample is bounded (~train_cap rows) regardless of corpus size;
-    # a handful of partitions beats per-iteration task overhead in
-    # distributed Lloyd's on tiny data
-    train = train.coalesce(4)
-    model = KMeans(
-        k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
-        predictionCol="cluster",
-    ).fit(train)
-    return model.transform(feat).drop("_features")
+        model = KMeans(
+            k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
+            predictionCol="cluster",
+        ).fit(train)
+        cmat = np.asarray(model.clusterCenters(), dtype=np.float64)
+
+    assigned = base.withColumn("_a", _assign_udf(cmat)(F.col("_vec")))
+    return (
+        assigned.withColumn("nvec", F.col("_a.nvec"))
+        .withColumn("cluster", F.col("_a.cluster"))
+        .withColumn("cosine_dist_to_cent", F.col("_a.cosine_dist_to_cent"))
+        .drop("_a", "_vec")
+    )
+
+
+def _pair_dot_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        # b is NULL on left-join misses (top-ranked rows with no earlier
+        # row) — when() doesn't stop Spark evaluating the UDF for them
+        out = np.full(len(a), np.nan)
+        mask = np.array([x is not None and y is not None for x, y in zip(a, b)])
+        if mask.any():
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in a[mask]])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in b[mask]])
+            out[mask] = np.einsum("ij,ij->i", A, B)
+        return pd.Series(out)
+
+    return _udf
+
+
+def semantic_scores(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    seed: int = 42,
+    which_to_keep: str = "hard",
+    max_cluster_size: int = 5000,
+) -> DataFrame:
+    """Per-row (id, max_id, cosine_sim_score) — the reference pairwise
+    stage's output table (pairwise.py:218-228): the max cosine similarity
+    of each row to any earlier-ranked row in its cluster."""
+    if which_to_keep not in {"hard", "easy", "random"}:
+        raise ValueError(f"which_to_keep must be hard/easy/random, got {which_to_keep!r}")
+    clustered = cluster_embeddings(df, id_col, vec_col, k, seed).select(
+        F.col(id_col).alias("id"), "nvec", "cluster", "cosine_dist_to_cent"
+    )
+    if which_to_keep == "hard":
+        order = [F.desc("cosine_dist_to_cent"), F.desc("id")]
+    elif which_to_keep == "easy":
+        order = [F.asc("cosine_dist_to_cent"), F.asc("id")]
+    else:  # random: seeded hash order (reference uses a seeded shuffle)
+        order = [F.asc(F.xxhash64(F.col("id"), F.lit(seed))), F.asc("id")]
+    w = Window.partitionBy("cluster").orderBy(*order)
+    ranked = clustered.withColumn("rnk", F.row_number().over(w))
+
+    earlier = ranked.select(
+        F.col("cluster").alias("e_cluster"),
+        F.col("id").alias("e_id"),
+        F.col("nvec").alias("e_nvec"),
+        F.col("rnk").alias("e_rnk"),
+    ).where(F.col("e_rnk") <= max_cluster_size)
+
+    dot = _pair_dot_udf()
+    pairs = ranked.join(
+        earlier,
+        (F.col("cluster") == F.col("e_cluster")) & (F.col("e_rnk") < F.col("rnk")),
+        "left",
+    ).select(
+        "id",
+        "e_id",
+        "e_rnk",
+        F.when(
+            F.col("e_id").isNotNull(), dot(F.col("nvec"), F.col("e_nvec"))
+        ).alias("sim"),
+    )
+    # torch.max picks the FIRST maximal index -> lowest earlier rank, so
+    # tie-break on -e_rnk; max_id is informational in the reference output
+    # greatest(..., 0): the reference's triu mask leaves zeros in the
+    # matrix, so its column max never goes below 0 even when every earlier
+    # cosine is negative
+    return pairs.groupBy("id").agg(
+        F.greatest(F.coalesce(F.max("sim"), F.lit(0.0)), F.lit(0.0)).alias(
+            "cosine_sim_score"
+        ),
+        F.coalesce(
+            F.max_by("e_id", F.struct(F.col("sim"), -F.col("e_rnk"))),
+            F.first("id"),
+        ).alias("max_id"),
+    ).select("id", "max_id", "cosine_sim_score")
 
 
 def semantic_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
+    k: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster_size: int = 5000,
+    which_to_keep: str = "hard",
 ) -> DataFrame:
-    """Near-dup pairs (a < b, cosine >= threshold), pairwise within KMeans
-    clusters only.
-
-    Skew guard: clusters larger than ``max_cluster_size`` switch from
-    all-pairs to star edges (min-id vs members) — a hot cluster would go
-    quadratic; downstream connected-components recovers the same dedup
-    groups from the star, only the explicit pair list is thinned."""
-    from pyspark.sql.window import Window
-
-    clustered = cluster_embeddings(df, id_col, vec_col, k, seed)
-    w = Window.partitionBy("cluster")
-    side = clustered.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-        "cluster",
-    ).withColumn("_n", F.count("*").over(w)).withColumn(
-        "_min", F.min(F.struct("id", "vec")).over(w)
+    """Rows whose max-to-earlier cosine crosses the threshold, with the
+    matched row: (a=max_id, b=id, cosine). One row per removed doc — the
+    reference never materializes the all-pairs list either."""
+    scores = semantic_scores(
+        df, id_col, vec_col, k, seed, which_to_keep, max_cluster_size
     )
-    small = side.where(F.col("_n") <= max_cluster_size)
-    all_pairs = (
-        small.alias("x")
-        .join(
-            small.alias("y"),
-            (F.col("x.cluster") == F.col("y.cluster"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            cosine(F.col("x.vec"), F.col("y.vec")).alias("cosine"),
-        )
-    )
-    star_pairs = (
-        side.where(
-            (F.col("_n") > max_cluster_size) & (F.col("id") != F.col("_min.id"))
-        )
-        .select(
-            F.col("_min.id").alias("a"),
-            F.col("id").alias("b"),
-            cosine(F.col("_min.vec"), F.col("vec")).alias("cosine"),
-        )
-    )
-    return all_pairs.unionByName(star_pairs).where(
-        F.col("cosine") >= threshold
+    return scores.where(F.col("cosine_sim_score") >= threshold).select(
+        F.col("max_id").alias("a"),
+        F.col("id").alias("b"),
+        F.col("cosine_sim_score").alias("cosine"),
     )
 
 
@@ -114,14 +252,19 @@ def semantic_duplicate_ids(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 16,
-    threshold: float = 0.95,
+    k: int | None = None,
+    threshold: float = 0.99,
     seed: int = 42,
+    which_to_keep: str = "hard",
+    max_cluster_size: int = 5000,
 ) -> DataFrame:
-    """Removal ids: connected components over near-dup pairs, keep min id
-    per component (reference IdentifyDuplicatesStage shape)."""
-    pairs = semantic_near_duplicates(df, id_col, vec_col, k, threshold, seed)
-    comps = dedup_mod.connected_components(pairs.select("a", "b"))
-    return comps.where(F.col("id") != F.col("comp")).select(
+    """Removal ids: rows with cosine_sim_score >= threshold (= 1 - eps,
+    identify_duplicates.py:100-105). The reference's survivor rule falls
+    out of the ranking: the top-ranked row of every dup group scores
+    against nothing earlier and survives."""
+    scores = semantic_scores(
+        df, id_col, vec_col, k, seed, which_to_keep, max_cluster_size
+    )
+    return scores.where(F.col("cosine_sim_score") >= threshold).select(
         F.col("id").alias(id_col)
     )

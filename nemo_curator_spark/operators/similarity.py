@@ -45,6 +45,25 @@ def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
 
 
+def _pair_cosine_udf():
+    """Arrow-batched cosine over candidate PAIRS (qvec, nvec): one numpy
+    einsum per batch instead of the interpreted HOF aggregate per element.
+    Used by the ANN paths only — :func:`cosine_topk` keeps the HOF form
+    because its sequential summation is bit-identical to DuckDB's
+    list_dot_product, which the exact-KNN value-hash gate relies on."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        den[den == 0.0] = np.nan
+        return pd.Series(num / den)
+
+    return _udf
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -145,7 +164,7 @@ def ann_topk_hyperplane(
 
     scored = (
         cands.dropDuplicates(["qid", "nid"])
-        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .select("qid", "nid", _pair_cosine_udf()(F.col("qvec"), F.col("nvec")).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
@@ -172,63 +191,65 @@ def ivf_topk(
     """IVF-style ANN: KMeans-partition the corpus into ``n_lists`` inverted
     lists; each query scans only its ``n_probe`` nearest centroids' lists
     (exact cosine re-rank within). The classic FAISS-IVF shape expressed
-    relationally: centroid assignment via pyspark.ml, probing via a
-    broadcast join against the (tiny) centroid table, candidate generation
-    via an equi-join on list id — no corpus x corpus cross join."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    relationally: centroids from a bounded driver-side fit
+    (functions/kmeans_np.py), assignment and probe selection as a
+    single Arrow projection against the closure-shipped centroid matrix,
+    candidate generation via an equi-join on list id — no corpus x corpus
+    cross join, no per-row window."""
+    from nemo_curator_spark.functions.kmeans_np import (
+        kmeans_fit,
+        sample_training_rows,
+    )
 
     base = df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )
-    feat = base.withColumn("_features", array_to_vector(F.col("vec")))
     # centroids train on a bounded deterministic sample (the standard IVF
     # recipe — FAISS trains on ~max(10k, 50*n_lists) vectors); full-corpus
     # KMeans would make training the bottleneck at scale while the
-    # centroids barely change. Hash-filter, not orderBy+limit: a sort
-    # would shuffle the whole embeddings table just to pick a sample.
+    # centroids barely change. Hash-filter sample (no sort), numpy Lloyd's
+    # on the driver (a distributed fit on <=10k rows is pure task
+    # overhead); assignment of the full corpus stays distributed.
     train_cap = max(10_000, 50 * n_lists)
-    n_rows = feat.count()
-    if n_rows > train_cap:
-        modulus = -(-n_rows // train_cap)  # ceil
-        train = feat.where(
-            F.pmod(F.xxhash64(F.col("id")), F.lit(modulus)) == 0
-        )
-    else:
-        train = feat
-    # the sample is bounded (~train_cap rows) regardless of corpus size;
-    # a handful of partitions beats per-iteration task overhead in
-    # distributed Lloyd's on tiny data
-    train = train.coalesce(4)
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=10, featuresCol="_features",
-        predictionCol="list_id",
-    ).fit(train)
-    assigned = model.transform(feat).drop("_features")
+    _, rows = sample_training_rows(base, "id", ["vec"], train_cap)
+    X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    cmat = kmeans_fit(X, n_lists, seed=seed, max_iter=10)
+    csq = np.einsum("ij,ij->i", cmat, cmat)
 
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    spark = df.sparkSession
-    centroids = spark.createDataFrame(
-        centers, f"list_id int, cvec array<double>"
-    )
-
-    # each query probes its n_probe nearest centroid lists
-    probes = (
-        assigned.crossJoin(F.broadcast(centroids.withColumnRenamed("list_id", "probe_list")))
-        .select(
-            "id",
-            "vec",
-            "probe_list",
-            cosine(F.col("vec"), F.col("cvec")).alias("csim"),
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        return pd.Series(
+            np.argmax(V @ cmat.T - 0.5 * csq[None, :], axis=1).astype(np.int32)
         )
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("csim"), F.asc("probe_list"))
-    probes = (
-        probes.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= n_probe)
-        .select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "probe_list")
+
+    assigned = base.withColumn("list_id", _assign(F.col("vec")))
+
+    # Probe selection: the centroid table is tiny and already known on the
+    # driver, so each row's n_probe nearest lists are computed in ONE
+    # narrow projection — an Arrow-batched matmul against the centroid
+    # matrix shipped in the UDF closure. (The previous shape —
+    # crossJoin(broadcast(centroids)) then row_number over partitionBy(id)
+    # — multiplied the corpus by n_lists and shuffled that blowup through
+    # a window just to pick per-row top-n_probe.)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_lists(vecs: pd.Series) -> pd.Series:
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        vn = np.linalg.norm(v, axis=1)
+        vn[vn == 0.0] = 1.0
+        sims = (v @ cmat.T) / (vn[:, None] * cnorm[None, :])
+        # desc cosine, ties on list id ascending (matches the window the
+        # crossJoin form used: orderBy(desc(csim), asc(probe_list)))
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probes = assigned.select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.explode(_probe_lists(F.col("vec"))).alias("probe_list"),
     )
 
     cands = probes.join(
@@ -240,7 +261,7 @@ def ivf_topk(
         "probe_list",
     ).where(F.col("qid") != F.col("nid"))
     scored = cands.select(
-        "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+        "qid", "nid", _pair_cosine_udf()(F.col("qvec"), F.col("nvec")).alias("cos")
     )
     w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (

@@ -508,3 +508,47 @@ def label_document(text: str) -> tuple[bool, str | None]:
         if not spec.keep(spec.score(text)):
             return False, spec.name
     return True, None
+
+
+# --- semantic dedup (SemDeDup) reference pin -------------------------------
+# Pure-python port of the reference's within-cluster logic
+# (deduplication/semantic/pairwise.py:37-72,280-304 ranking;
+# identify_duplicates.py:100-105 threshold) given precomputed cluster
+# assignments. Used by tests to pin the Spark implementation's removal
+# sets and scores.
+
+
+def semdedup_scores_py(
+    items: list[tuple[int, int, float, list[float]]],
+    which_to_keep: str = "hard",
+) -> dict[int, float]:
+    """items: (id, cluster, cosine_dist_to_cent, l2-normalized vec).
+    Returns id -> cosine_sim_score (max dot to any earlier-ranked row in
+    the cluster; the triu mask's zeros floor the score at 0)."""
+    clusters: dict[int, list[tuple[int, int, float, list[float]]]] = {}
+    for it in items:
+        clusters.setdefault(it[1], []).append(it)
+    scores: dict[int, float] = {}
+    for rows in clusters.values():
+        if which_to_keep == "hard":
+            rows = sorted(rows, key=lambda r: (-r[2], -r[0]))
+        elif which_to_keep == "easy":
+            rows = sorted(rows, key=lambda r: (r[2], r[0]))
+        else:
+            raise ValueError(which_to_keep)
+        for i, (rid, _, _, vi) in enumerate(rows):
+            best = 0.0
+            for j in range(i):
+                vj = rows[j][3]
+                best = max(best, sum(x * y for x, y in zip(vi, vj)))
+            scores[rid] = best
+    return scores
+
+
+def semdedup_removal_py(
+    items: list[tuple[int, int, float, list[float]]],
+    threshold: float = 0.99,
+    which_to_keep: str = "hard",
+) -> set[int]:
+    scores = semdedup_scores_py(items, which_to_keep)
+    return {rid for rid, s in scores.items() if s >= threshold}

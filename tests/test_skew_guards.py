@@ -84,10 +84,15 @@ def test_semantic_hot_cluster_star_fallback(spark):
         df, k=2, threshold=0.99, max_cluster_size=100
     )
     n = pairs.count()
-    # star fallback: 599 edges from the hot cluster, not ~180k
+    # one row per removed doc (max-to-earlier semantics), never all-pairs:
+    # 599 rows from the hot cluster, not ~180k — and the earlier-side cap
+    # bounds the join at |cluster| * max_cluster_size
     assert n < 650
     removal = semantic.semantic_duplicate_ids(
-        df, k=2, threshold=0.99, seed=42
+        df, k=2, threshold=0.99, seed=42, max_cluster_size=100
     )
     ids = {r["vec_id"] for r in removal.collect()}
-    assert set(range(1, 600)) <= ids  # identical block deduped to min id
+    # reference "hard" ranking: equal dist-to-centroid ties break id DESC,
+    # so the top-ranked survivor of the identical block is id 599
+    assert set(range(0, 599)) <= ids
+    assert 599 not in ids

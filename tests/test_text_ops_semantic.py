@@ -49,7 +49,7 @@ def test_remove_duplicates_anti_join(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
 
 
-def test_semantic_dedup(spark):
+def _planted_corpus():
     rng = np.random.RandomState(0)
     centers = rng.normal(size=(4, 16))
     rows = []
@@ -62,12 +62,68 @@ def test_semantic_dedup(spark):
     # plant near-identical pairs
     rows.append((100, rows[0][1]))
     rows.append((101, [x * 1.0001 for x in rows[5][1]]))
+    return rows
+
+
+def test_semantic_dedup(spark):
+    rows = _planted_corpus()
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     removal = semantic.semantic_duplicate_ids(df, k=4, threshold=0.999)
     got = sorted(r["vec_id"] for r in removal.collect())
-    assert 100 in got and 101 in got
-    # keep-min: originals 0 and 5 survive
-    assert 0 not in got and 5 not in got
+    # exactly one member of each planted near-identical pair is removed
+    # (which one depends on the hard ranking's dist-to-centroid ordering,
+    # which for a scaled copy comes down to float rounding — the exact
+    # reference-semantics pin is test_semantic_dedup_matches_pyref_port)
+    assert len(got) == 2
+    assert (0 in got) != (100 in got)
+    assert (5 in got) != (101 in got)
+
+
+def test_semantic_dedup_matches_pyref_port(spark):
+    """3-way pin: the Spark removal set equals the pure-python port of the
+    reference's pairwise logic (pairwise.py:37-72 triu max-to-earlier,
+    ranking.py sort, identify_duplicates.py threshold) run on the same
+    cluster assignments."""
+    from nemo_curator_spark import pyref
+
+    rows = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clustered = semantic.cluster_embeddings(df, k=4).collect()
+    items = [
+        (
+            r["vec_id"],
+            r["cluster"],
+            r["cosine_dist_to_cent"],
+            list(r["nvec"]),
+        )
+        for r in clustered
+    ]
+    for thr in (0.999, 0.95):
+        want = pyref.semdedup_removal_py(items, threshold=thr)
+        got = {
+            r["vec_id"]
+            for r in semantic.semantic_duplicate_ids(
+                df, k=4, threshold=thr
+            ).collect()
+        }
+        assert got == want
+    # scores match the port to float tolerance
+    want_scores = pyref.semdedup_scores_py(items)
+    got_scores = {
+        r["id"]: r["cosine_sim_score"]
+        for r in semantic.semantic_scores(df, k=4).collect()
+    }
+    assert set(got_scores) == set(want_scores)
+    for rid, s in want_scores.items():
+        assert abs(got_scores[rid] - s) < 1e-9
+
+
+def test_semantic_auto_k_scales_with_corpus():
+    from nemo_curator_spark.operators.semantic import _auto_k
+
+    assert _auto_k(1_000) == 16
+    assert _auto_k(200_000) == 100
+    assert _auto_k(2_000_000_000) == 100_000  # clamped ceiling
 
 
 class MockClassifier:
