@@ -322,13 +322,29 @@ def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nemo_curator_spark.operators.langid import FastTextLangId
 
     df = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    sample = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= 50)
-        .select("text", "lang")
+    # bounded per-language sample by hash FILTER (pmod with a modulus from
+    # the per-lang counts) instead of a row_number window — the window
+    # form sorts the whole corpus per language (see perplexity
+    # train_per_language for the same fix); deterministic truncation to 50
+    # per lang happens driver-side on (lang, doc_id) order
+    counts = {r[0]: r[1] for r in df.groupBy("lang").count().collect()}
+    mods = {lg: max(1, -(-n // 50)) for lg, n in counts.items()}
+    mod_expr = F.create_map(
+        *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
+    )
+    rows = (
+        df.select("lang", "text", "doc_id")
+        .where(F.pmod(F.xxhash64(F.col("doc_id")), mod_expr[F.col("lang")]) == 0)
         .collect()
     )
+    rows.sort(key=lambda r: (r["lang"], r["doc_id"]))
+    by_lang: dict = {}
+    sample = []
+    for r in rows:
+        k = by_lang.get(r["lang"], 0)
+        if k < 50:
+            by_lang[r["lang"]] = k + 1
+            sample.append(r)
     model = FT.train(
         [(r["text"], r["lang"]) for r in sample], dim=8, epochs=30, seed=42
     )
@@ -383,18 +399,24 @@ def _python_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_ORACLE_DIR = "/dev/shm/ncs_ppl_oracle"
+
+
 def _perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship scorer: per-language trigram LM perplexity,
     language-bucketed scoring (CCNet recipe; no reference code — SURVEY §7.1
-    M5). Deterministic: the LM trains on a seed-pinned sample of the same
-    table. Not SQL-expressible (trained model state) -> rows-only gate;
-    exact numerics pinned by tests/test_langid_quality_ppl.py."""
+    M5). Deterministic: the LM trains on a seed-pinned hash-filter sample
+    of the same table. The trained count tables are materialized as
+    parquet (export_models_parquet) so the DuckDB oracle reproduces the
+    exact Jelinek-Mercer score — a full value-hash gate, not rows-only;
+    numerics additionally pinned by tests/test_langid_quality_ppl.py."""
     from nemo_curator_spark.operators import perplexity as ppl_mod
 
     df = _docs(spark, sf_dir)
     models = ppl_mod.train_per_language(
         df, text_col="text", lang_col="lang", max_docs_per_lang=500
     )
+    ppl_mod.export_models_parquet(models, _PPL_ORACLE_DIR)
     scored = ppl_mod.score_perplexity(
         df, models, text_col="text", lang_col="lang", out_col="ppl"
     )
@@ -403,6 +425,67 @@ def _perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ppl"), 4).alias("ppl"),
         (F.col("ppl") <= 1e6).cast("int").alias("keep"),
     )
+
+
+def _perplexity_oracle() -> str:
+    """DuckDB replica of the Jelinek-Mercer trigram score over the count
+    tables the Spark query materializes (write-then-read protocol, like
+    io_jsonl_roundtrip). Term order matches NGramLM.logprob_token exactly;
+    normalization is the same ASCII char-class regex in RE2."""
+    d = _PPL_ORACLE_DIR
+    return f"""
+WITH uni AS (SELECT lang, g, c FROM read_parquet('{d}/uni.parquet')),
+bi   AS (SELECT lang, g, c FROM read_parquet('{d}/bi.parquet')),
+tri  AS (SELECT lang, g, c FROM read_parquet('{d}/tri.parquet')),
+tot  AS (SELECT lang, total, v FROM read_parquet('{d}/tot.parquet')),
+norm AS (
+  SELECT doc_id, lang,
+    regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                     '[^a-zA-Z0-9_\\s'']', ' ', 'g'),
+      '^\\s+', ''), '\\s+$', '') AS s
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, lang,
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(s, '\\s+') END AS ws
+  FROM norm
+),
+toks AS (
+  SELECT doc_id, lang,
+         list_concat(['<s>', '<s>'], list_concat(ws, ['</s>'])) AS tk,
+         len(ws) + 1 AS n
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, lang, n, tk[i-2] AS w2, tk[i-1] AS w1, tk[i] AS w
+  FROM toks, UNNEST(generate_series(3, n + 2)) AS t(i)
+),
+scored AS (
+  SELECT g.doc_id, g.n,
+    log10(
+      0.05 / (t.v + 1)
+      + 0.15 * COALESCE(uw.c, 0) / t.total
+      + CASE WHEN COALESCE(uw1.c, 0) > 0
+             THEN 0.3 * COALESCE(b1.c, 0) / uw1.c ELSE 0 END
+      + CASE WHEN COALESCE(b2.c, 0) > 0
+             THEN 0.5 * COALESCE(tr.c, 0) / b2.c ELSE 0 END
+    ) AS lp
+  FROM grams g
+  JOIN tot t ON t.lang = g.lang
+  LEFT JOIN uni uw  ON uw.lang  = g.lang AND uw.g  = g.w
+  LEFT JOIN uni uw1 ON uw1.lang = g.lang AND uw1.g = g.w1
+  LEFT JOIN bi  b1  ON b1.lang  = g.lang AND b1.g  = g.w1 || ' ' || g.w
+  LEFT JOIN bi  b2  ON b2.lang  = g.lang AND b2.g  = g.w2 || ' ' || g.w1
+  LEFT JOIN tri tr  ON tr.lang  = g.lang
+                   AND tr.g = g.w2 || ' ' || g.w1 || ' ' || g.w
+)
+SELECT doc_id,
+       round(pow(10, -sum(lp) / any_value(n)), 4) AS ppl,
+       CAST(pow(10, -sum(lp) / any_value(n)) <= 1000000 AS INT) AS keep
+FROM scored GROUP BY doc_id
+"""
 
 
 def _fuzzy_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1456,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
     out["langid"] = _langid_oracle()
     out["quality_pareto"] = _quality_oracle()
     out["token_count_fingerprint"] = _token_fp_oracle()
+    out["perplexity_bucketed"] = _perplexity_oracle()
     # fuzzy_dedup / simhash / ann: seed-derived LSH not SQL-expressible ->
     # rows-only here; pytest pins planted-duplicate behavior
     out["knn_cosine_topk"] = _KNN_ORACLE

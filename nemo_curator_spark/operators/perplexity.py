@@ -29,10 +29,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
-_NORM_DIGIT = re.compile(r"\d")
-_NORM_PUNCT = re.compile(r"[^\w\s']", flags=re.UNICODE)
+# ASCII classes on purpose: the scorer's DuckDB value-hash oracle rebuilds
+# this normalization in RE2, where \d and \w are ASCII-only — pinning the
+# python side to re.ASCII makes both engines strip exactly the same chars
+# (CCNet's own normalization is equally Latin-centric). Residual gap: \s
+# under re.ASCII includes \x0b, RE2's does not — driver tables contain no
+# such whitespace (verified; see CLAUDE.md).
+_NORM_DIGIT = re.compile(r"\d", flags=re.ASCII)
+_NORM_PUNCT = re.compile(r"[^\w\s']", flags=re.ASCII)
 
 LAMBDAS = (0.5, 0.3, 0.15, 0.05)  # trigram, bigram, unigram, uniform
 BOS = "<s>"
@@ -130,24 +135,42 @@ def train_per_language(
     Driver-side by design: LM training is the offline-artifact step (CCNet
     ships pretrained KenLM binaries); the bounded sample keeps driver memory
     flat regardless of input scale.
+
+    Sampling is a per-language hash FILTER (pmod of xxhash64 with a
+    modulus sized from the per-language counts), not a row_number window:
+    the window form sorted the entire corpus per language just to take a
+    bounded sample — a full shuffle that buys nothing at scale. The
+    filter over-admits slightly, so rows are deterministically truncated
+    driver-side by (hash, text) order.
     """
-    w = F.row_number().over(
-        Window.partitionBy(lang_col).orderBy(F.xxhash64(text_col, F.lit(seed)))
+    counts = {
+        r[0]: r[1] for r in df.groupBy(lang_col).count().collect()
+    }
+    if not counts:
+        return {}
+    mods = {
+        lg: max(1, -(-n // max_docs_per_lang)) for lg, n in counts.items()
+    }
+    mod_expr = F.create_map(
+        *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
     )
+    h = F.xxhash64(F.col(text_col), F.lit(seed))
     sample = (
-        df.select(lang_col, text_col)
-        .withColumn("_rn", w)
-        .where(F.col("_rn") <= max_docs_per_lang)
-        .drop("_rn")
+        df.select(lang_col, text_col, h.alias("_h"))
+        .where(F.pmod(F.col("_h"), mod_expr[F.col(lang_col)]) == 0)
         .collect()
     )
-    by_lang: dict[str, list[str]] = {}
+    by_lang: dict[str, list[tuple[int, str]]] = {}
     for row in sample:
-        by_lang.setdefault(row[lang_col], []).append(row[text_col] or "")
-    return {
-        lang: NGramLM.train(texts).prune(min_count=2)
-        for lang, texts in by_lang.items()
-    }
+        by_lang.setdefault(row[lang_col], []).append(
+            (row["_h"], row[text_col] or "")
+        )
+    models: dict[str, NGramLM] = {}
+    for lang, pairs in by_lang.items():
+        pairs.sort()
+        texts = [t for _, t in pairs[:max_docs_per_lang]]
+        models[lang] = NGramLM.train(texts).prune(min_count=2)
+    return models
 
 
 # per-worker parsed-model cache: the serialized payload ships once in the
@@ -185,6 +208,54 @@ def perplexity_udf(models: dict[str, NGramLM]):
         return pd.Series(out, dtype="float64")
 
     return _udf
+
+
+def export_models_parquet(models: dict[str, NGramLM], out_dir: str) -> str:
+    """Materialize the trained count tables (uni/bi/tri grams + per-lang
+    totals) as parquet so an external SQL engine can reproduce the exact
+    Jelinek-Mercer score — this is what gives the perplexity gate query a
+    value-hash oracle instead of a rows-only check. Written driver-side
+    with pyarrow (the model is already driver memory); the directory is
+    replaced atomically enough for the write-then-read gate protocol."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    def _write(name: str, rows: list[tuple], cols: list[str]):
+        table = pa.table(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)}
+        )
+        pq.write_table(table, os.path.join(tmp, name))
+
+    _write(
+        "uni.parquet",
+        [(lg, w, c) for lg, m in models.items() for w, c in m.uni.items()],
+        ["lang", "g", "c"],
+    )
+    _write(
+        "bi.parquet",
+        [(lg, g, c) for lg, m in models.items() for g, c in m.bi.items()],
+        ["lang", "g", "c"],
+    )
+    _write(
+        "tri.parquet",
+        [(lg, g, c) for lg, m in models.items() for g, c in m.tri.items()],
+        ["lang", "g", "c"],
+    )
+    _write(
+        "tot.parquet",
+        [(lg, m.total, max(len(m.uni), 1)) for lg, m in models.items()],
+        ["lang", "total", "v"],
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+    return out_dir
 
 
 def ship_models(spark, models: dict[str, NGramLM], name: str = "ppl_models.json") -> str:

@@ -171,3 +171,43 @@ def test_ivf_topk_recall(spark):
     assert recall > 0.6, recall
     # every query answered with k results
     assert ivf.groupby("query_id").size().min() == 5
+
+
+def test_simhash_fingerprint_golden(spark):
+    """The vectorized simhash UDF is bit-identical to the scalar SimHash
+    definition (per-token crc32 votes, strict-majority bit)."""
+    import zlib
+
+    def scalar_simhash(t):
+        tokens = (t or "").lower().split()
+        if not tokens:
+            return 0
+        acc = [0] * 64
+        for tok in tokens:
+            h = zlib.crc32(tok.encode("utf-8")) | (
+                zlib.crc32((tok + "#2").encode("utf-8")) << 32
+            )
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(64):
+            if acc[i] > 0:
+                fp |= 1 << i
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    texts = [
+        "",
+        "one",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "a a a a b",  # even/odd vote ties exercised
+        "x y " * 500,  # long doc
+        "Üñíçødé tøkêns and\tmixed   whitespace\nlines",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: r["fp"]
+        for r in df.select("i", dedup.simhash_udf()(F.col("t")).alias("fp")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == scalar_simhash(t), (i, t[:30])

