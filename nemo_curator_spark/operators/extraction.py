@@ -79,6 +79,10 @@ def extract_text_bytes(
     algorithm='justext': the stdlib jusText reimplementation
     (operators/justext_like.py) — the reference pipeline's default
     algorithm, golden-pinned by tests/test_extraction_goldens.py.
+    algorithm='resiliparse' / 'trafilatura': stdlib stand-ins for the
+    reference's other two extractors (operators/html_extract_like.py),
+    golden-pinned against the reference fixtures with a per-fixture
+    deviation table in the same test file.
     """
     if raw is None:
         return None
@@ -90,6 +94,18 @@ def extract_text_bytes(
 
         stop = J.ENGLISH_STOPWORDS if language == "ENGLISH" else frozenset()
         paras = J.extract_text(decoded, stop, language)
+    elif algorithm == "resiliparse":
+        from nemo_curator_spark.operators import html_extract_like as HX
+
+        paras = HX.resiliparse_extract_text(
+            decoded, HX.density_stopwords(language), language
+        )
+    elif algorithm == "trafilatura":
+        from nemo_curator_spark.operators import html_extract_like as HX
+
+        paras = HX.trafilatura_extract_text(
+            decoded, HX.density_stopwords(language), language
+        )
     else:
         paras = extract_paragraphs(decoded)
     if not paras:
@@ -173,8 +189,11 @@ def common_crawl_extract(df, algorithm: str = "justext"):
     (url, warc_id, source_id, content) -> (url, warc_id, source_id,
     language, text) with rows dropped when decode/extraction yields
     nothing — decode_html -> lang_detect -> per-language stop list ->
-    jusText paragraphs -> ``"\\n\\n".join``. mapInPandas because the
-    extractor FILTERS rows (a Column expression cannot)."""
+    extractor paragraphs -> ``"\\n\\n".join``. ``algorithm`` selects
+    justext (default, the reference's default) / resiliparse / trafilatura,
+    matching the reference's html_extractor config surface. mapInPandas
+    because the extractor FILTERS rows (a Column expression cannot)."""
+    from nemo_curator_spark.operators import html_extract_like as HX
     from nemo_curator_spark.operators import justext_like as J
 
     def fan(batches):
@@ -188,10 +207,21 @@ def common_crawl_extract(df, algorithm: str = "justext"):
                 if html is None:
                     continue
                 lang = lang_detect(html)
-                stops = (
-                    J.ENGLISH_STOPWORDS if lang == "ENGLISH" else frozenset()
-                )
-                paras = J.extract_text(html, stops, lang)
+                if algorithm == "resiliparse":
+                    paras = HX.resiliparse_extract_text(
+                        html, HX.density_stopwords(lang), lang
+                    )
+                elif algorithm == "trafilatura":
+                    paras = HX.trafilatura_extract_text(
+                        html, HX.density_stopwords(lang), lang
+                    )
+                else:
+                    stops = (
+                        J.ENGLISH_STOPWORDS
+                        if lang == "ENGLISH"
+                        else frozenset()
+                    )
+                    paras = J.extract_text(html, stops, lang)
                 if not paras:
                     continue
                 rows.append(

@@ -15,8 +15,16 @@ Pass / deviation table (the byte-identical-text contract, SURVEY §2.1):
 | Chinese                               | justext        | PASS (exact) |
 | Japanese                              | justext        | PASS (exact) |
 | Korean                                | justext        | PASS (exact) |
-| all fixtures                          | resiliparse    | DEVIATION: library absent; not reimplemented (different segmentation model — space-joined, nav-dropped); the justext path is the reference pipeline's default |
-| all fixtures                          | trafilatura    | DEVIATION: library absent; not reimplemented (its goldens encode library quirks, e.g. duplicated paragraphs in the CJK outputs) |
+| English (complex)                     | resiliparse    | PASS (exact, stdlib stand-in html_extract_like.py) |
+| simple English                        | resiliparse    | PASS (exact) |
+| Thai                                  | resiliparse    | PASS (exact) |
+| Chinese                               | resiliparse    | PASS (exact) |
+| Japanese                              | resiliparse    | PASS (exact) |
+| Korean                                | resiliparse    | PASS (exact) |
+| English (complex)                     | trafilatura    | PASS (exact, stdlib stand-in) |
+| simple English                        | trafilatura    | PASS (exact) |
+| Chinese                               | trafilatura    | PASS (exact) |
+| Thai / Japanese / Korean              | trafilatura    | DEVIATION: the library emits each <p> paragraph TWICE for these pages (short paragraphs escape its dup-check via min_duplcheck_size) and drops the loose main text; the stand-in emits the fallback extraction once, loose text included. Both paragraph SETS agree; multiplicity and loose-text inclusion differ. Pinned below. |
 
 Known semantic deviations of justext_like (documented, not exercised by
 these fixtures): stdlib html.parser performs no malformed-markup recovery
@@ -263,3 +271,120 @@ def test_heading_flag_and_promotion():
     # context-sensitive promotion: the short heading survives next to good
     result = J.extract_text(html, J.ENGLISH_STOPWORDS, "ENGLISH")
     assert result == ["Short Head", long_good]
+
+
+# --- resiliparse / trafilatura stand-ins (html_extract_like.py) -------------
+# Reference fixture expectations from
+# tests/stages/text/download/test_html_extractors_implementation.py:
+# resiliparse :105-111 (en), :130-133 (simple), :172-177 (th), :219-224
+# (zh), :270-275 (ja), :316-321 (ko); trafilatura :102-111, :134-137,
+# :178-185, :225-230, :276-283, :322-329.
+
+from nemo_curator_spark.operators import html_extract_like as HX
+
+RESILIPARSE_ENGLISH_EXPECTED = [
+    "This is a sample paragraph. In it we write words. These are stopwords: because did than has near we almost while what still.",
+    "Let's keep this paragraph: either came does last new took taken making became from.",
+]
+RESILIPARSE_THAI_EXPECTED = [
+    "นี่คือตัวอย่างย่อหน้า ในนั้นเราเขียนคำต่างๆ เหล่านี้เป็นคำหยุด: เพราะว่า ทำ กว่า มี ใกล้ เรา เกือบจะ ขณะที่ อะไร ยังคง",
+    "ย่อหน้านี้ไม่มีคำหยุดมากนัก ลบออก",
+    "เรามาเก็บย่อหน้าไว้ดังนี้: ไม่ว่าจะมาทำอะไรใหม่ ๆ ก็เกิดขึ้น เกิดขึ้นจาก",
+]
+RESILIPARSE_CHINESE_EXPECTED = [
+    "这是一个示例段落。我们在其中写下单词。",
+    "本段落没有太多停用词。请将其删除。",
+    "让我们保留这一段：要么来了，要么最后来了，要么新来了，要么采取了行动。",
+]
+RESILIPARSE_JAPANESE_EXPECTED = [
+    "これはサンプルの段落です。ここに単語を書き込みます。",
+    "この段落にはストップワードがあまりありません。削除してください。",
+    "この段落を維持しましょう: どちらかが来て、最後に新しいものを取って、作成し、なったのです。",
+]
+RESILIPARSE_KOREAN_EXPECTED = [
+    "이것은 샘플 문단입니다. 여기에 단어를 적습니다. 이것들은 불용어입니다: 왜냐하면, 했으므로, 보다, 가까이에, 우리, 거의, 동안, 무엇, 아직도.",
+    "이 문단에는 불용어가 많지 않습니다. 제거하세요.",
+    "이 문단을 유지해 보겠습니다: 왔거나 마지막이거나 새로운 것이거나 가져갔거나 만들어지거나 되었거나에서 왔습니다.",
+]
+
+
+def test_resiliparse_goldens_exact():
+    cases = [
+        (ENGLISH_HTML, "ENGLISH", RESILIPARSE_ENGLISH_EXPECTED),
+        (SIMPLE_HTML, "ENGLISH", SIMPLE_EXPECTED),
+        (THAI_HTML, "THAI", RESILIPARSE_THAI_EXPECTED),
+        (CHINESE_HTML, "CHINESE", RESILIPARSE_CHINESE_EXPECTED),
+        (JAPANESE_HTML, "JAPANESE", RESILIPARSE_JAPANESE_EXPECTED),
+        (KOREAN_HTML, "KOREAN", RESILIPARSE_KOREAN_EXPECTED),
+    ]
+    for html, lang, expected in cases:
+        got = HX.resiliparse_extract_text(
+            html, HX.density_stopwords(lang), lang
+        )
+        assert got == expected, (lang, got)
+
+
+def test_trafilatura_goldens_english_exact():
+    # reference passes TrafilaturaExtractor(min_extracted_size=10,
+    # min_duplcheck_size=10, max_repetitions=1, deduplicate=True)
+    got = HX.trafilatura_extract_text(
+        ENGLISH_HTML,
+        HX.density_stopwords("ENGLISH"),
+        "ENGLISH",
+        min_extracted_size=10,
+        min_duplcheck_size=10,
+        max_repetitions=1,
+    )
+    assert got == [
+        "Let's keep this paragraph: either came does last new took taken making became from.",
+    ]
+    got = HX.trafilatura_extract_text(
+        SIMPLE_HTML, HX.density_stopwords("ENGLISH"), "ENGLISH"
+    )
+    assert got == SIMPLE_EXPECTED
+
+
+def test_trafilatura_goldens_chinese_exact():
+    got = HX.trafilatura_extract_text(
+        CHINESE_HTML, frozenset(), "CHINESE"
+    )
+    assert got == RESILIPARSE_CHINESE_EXPECTED  # identical list in the ref
+
+
+def test_trafilatura_cjk_deviation_pinned():
+    """th/ja/ko: the reference library duplicates each <p> paragraph and
+    drops the loose text; the stand-in emits the fallback extraction once
+    (loose included). Pin the stand-in's output AND assert the paragraph
+    SETS of <p> content agree with the reference's."""
+    ref_paras = {
+        "THAI": [
+            "ย่อหน้านี้ไม่มีคำหยุดมากนัก ลบออก",
+            "เรามาเก็บย่อหน้าไว้ดังนี้: ไม่ว่าจะมาทำอะไรใหม่ ๆ ก็เกิดขึ้น เกิดขึ้นจาก",
+        ],
+        "JAPANESE": [
+            "この段落にはストップワードがあまりありません。削除してください。",
+            "この段落を維持しましょう: どちらかが来て、最後に新しいものを取って、作成し、なったのです。",
+        ],
+        "KOREAN": [
+            "이 문단에는 불용어가 많지 않습니다. 제거하세요.",
+            "이 문단을 유지해 보겠습니다: 왔거나 마지막이거나 새로운 것이거나 가져갔거나 만들어지거나 되었거나에서 왔습니다.",
+        ],
+    }
+    fixtures = {
+        "THAI": (THAI_HTML, RESILIPARSE_THAI_EXPECTED),
+        "JAPANESE": (JAPANESE_HTML, RESILIPARSE_JAPANESE_EXPECTED),
+        "KOREAN": (KOREAN_HTML, RESILIPARSE_KOREAN_EXPECTED),
+    }
+    for lang, (html, standin_expected) in fixtures.items():
+        got = HX.trafilatura_extract_text(html, frozenset(), lang)
+        assert got == standin_expected, (lang, got)
+        assert set(ref_paras[lang]) <= set(got), lang
+
+
+def test_extract_text_bytes_dispatches_all_algorithms():
+    from nemo_curator_spark.operators import extraction
+
+    raw = SIMPLE_HTML.encode()
+    for algo in ("simple", "justext", "resiliparse", "trafilatura"):
+        out = extraction.extract_text_bytes(raw, algorithm=algo)
+        assert out is not None and "Common Crawl test paragraph" in out, algo
