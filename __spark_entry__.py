@@ -488,16 +488,149 @@ FROM scored GROUP BY doc_id
 """
 
 
+_FUZZY_ORACLE_DIR = "/dev/shm/ncs_fuzzy_oracle"
+
+
 def _fuzzy_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash -> LSH star edges -> n-gram Jaccard verify -> connected
+    components -> removal ids (reference fuzzy workflow, SURVEY §2.7).
+
+    Value-hash oracle via the write-then-read protocol: the MinHash
+    signatures (the only non-SQL stage — seeded numpy universal hashing)
+    are materialized as parquet; DuckDB replays banding (grouping on the
+    band SLICES themselves rather than Spark's xxhash64 of them —
+    equivalent partitioning absent 2^-64 collisions), the same star-edge
+    rule, word-3-gram Jaccard, and min-label components via a recursive
+    CTE."""
+    import shutil
+
     df = _docs(spark, sf_dir)
-    return dedup.fuzzy_duplicate_ids(
-        df, num_perms=64, num_bands=16, jaccard_threshold=0.8
+    sigs = dedup.add_minhash(
+        df, "text", num_perms=64, shingle_width=24, seed=42
+    )
+    shutil.rmtree(_FUZZY_ORACLE_DIR, ignore_errors=True)
+    sigs.select("doc_id", "minhash").coalesce(1).write.parquet(
+        _FUZZY_ORACLE_DIR
+    )
+    art = spark.read.parquet(_FUZZY_ORACLE_DIR)
+    pairs = dedup.lsh_candidate_pairs(art, "doc_id", "minhash", num_bands=16)
+    verified = dedup.jaccard_ngram(df, pairs, "doc_id", "text", n=3).where(
+        F.col("jaccard") >= 0.8
+    )
+    comps = dedup.connected_components(verified.select("a", "b"))
+    return comps.where(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("doc_id")
     )
 
 
+def _fuzzy_dedup_oracle() -> str:
+    d = _FUZZY_ORACLE_DIR
+    return f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, minhash FROM read_parquet('{d}/*.parquet')
+),
+bands AS (
+  SELECT doc_id, bi, list_slice(minhash, bi*4 + 1, bi*4 + 4) AS key
+  FROM sig, UNNEST(generate_series(0, 15)) AS t(bi)
+),
+buckets AS (SELECT bi, key, min(doc_id) AS mid FROM bands GROUP BY bi, key),
+cand AS (
+  SELECT DISTINCT bk.mid AS a, bd.doc_id AS b
+  FROM bands bd JOIN buckets bk ON bk.bi = bd.bi AND bk.key = bd.key
+  WHERE bd.doc_id <> bk.mid
+),
+needed AS (SELECT a AS id FROM cand UNION SELECT b FROM cand),
+g AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(ws) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+    END AS grams
+  FROM (
+    SELECT doc_id,
+      CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+           ELSE regexp_split_to_array(s, '\\s+') END AS ws
+    FROM (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+      FROM documents JOIN needed ON needed.id = documents.doc_id
+    )
+  )
+),
+ver AS (
+  SELECT c.a, c.b FROM cand c
+  JOIN g ga ON ga.id = c.a JOIN g gb ON gb.id = c.b
+  WHERE CASE
+    WHEN len(list_distinct(ga.grams || gb.grams)) = 0 THEN 0.0
+    ELSE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+         / len(list_distinct(ga.grams || gb.grams))
+  END >= 0.8
+),
+sym AS (SELECT a, b FROM ver UNION SELECT b AS a, a AS b FROM ver),
+reach(node, lbl) AS (
+  SELECT a AS node, b AS lbl FROM sym
+  UNION
+  SELECT r.node, s.b AS lbl FROM reach r JOIN sym s ON s.a = r.lbl
+),
+comp AS (
+  SELECT node, least(node, min(lbl)) AS comp FROM reach GROUP BY node
+)
+SELECT node AS doc_id FROM comp WHERE comp <> node
+"""
+
+
+_SIMHASH_ORACLE_DIR = "/dev/shm/ncs_simhash_oracle"
+
+
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs. Value-hash oracle via write-then-read: the
+    fingerprints (the only non-SQL stage) are materialized as parquet and
+    DuckDB replays banding, the hot-bucket star rule, and the hamming
+    check in pure integer SQL."""
+    import shutil
+
     df = _docs(spark, sf_dir)
-    return dedup.simhash_near_duplicates(df, max_hamming=3)
+    fps = df.select(
+        F.col("doc_id").alias("id"),
+        dedup.simhash_udf()(F.col("text")).alias("fp"),
+    )
+    shutil.rmtree(_SIMHASH_ORACLE_DIR, ignore_errors=True)
+    fps.coalesce(1).write.parquet(_SIMHASH_ORACLE_DIR)
+    art = spark.read.parquet(_SIMHASH_ORACLE_DIR)
+    return dedup.simhash_pairs_from_fps(art, max_hamming=3)
+
+
+def _simhash_oracle() -> str:
+    d = _SIMHASH_ORACLE_DIR
+    return f"""
+WITH s AS (SELECT id, fp FROM read_parquet('{d}/*.parquet') WHERE fp <> 0),
+e AS (
+  SELECT id, fp, bi, (fp >> (bi * 16)) & 65535 AS key
+  FROM s, UNNEST(generate_series(0, 3)) AS t(bi)
+),
+bs AS (
+  SELECT bi, key, count(*) AS n, min(id) AS mid, arg_min(fp, id) AS mfp
+  FROM e GROUP BY bi, key
+),
+small_pairs AS (
+  SELECT x.id AS a, y.id AS b, x.fp AS fa, y.fp AS fb
+  FROM e x
+  JOIN e y ON x.bi = y.bi AND x.key = y.key AND x.id < y.id
+  JOIN bs ON bs.bi = x.bi AND bs.key = x.key
+  WHERE bs.n <= 1000
+),
+star_pairs AS (
+  SELECT bs.mid AS a, e.id AS b, bs.mfp AS fa, e.fp AS fb
+  FROM e JOIN bs ON bs.bi = e.bi AND bs.key = e.key
+  WHERE bs.n > 1000 AND e.id <> bs.mid
+),
+pairs AS (
+  SELECT DISTINCT a, b, bit_count(xor(fa, fb)) AS hamming
+  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs)
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def _knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -893,13 +1026,25 @@ def _histogram_oracle() -> str:
     )
 
 
+_SEMDEDUP_ORACLE_DIR = "/dev/shm/ncs_semdedup_oracle"
+
+
 def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup removal ids (reference deduplication/semantic/*): KMeans
-    clusters, within-cluster max-cosine-to-earlier ranking, threshold at
-    1-eps. The synthetic embeddings have no pairs above 0.99 cosine, which
-    would make this row vacuous — so the query deterministically unions a
-    re-id'd copy of every 10th vector first (same recipe as
-    exact_dedup_removal_ids), guaranteeing nonzero removals."""
+    clusters, within-cluster max-cosine-to-earlier ranking ("hard"),
+    threshold at 1-eps. The synthetic embeddings have no pairs above 0.99
+    cosine, which would make this row vacuous — so the query
+    deterministically unions a re-id'd copy of every 10th vector first
+    (same recipe as exact_dedup_removal_ids), guaranteeing nonzero
+    removals.
+
+    Value-hash oracle via the write-then-read protocol (like
+    perplexity_bucketed): the KMeans ASSIGNMENT (the model-state half) is
+    materialized as parquet, and the reference's within-cluster logic —
+    hard ranking, max-dot-to-earlier, threshold — is pure SQL the DuckDB
+    side replays over the same artifact."""
+    import shutil
+
     from nemo_curator_spark.operators import semantic
 
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -909,7 +1054,63 @@ def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     df = base.unionAll(dup)
-    return semantic.semantic_duplicate_ids(df, k=8, threshold=0.99)
+    clustered = semantic.cluster_embeddings(df, k=8).select(
+        F.col("vec_id").alias("id"), "nvec", "cluster", "cosine_dist_to_cent"
+    )
+    shutil.rmtree(_SEMDEDUP_ORACLE_DIR, ignore_errors=True)
+    clustered.coalesce(1).write.parquet(_SEMDEDUP_ORACLE_DIR)
+    # both engines consume the identical artifact from here on
+    art = spark.read.parquet(_SEMDEDUP_ORACLE_DIR)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cosine_dist_to_cent"), F.desc("id")
+    )
+    ranked = art.withColumn("rnk", F.row_number().over(w))
+    earlier = ranked.select(
+        F.col("cluster").alias("e_cluster"),
+        F.col("nvec").alias("e_nvec"),
+        F.col("rnk").alias("e_rnk"),
+    )
+    pairs = ranked.join(
+        earlier,
+        (F.col("cluster") == F.col("e_cluster"))
+        & (F.col("e_rnk") < F.col("rnk")),
+    ).select(
+        "id",
+        F.aggregate(
+            F.zip_with("nvec", "e_nvec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sim"),
+    )
+    scores = pairs.groupBy("id").agg(
+        F.greatest(F.max("sim"), F.lit(0.0)).alias("s")
+    )
+    return (
+        scores.where(F.col("s") >= 0.99)
+        .select(F.col("id").alias("vec_id"))
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    d = _SEMDEDUP_ORACLE_DIR
+    return f"""
+WITH c AS (
+  SELECT id, nvec, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY cosine_dist_to_cent DESC, id DESC
+         ) AS rnk
+  FROM read_parquet('{d}/*.parquet')
+),
+pairs AS (
+  SELECT x.id, list_dot_product(x.nvec, e.nvec) AS sim
+  FROM c x JOIN c e ON e.cluster = x.cluster AND e.rnk < x.rnk
+),
+scores AS (
+  SELECT id, greatest(max(sim), 0.0) AS s FROM pairs GROUP BY id
+)
+SELECT id AS vec_id FROM scores WHERE s >= 0.99
+"""
 
 
 class _TokenCountModel:
@@ -1540,8 +1741,11 @@ def oracle_sql() -> dict[str, str]:
     out["quality_pareto"] = _quality_oracle()
     out["token_count_fingerprint"] = _token_fp_oracle()
     out["perplexity_bucketed"] = _perplexity_oracle()
-    # fuzzy_dedup / simhash / ann: seed-derived LSH not SQL-expressible ->
-    # rows-only here; pytest pins planted-duplicate behavior
+    # ann (hyperplane/ivf): the Arrow-vectorized cosine re-rank sums in a
+    # different order than SQL's sequential dot, so unrounded float ranks
+    # aren't hash-stable -> rows-only; recall pinned by pytest
+    out["fuzzy_dedup_removal_ids"] = _fuzzy_dedup_oracle()
+    out["simhash_near_dup_pairs"] = _simhash_oracle()
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
@@ -1558,8 +1762,8 @@ def oracle_sql() -> dict[str, str]:
     out["filter_substring_any"] = _SUBSTRING_ORACLE
     out["modifier_markdown"] = _MARKDOWN_ORACLE
     out["histogram_filter"] = _histogram_oracle()
-    # semantic_dedup / embedder: model-backed (KMeans / hashed projection)
-    # -> rows-only here; pytest pins planted behavior
+    # embedder: model-backed (hashed projection) -> rows-only; pytest pins
+    out["semantic_dedup_removal_ids"] = _semantic_dedup_oracle()
     out["classifier_stage"] = _CLASSIFIER_STAGE_ORACLE
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE

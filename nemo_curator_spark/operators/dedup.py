@@ -377,9 +377,17 @@ def simhash_near_duplicates(
     bucket is thinned.
     """
     fp = simhash_udf()(F.col(text_col))
-    d = df.select(F.col(id_col).alias("id"), fp.alias("fp")).where(
-        F.col("fp") != 0
-    )
+    d = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    return simhash_pairs_from_fps(d, max_hamming, max_bucket_size)
+
+
+def simhash_pairs_from_fps(
+    d: DataFrame, max_hamming: int = 3, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Banding + hamming verification over precomputed (id, fp) rows —
+    split out so the fingerprint artifact can be materialized between the
+    two stages (the correctness gate's write-then-read oracle protocol)."""
+    d = d.where(F.col("fp") != 0)
     bands = F.array(
         *[
             F.struct(
