@@ -97,6 +97,21 @@ def main() -> None:
         synth.ensure_web_pages_parquet(spark, corpus, WEB_DOCS)
         spark.stop()
 
+    # second axis: DATA scaling at fixed parallelism (local[32], 20k vs
+    # 100k docs). Core-count scaling on one box is capped by host vCPU
+    # contention (ceiling below); data scaling is not — a linear plan
+    # shape holds throughput constant as input grows, which is the
+    # property that actually transfers to a 1000-executor cluster.
+    DOCS_SMALL = 20_000
+    corpus_small = os.path.join(REPO, "data", f"web_pages_{DOCS_SMALL}.parquet")
+    if not os.path.isdir(corpus_small):
+        from nemo_curator_spark.session import get_spark
+        from nemo_curator_spark import synth
+
+        spark = get_spark(master="local[32]")
+        synth.ensure_web_pages_parquet(spark, corpus_small, DOCS_SMALL)
+        spark.stop()
+
     cal_n = calibrate(N_SMALL)
     cal_4n = calibrate(N_BIG)
     ceiling = (cal_4n / cal_n) / 4
@@ -107,6 +122,11 @@ def main() -> None:
     tput_4n = WEB_DOCS / r_4n["best"]
     raw_eff = (tput_4n / tput_n) / 4
     norm_eff = raw_eff / ceiling if ceiling > 0 else float("nan")
+
+    r_ds = run_engine(32, corpus_small)
+    tput_ds = DOCS_SMALL / r_ds["best"]
+    tput_db = WEB_DOCS / (r_4n["best"] if N_BIG == 32 else run_engine(32, corpus)["best"])
+    data_eff = tput_db / tput_ds
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH — measured performance + scaling evidence
@@ -149,6 +169,21 @@ stages data-parallel — see stage timeline in the repo notes).
 Reference context (BASELINE.md): the reference's own multi-node study
 reports near-linear scaling (≈1.0) for this workload class, measured
 across physical nodes — consistent with shuffle-free map-heavy pipelines.
+
+## Data-scaling leg (fixed local[32], {DOCS_SMALL:,} vs {WEB_DOCS:,} docs)
+
+Core-count scaling on one shared VM is bounded by the hardware ceiling
+above; DATA scaling is not. If the plan is linear (no super-linear
+shuffle, no driver-side accumulation), throughput stays flat as the input
+grows {WEB_DOCS // DOCS_SMALL}x:
+
+| leg | best sec | docs/sec |
+|---|---|---|
+| {DOCS_SMALL:,} docs | {r_ds['best']:.1f} | {tput_ds:,.0f} |
+| {WEB_DOCS:,} docs | {r_4n['best'] if N_BIG == 32 else float('nan'):.1f} | {tput_db:,.0f} |
+
+**Throughput ratio (big/small): {data_eff:.3f}** — ≈1 (or >1 as fixed
+overhead amortizes) is the linear-plan signature.
 """
     # raw per-run record; the curated analysis lives in BENCH/BASELINE.md
     # (hand-maintained — update its table from this output)
@@ -162,6 +197,8 @@ across physical nodes — consistent with shuffle-free map-heavy pipelines.
                 "normalized_eff": round(norm_eff, 3),
                 "tput_n": round(tput_n, 1),
                 "tput_4n": round(tput_4n, 1),
+                "data_eff": round(data_eff, 3),
+                "tput_20k": round(tput_ds, 1),
             }
         )
     )

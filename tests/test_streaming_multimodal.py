@@ -220,3 +220,87 @@ def test_wav_decode_and_features(spark):
     assert abs(rms - (20000 / 32768) / 2**0.5) < 0.01
     assert abs(zcr - 880 / 16000) < 0.005
     assert 0.6 < peak <= 0.62
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions from the
+    stream equal the batch window sessionization's non-final sessions."""
+    import pandas as pd
+
+    from nemo_curator_spark.streaming import stateful
+
+    rng = np.random.RandomState(7)
+    base = pd.Timestamp("2025-06-01 00:00:00")
+    rows = []
+    eid = 0
+    for user in range(6):
+        t = base + pd.Timedelta(minutes=int(rng.randint(0, 60)))
+        for _ in range(rng.randint(5, 15)):
+            # gaps: mostly short, some > 30 min to split sessions
+            gap_min = int(rng.choice([1, 5, 10, 45, 90], p=[0.3, 0.3, 0.2, 0.1, 0.1]))
+            t = t + pd.Timedelta(minutes=gap_min, seconds=int(rng.randint(60)))
+            rows.append((user, t, eid, float(rng.randint(100)) / 10))
+            eid += 1
+    src = str(tmp_path / "events_in")
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    st = (
+        spark.readStream.format("parquet")
+        .schema("user_id long, ts timestamp, event_id long, value double")
+        .load(src)
+    )
+    sessions = stateful.sessionize_stream(st, gap_minutes=30.0)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, sess_start, n_events, total_value FROM sessions_stream"
+    ).toPandas()
+
+    # batch truth: window sessionize, drop each user's LAST session (it
+    # stays open in state — only gap-closed sessions are emitted by the
+    # single-microbatch availableNow run)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    sess = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "new",
+            F.when(
+                F.col("_prev").isNull() | (gap_us > 1_800_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_no", F.sum("new").over(w))
+    )
+    batch = (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .withColumn(
+            "_last",
+            F.max("sess_no").over(Window.partitionBy("user_id")),
+        )
+        .where(F.col("sess_no") != F.col("_last"))
+        .select("user_id", "sess_start", "n_events", "total_value")
+        .toPandas()
+    )
+    assert len(batch) > 0, "corpus must contain gap-closed sessions"
+    key = ["user_id", "sess_start"]
+    got_n = got.sort_values(key).reset_index(drop=True)
+    batch_n = batch.sort_values(key).reset_index(drop=True)
+    got_n["sess_start"] = got_n["sess_start"].astype("datetime64[us]")
+    batch_n["sess_start"] = batch_n["sess_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got_n, batch_n, check_dtype=False)
