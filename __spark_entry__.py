@@ -655,14 +655,99 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+_ANN_ORACLE_DIR = "/dev/shm/ncs_ann_oracle"
+_IVF_ORACLE_DIR = "/dev/shm/ncs_ivf_oracle"
+
+_COS4 = (
+    "round(list_dot_product(q.vec, n.vec) / "
+    "(sqrt(list_dot_product(q.vec, q.vec)) * "
+    "sqrt(list_dot_product(n.vec, n.vec))), 4)"
+)
+
+
 def _ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN. Value-hash oracle via write-then-read: the
+    seeded bucket assignment (the non-SQL half) is materialized; DuckDB
+    replays candidate generation and the cosine re-rank. Ranking is on
+    the 4dp-ROUNDED cosine with neighbor-id tie-break so einsum-vs-
+    sequential float summation cannot flip ranks between engines."""
+    import os
+    import shutil
+
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ann_topk_hyperplane(df, k=5, n_planes=4, num_tables=8)
+    vecs, buckets = similarity.hyperplane_buckets(
+        df, n_planes=4, num_tables=8
+    )
+    shutil.rmtree(_ANN_ORACLE_DIR, ignore_errors=True)
+    vecs.coalesce(1).write.parquet(os.path.join(_ANN_ORACLE_DIR, "vecs"))
+    buckets.coalesce(1).write.parquet(os.path.join(_ANN_ORACLE_DIR, "buckets"))
+    v = spark.read.parquet(os.path.join(_ANN_ORACLE_DIR, "vecs"))
+    b = spark.read.parquet(os.path.join(_ANN_ORACLE_DIR, "buckets"))
+    return similarity.ann_rerank_from_buckets(v, b, k=5, round_to=4)
+
+
+def _ann_oracle() -> str:
+    d = _ANN_ORACLE_DIR
+    return f"""
+WITH v AS (SELECT id, vec FROM read_parquet('{d}/vecs/*.parquet')),
+b AS (SELECT id, t, key FROM read_parquet('{d}/buckets/*.parquet')),
+bs AS (SELECT t, key, count(*) AS n FROM b GROUP BY t, key),
+small AS (
+  SELECT b.id, b.t, b.key FROM b
+  JOIN bs ON bs.t = b.t AND bs.key = b.key WHERE bs.n <= 2000
+),
+cand AS (
+  SELECT DISTINCT x.id AS qid, y.id AS nid
+  FROM small x JOIN small y
+    ON x.t = y.t AND x.key = y.key AND x.id <> y.id
+),
+scored AS (
+  SELECT qid, nid, {_COS4} AS cosine
+  FROM cand JOIN v q ON q.id = cand.qid JOIN v n ON n.id = cand.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, nid ASC
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN. Same artifact protocol: the KMeans assignment + probe
+    lists are materialized; DuckDB replays the equi-join candidate
+    generation and the rounded-cosine re-rank."""
+    import shutil
+
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ivf_topk(df, k=5, n_lists=8, n_probe=3)
+    art = similarity.ivf_assign(df, n_lists=8, n_probe=3)
+    shutil.rmtree(_IVF_ORACLE_DIR, ignore_errors=True)
+    art.coalesce(1).write.parquet(_IVF_ORACLE_DIR)
+    back = spark.read.parquet(_IVF_ORACLE_DIR)
+    return similarity.ivf_rerank_from_assignment(back, k=5, round_to=4)
+
+
+def _ivf_oracle() -> str:
+    d = _IVF_ORACLE_DIR
+    return f"""
+WITH a AS (
+  SELECT id, vec, list_id, probes FROM read_parquet('{d}/*.parquet')
+),
+p AS (SELECT id AS qid, UNNEST(probes) AS probe_list FROM a),
+cand AS (
+  SELECT p.qid, n.id AS nid
+  FROM p JOIN a n ON n.list_id = p.probe_list WHERE p.qid <> n.id
+),
+scored AS (
+  SELECT qid, nid, {_COS4} AS cosine
+  FROM cand JOIN a q ON q.id = cand.qid JOIN a n ON n.id = cand.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, nid ASC
+  ) AS rank FROM scored
+) WHERE rank <= 5
+"""
 
 
 def _events_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,12 +1233,71 @@ FROM (
 """
 
 
+_EMBED_ORACLE_DIR = "/dev/shm/ncs_embed_oracle"
+
+
 def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words projection, fully value-gated: the per-word
+    crc32 values (the one primitive DuckDB lacks) are exported as a vocab
+    artifact; the oracle rebuilds every signed count from it. The query
+    emits the UNnormalized projection (exactly integer-valued), exploded
+    to (doc_id, idx, cnt), so no float32 rounding can perturb the hash."""
+    import shutil
+
     from nemo_curator_spark.operators.classifiers import EmbedderStage
 
     df = _docs(spark, sf_dir)
-    out = EmbedderStage(dim=32).apply(df)
-    return out.select("doc_id", F.size("embedding").alias("dim"))
+    words = df.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""),
+                r"\s+",
+            )
+        ).alias("word")
+    ).where(F.col("word") != "").distinct()
+
+    @F.pandas_udf("long")
+    def _crc32(w):
+        import zlib
+
+        import pandas as pd
+
+        return pd.Series([zlib.crc32(x.encode("utf-8")) for x in w])
+
+    shutil.rmtree(_EMBED_ORACLE_DIR, ignore_errors=True)
+    words.withColumn("h", _crc32(F.col("word"))).coalesce(1).write.parquet(
+        _EMBED_ORACLE_DIR
+    )
+    out = EmbedderStage(dim=32, normalize=False).apply(df)
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("idx", "_v")
+    ).select("doc_id", "idx", F.col("_v").cast("long").alias("cnt"))
+
+
+def _embedder_oracle() -> str:
+    d = _EMBED_ORACLE_DIR
+    return f"""
+WITH vocab AS (SELECT word, h FROM read_parquet('{d}/*.parquet')),
+toks AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(s, '\\s+') END) AS word
+  FROM (
+    SELECT doc_id,
+      regexp_replace(regexp_replace(lower(text), '^\\s+', ''), '\\s+$', '') AS s
+    FROM documents)
+),
+contrib AS (
+  SELECT t.doc_id, v.h % 32 AS idx,
+         CASE WHEN (v.h // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM toks t JOIN vocab v ON v.word = t.word
+),
+agg AS (SELECT doc_id, idx, sum(sgn) AS cnt FROM contrib GROUP BY doc_id, idx)
+SELECT d.doc_id, g.i AS idx, COALESCE(a.cnt, 0) AS cnt
+FROM documents d
+CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS i) g
+LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.idx = g.i
+"""
 
 
 def _topk_per_user_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1741,11 +1885,10 @@ def oracle_sql() -> dict[str, str]:
     out["quality_pareto"] = _quality_oracle()
     out["token_count_fingerprint"] = _token_fp_oracle()
     out["perplexity_bucketed"] = _perplexity_oracle()
-    # ann (hyperplane/ivf): the Arrow-vectorized cosine re-rank sums in a
-    # different order than SQL's sequential dot, so unrounded float ranks
-    # aren't hash-stable -> rows-only; recall pinned by pytest
     out["fuzzy_dedup_removal_ids"] = _fuzzy_dedup_oracle()
     out["simhash_near_dup_pairs"] = _simhash_oracle()
+    out["ann_hyperplane_topk"] = _ann_oracle()
+    out["ivf_topk"] = _ivf_oracle()
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
@@ -1762,8 +1905,8 @@ def oracle_sql() -> dict[str, str]:
     out["filter_substring_any"] = _SUBSTRING_ORACLE
     out["modifier_markdown"] = _MARKDOWN_ORACLE
     out["histogram_filter"] = _histogram_oracle()
-    # embedder: model-backed (hashed projection) -> rows-only; pytest pins
     out["semantic_dedup_removal_ids"] = _semantic_dedup_oracle()
+    out["embedder_hash_dim"] = _embedder_oracle()
     out["classifier_stage"] = _CLASSIFIER_STAGE_ORACLE
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE

@@ -184,10 +184,15 @@ class EmbedderStage:
     dim: int = 64
     model: object | None = None
     out_col: str = "embedding"
+    # normalize=False emits the raw signed word counts (exactly integer-
+    # valued) — the correctness gate uses it so the projection is
+    # hash-comparable without float32 rounding noise
+    normalize: bool = True
 
     def apply(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         dim = self.dim
         model = self.model
+        normalize = self.normalize
 
         @F.pandas_udf(T.ArrayType(T.FloatType()))
         def embed(texts: pd.Series) -> pd.Series:
@@ -202,8 +207,11 @@ class EmbedderStage:
                 for w in (t or "").lower().split():
                     h = zlib.crc32(w.encode("utf-8"))
                     v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
-                n = np.linalg.norm(v)
-                out.append((v / n if n else v).astype(np.float32))
+                if normalize:
+                    n = np.linalg.norm(v)
+                    if n:
+                        v = v / n
+                out.append(v.astype(np.float32))
             return pd.Series(out)
 
         return df.withColumn(self.out_col, embed(F.col(text_col)))

@@ -99,24 +99,102 @@ def cosine_topk(
     )
 
 
-def _hyperplane_udf(dim: int, n_planes: int, seed: int):
-    rs = np.random.RandomState(seed)
-    planes = rs.normal(size=(n_planes, dim)).astype(np.float64)
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-table hyperplane LSH keys in ONE Arrow pass: returns
+    ``(vecs, buckets)`` where vecs = (id, vec) and buckets = (id, t, key).
+    Splitting the stages lets the correctness gate materialize the seeded
+    bucket assignment (the non-SQL half) as a parquet artifact."""
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    planes = np.stack(
+        [
+            np.random.RandomState(seed + t).normal(size=(n_planes, dim))
+            for t in range(num_tables)
+        ]
+    )  # (num_tables, n_planes, dim) — same per-table seeds as always
+    flat = planes.reshape(-1, dim)
+    pows = (1 << np.arange(n_planes, dtype=np.int64))
 
-    @F.pandas_udf(T.LongType())
-    def _udf(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) > 0
-            key = 0
-            for i, b in enumerate(bits):
-                if b:
-                    key |= 1 << i
-            out.append(key)
-        return pd.Series(out, dtype="int64")
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _keys(vs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        bits = (V @ flat.T) > 0  # (batch, num_tables*n_planes)
+        bits = bits.reshape(len(V), num_tables, n_planes)
+        keys = (bits * pows[None, None, :]).sum(axis=2)
+        return pd.Series(list(keys))
 
-    return _udf
+    buckets = vecs.select(
+        "id", F.posexplode(_keys(F.col("vec"))).alias("t", "key")
+    )
+    return vecs, buckets
+
+
+def ann_rerank_from_buckets(
+    vecs: DataFrame,
+    buckets: DataFrame,
+    k: int = 5,
+    max_bucket_size: int = 2000,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Candidate generation + exact cosine re-rank over precomputed LSH
+    buckets: ONE self-join keyed (t, key) covers every table (the per-
+    table join-loop this replaces ran num_tables separate shuffles).
+
+    ``max_bucket_size`` caps the self-join per (t, key): rows in
+    oversized buckets are skipped in that table and rely on the other
+    hashings for recall — the standard multi-probe LSH degradation, never
+    a k² blowup. ``round_to`` ranks on the rounded cosine (with
+    neighbor-id tie-break) so the ranking is reproducible across engines
+    that sum the dot product in different orders — the correctness gate
+    sets 4."""
+    w = Window.partitionBy("t", "key")
+    keyed = (
+        buckets.withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+    cand = (
+        keyed.alias("x")
+        .join(
+            keyed.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("qid"), F.col("y.id").alias("nid"))
+        .dropDuplicates(["qid", "nid"])
+    )
+    joined = (
+        cand.join(
+            vecs.select(F.col("id").alias("qid"), F.col("vec").alias("qvec")),
+            "qid",
+        ).join(
+            vecs.select(F.col("id").alias("nid"), F.col("vec").alias("nvec")),
+            "nid",
+        )
+    )
+    cos = _pair_cosine_udf()(F.col("qvec"), F.col("nvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = joined.select("qid", "nid", cos.alias("cos"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+    )
 
 
 def ann_topk_hyperplane(
@@ -128,47 +206,91 @@ def ann_topk_hyperplane(
     num_tables: int = 4,
     seed: int = 42,
     max_bucket_size: int = 2000,
+    round_to: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: union of per-table bucket candidates, exact
-    cosine re-rank. Buckets shuffle on (table, key) — no cross join.
-
-    ``max_bucket_size`` caps the per-table self-join: a hot bucket (many
-    near-identical embeddings, or too few planes for the corpus) would go
-    quadratic; rows in oversized buckets are skipped *in that table* and
-    rely on the other ``num_tables-1`` independent hashings for recall —
-    the standard multi-probe LSH degradation, never a k² blowup."""
-    dim = len(df.select(vec_col).limit(1).collect()[0][0])
-    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
-
-    cands = None
-    for t in range(num_tables):
-        udf = _hyperplane_udf(dim, n_planes, seed + t)
-        keyed = base.withColumn("key", udf(F.col("vec"))).withColumn(
-            "_bn", F.count("*").over(Window.partitionBy("key"))
-        ).where(F.col("_bn") <= max_bucket_size).drop("_bn")
-        pairs = (
-            keyed.alias("x")
-            .join(
-                keyed.alias("y"),
-                (F.col("x.key") == F.col("y.key"))
-                & (F.col("x.id") != F.col("y.id")),
-            )
-            .select(
-                F.col("x.id").alias("qid"),
-                F.col("y.id").alias("nid"),
-                F.col("x.vec").alias("qvec"),
-                F.col("y.vec").alias("nvec"),
-            )
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-
-    scored = (
-        cands.dropDuplicates(["qid", "nid"])
-        .select("qid", "nid", _pair_cosine_udf()(F.col("qvec"), F.col("nvec")).alias("cos"))
+    """Approximate top-k: LSH bucket candidates, exact cosine re-rank."""
+    vecs, buckets = hyperplane_buckets(
+        df, id_col, vec_col, n_planes, num_tables, seed
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return ann_rerank_from_buckets(vecs, buckets, k, max_bucket_size, round_to)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """KMeans-assign every row and select its probe lists in one pass:
+    (id, vec, list_id, probes array<int>). The model-state half of IVF,
+    materialized separately so the gate can snapshot it as an artifact."""
+    from nemo_curator_spark.functions.kmeans_np import (
+        kmeans_fit,
+        sample_training_rows,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+    )
+    train_cap = max(10_000, 50 * n_lists)
+    _, rows = sample_training_rows(base, "id", ["vec"], train_cap)
+    X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+    cmat = kmeans_fit(X, n_lists, seed=seed, max_iter=10)
+    csq = np.einsum("ij,ij->i", cmat, cmat)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+
+    schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("probes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _assign(vecs: pd.Series) -> pd.DataFrame:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
+        labels = np.argmax(V @ cmat.T - 0.5 * csq[None, :], axis=1)
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0.0] = 1.0
+        sims = (V @ cmat.T) / (vn[:, None] * cnorm[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, : min(n_probe, cmat.shape[0])]
+        return pd.DataFrame(
+            {"list_id": labels.astype(np.int32), "probes": list(order.astype(np.int32))}
+        )
+
+    return base.withColumn("_a", _assign(F.col("vec"))).select(
+        "id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.probes").alias("probes")
+    )
+
+
+def ivf_rerank_from_assignment(
+    art: DataFrame, k: int = 5, round_to: int | None = None
+) -> DataFrame:
+    """Candidate generation (explode probes, equi-join on list id) + exact
+    cosine re-rank over a precomputed IVF assignment table."""
+    probes = art.select(
+        F.col("id").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.explode("probes").alias("probe_list"),
+    )
+    cands = probes.join(
+        art.select(
+            F.col("id").alias("nid"),
+            F.col("vec").alias("nvec"),
+            F.col("list_id").alias("probe_list"),
+        ),
+        "probe_list",
+    ).where(F.col("qid") != F.col("nid"))
+    cos = _pair_cosine_udf()(F.col("qvec"), F.col("nvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cands.select("qid", "nid", cos.alias("cos"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
             F.col("qid").alias("query_id"),
@@ -187,6 +309,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    round_to: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: KMeans-partition the corpus into ``n_lists`` inverted
     lists; each query scans only its ``n_probe`` nearest centroids' lists
@@ -196,84 +319,8 @@ def ivf_topk(
     single Arrow projection against the closure-shipped centroid matrix,
     candidate generation via an equi-join on list id — no corpus x corpus
     cross join, no per-row window."""
-    from nemo_curator_spark.functions.kmeans_np import (
-        kmeans_fit,
-        sample_training_rows,
-    )
-
-    base = df.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
-    )
-    # centroids train on a bounded deterministic sample (the standard IVF
-    # recipe — FAISS trains on ~max(10k, 50*n_lists) vectors); full-corpus
-    # KMeans would make training the bottleneck at scale while the
-    # centroids barely change. Hash-filter sample (no sort), numpy Lloyd's
-    # on the driver (a distributed fit on <=10k rows is pure task
-    # overhead); assignment of the full corpus stays distributed.
-    train_cap = max(10_000, 50 * n_lists)
-    _, rows = sample_training_rows(base, "id", ["vec"], train_cap)
-    X = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in rows])
-    cmat = kmeans_fit(X, n_lists, seed=seed, max_iter=10)
-    csq = np.einsum("ij,ij->i", cmat, cmat)
-
-    @F.pandas_udf(T.IntegerType())
-    def _assign(vecs: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        return pd.Series(
-            np.argmax(V @ cmat.T - 0.5 * csq[None, :], axis=1).astype(np.int32)
-        )
-
-    assigned = base.withColumn("list_id", _assign(F.col("vec")))
-
-    # Probe selection: the centroid table is tiny and already known on the
-    # driver, so each row's n_probe nearest lists are computed in ONE
-    # narrow projection — an Arrow-batched matmul against the centroid
-    # matrix shipped in the UDF closure. (The previous shape —
-    # crossJoin(broadcast(centroids)) then row_number over partitionBy(id)
-    # — multiplied the corpus by n_lists and shuffled that blowup through
-    # a window just to pick per-row top-n_probe.)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    cnorm[cnorm == 0.0] = 1.0
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _probe_lists(vecs: pd.Series) -> pd.Series:
-        v = np.stack([np.asarray(x, dtype=np.float64) for x in vecs])
-        vn = np.linalg.norm(v, axis=1)
-        vn[vn == 0.0] = 1.0
-        sims = (v @ cmat.T) / (vn[:, None] * cnorm[None, :])
-        # desc cosine, ties on list id ascending (matches the window the
-        # crossJoin form used: orderBy(desc(csim), asc(probe_list)))
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series(list(order.astype(np.int32)))
-
-    probes = assigned.select(
-        F.col("id").alias("qid"),
-        F.col("vec").alias("qvec"),
-        F.explode(_probe_lists(F.col("vec"))).alias("probe_list"),
-    )
-
-    cands = probes.join(
-        assigned.select(
-            F.col("id").alias("nid"),
-            F.col("vec").alias("nvec"),
-            F.col("list_id").alias("probe_list"),
-        ),
-        "probe_list",
-    ).where(F.col("qid") != F.col("nid"))
-    scored = cands.select(
-        "qid", "nid", _pair_cosine_udf()(F.col("qvec"), F.col("nvec")).alias("cos")
-    )
-    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            F.col("cos").alias("cosine"),
-            "rank",
-        )
-    )
+    art = ivf_assign(df, id_col, vec_col, n_lists, n_probe, seed)
+    return ivf_rerank_from_assignment(art, k, round_to)
 
 
 def embedding_near_duplicates(
