@@ -713,6 +713,152 @@ SELECT qid AS query_id, nid AS neighbor_id, cosine, rank FROM (
 """
 
 
+def _audio_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-manifest metrics (reference stages/audio: duration from the
+    WAV payload common.py:33-40, char/word rates wer.py:176-185). A real
+    16-bit PCM WAV is synthesized per doc (length deterministic in
+    doc_id), round-tripped through the stdlib codec — the DECODE is what
+    the gate exercises; the oracle recomputes duration from the length
+    formula and the rates from the text."""
+    import numpy as np
+
+    from nemo_curator_spark.operators import audio as audio_mod
+    from nemo_curator_spark.operators.multimodal import encode_wav
+
+    df = _docs(spark, sf_dir)
+
+    @F.pandas_udf("binary")
+    def _wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            n = 8000 + int(i % 100) * 160
+            samples = (np.sin(np.arange(n) * 0.05) * 3000).astype(np.int16)
+            out.append(encode_wav(samples, 16000))
+        return pd.Series(out)
+
+    # raw rates in the UDF, F.round in the plan: python round() is
+    # banker's (round-half-even) and diverges from DuckDB on dyadic
+    # midpoints like 240.625 — JVM HALF_UP matches the oracle exactly.
+    # (audio_mod.get_char_rate keeps python round: that is what the
+    # reference itself does; the gate query needs cross-engine parity.)
+    @F.pandas_udf("struct<char_rate:double,word_rate:double>")
+    def _rates(text: pd.Series, dur: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "char_rate": [
+                    len((t or "").replace(" ", "")) / d if d > 0 else 0.0
+                    for t, d in zip(text, dur)
+                ],
+                "word_rate": [
+                    len((t or "").split()) / d if d > 0 else 0.0
+                    for t, d in zip(text, dur)
+                ],
+            }
+        )
+
+    with_audio = df.withColumn("audio", _wav(F.col("doc_id")))
+    with_dur = with_audio.withColumn(
+        "duration", audio_mod.duration_udf()(F.col("audio"))
+    )
+    out = with_dur.withColumn(
+        "_r", _rates(F.col("text"), F.col("duration"))
+    )
+    out = audio_mod.preserve_by_value(out, "duration", 0.4, "gt")
+    return out.select(
+        "doc_id",
+        "duration",
+        F.round(F.col("_r.char_rate"), 2).alias("char_rate"),
+        F.round(F.col("_r.word_rate"), 2).alias("word_rate"),
+    )
+
+
+_AUDIO_METRICS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         (8000 + (doc_id % 100) * 160) / 16000.0 AS duration
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, text, duration,
+    CASE WHEN s = '' THEN 0
+         ELSE len(regexp_split_to_array(s, '\\s+')) END AS n_words
+  FROM (
+    SELECT *,
+      regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+    FROM base)
+)
+SELECT doc_id, duration,
+       round(length(replace(text, ' ', '')) / duration, 2) AS char_rate,
+       round(n_words / duration, 2) AS word_rate
+FROM toks WHERE duration > 0.4
+"""
+
+
+_NEARDUP_ORACLE_DIR = "/dev/shm/ncs_neardup_oracle"
+
+
+def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, rounded cosine >=
+    threshold) via hyperplane blocking — the similarity-side dedup
+    variant. Planted duplicate vectors keep the row non-vacuous; same
+    artifact protocol + rounded-rank rule as ann_hyperplane_topk."""
+    import os
+    import shutil
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    df = base.unionAll(dup)
+    vecs, buckets = similarity.hyperplane_buckets(df, n_planes=4, num_tables=8)
+    shutil.rmtree(_NEARDUP_ORACLE_DIR, ignore_errors=True)
+    vecs.coalesce(1).write.parquet(os.path.join(_NEARDUP_ORACLE_DIR, "vecs"))
+    buckets.coalesce(1).write.parquet(
+        os.path.join(_NEARDUP_ORACLE_DIR, "buckets")
+    )
+    v = spark.read.parquet(os.path.join(_NEARDUP_ORACLE_DIR, "vecs"))
+    b = spark.read.parquet(os.path.join(_NEARDUP_ORACLE_DIR, "buckets"))
+    topk = similarity.ann_rerank_from_buckets(v, b, k=50, round_to=4)
+    return topk.where(
+        (F.col("cosine") >= 0.99) & (F.col("query_id") < F.col("neighbor_id"))
+    ).select(
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        "cosine",
+    )
+
+
+def _embedding_neardup_oracle() -> str:
+    d = _NEARDUP_ORACLE_DIR
+    return f"""
+WITH v AS (SELECT id, vec FROM read_parquet('{d}/vecs/*.parquet')),
+b AS (SELECT id, t, key FROM read_parquet('{d}/buckets/*.parquet')),
+bs AS (SELECT t, key, count(*) AS n FROM b GROUP BY t, key),
+small AS (
+  SELECT b.id, b.t, b.key FROM b
+  JOIN bs ON bs.t = b.t AND bs.key = b.key WHERE bs.n <= 2000
+),
+cand AS (
+  SELECT DISTINCT x.id AS qid, y.id AS nid
+  FROM small x JOIN small y
+    ON x.t = y.t AND x.key = y.key AND x.id <> y.id
+),
+scored AS (
+  SELECT qid, nid, {_COS4} AS cosine
+  FROM cand JOIN v q ON q.id = cand.qid JOIN v n ON n.id = cand.nid
+),
+topk AS (
+  SELECT qid, nid, cosine, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, nid ASC
+  ) AS rank FROM scored
+)
+SELECT qid AS a, nid AS b, cosine FROM topk
+WHERE rank <= 50 AND cosine >= 0.99 AND qid < nid
+"""
+
+
 def _ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN. Same artifact protocol: the KMeans assignment + probe
     lists are materialized; DuckDB replays the equi-join candidate
@@ -1859,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"filter_{rule.name}"] = _rule_query(rule.name)
     for extra in H.EXTRA_RULES:
         out[f"filter_{extra}"] = _rule_query(extra)
+    out["embedding_neardup_pairs"] = _embedding_neardup_query
+    out["audio_manifest_metrics"] = _audio_metrics_query
     return out
 
 
@@ -1889,6 +2037,8 @@ def oracle_sql() -> dict[str, str]:
     out["simhash_near_dup_pairs"] = _simhash_oracle()
     out["ann_hyperplane_topk"] = _ann_oracle()
     out["ivf_topk"] = _ivf_oracle()
+    out["embedding_neardup_pairs"] = _embedding_neardup_oracle()
+    out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE

@@ -1,29 +1,77 @@
-"""Custom stateful streaming operator: per-user sessionization via
-``applyInPandasWithState`` (beyond-reference addition — the reference has
-no streaming engine; this is the Structured Streaming analogue of the
-batch ``events_sessionize`` query, same 30-minute-gap semantics).
+"""Custom stateful streaming operator: per-host running curation stats.
 
-Shape: ``groupBy(user_id)`` keyed state holding the open session
-(last event time, session start, counts); each micro-batch's events for a
-user are merged in event order, sessions CLOSE when the gap to the next
-event exceeds the threshold (emitted downstream), and the still-open
-session persists in state. An event-time timeout closes idle sessions
-once the watermark passes ``last_ts + gap`` — so state is bounded by the
-number of users active inside the watermark horizon, not by history
-(the 100 TB property: state size tracks active keys, never the stream).
+The reference has no event-time/stateful operators (SURVEY.md §1.2); this
+is the Spark-native capability the task adds: ``applyInPandasWithState``
+keeps a (docs_seen, docs_kept) accumulator per host across micro-batches —
+the streaming analogue of the lineage table, usable for live keep-rate
+monitoring / per-host anomaly cutoff.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "host string, n_docs long, n_kept long, keep_rate double"
+STATE_SCHEMA = "n_docs long, n_kept long"
+
+
+def _update_host_stats(key, pdfs, state: GroupState):
+    (host,) = key
+    if state.exists:
+        n_docs, n_kept = state.get
+    else:
+        n_docs, n_kept = 0, 0
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        n_kept += int(pdf["keep"].sum())
+    state.update((n_docs, n_kept))
+    yield pd.DataFrame(
+        {
+            "host": [host],
+            "n_docs": [n_docs],
+            "n_kept": [n_kept],
+            "keep_rate": [n_kept / n_docs if n_docs else 0.0],
+        }
+    )
+
+
+def host_running_stats(labeled_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame of cumulative per-host stats (update mode)."""
+    with_host = labeled_stream.withColumn(
+        "host", F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    )
+    return (
+        with_host.select("host", F.col("keep").cast("long").alias("keep"))
+        .groupBy("host")
+        .applyInPandasWithState(
+            _update_host_stats,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- per-user streaming sessionization ---------------------------------------
+# (applyInPandasWithState #2: event-time timeouts — the Structured
+# Streaming analogue of the batch events_sessionize query, same
+# 30-minute-gap semantics. Sessions CLOSE when the gap to the next event
+# exceeds the threshold or when the watermark passes last_ts + gap, so
+# state is bounded by the number of users active inside the watermark
+# horizon — the 100 TB property: state tracks active keys, not history.)
+
 from typing import Any, Iterator
 
-import pandas as pd
 
-OUTPUT_SCHEMA = (
+SESSION_OUTPUT_SCHEMA = (
     "user_id long, sess_start timestamp, sess_end timestamp, "
     "n_events long, total_value double"
 )
-STATE_SCHEMA = "last_us long, start_us long, n long, total double"
+SESSION_STATE_SCHEMA = "last_us long, start_us long, n long, total double"
 
 
 def _us(ts) -> int:
@@ -93,8 +141,8 @@ def sessionize_stream(
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_fn(gap_us),
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -1,0 +1,112 @@
+"""Audio-modality operators (reference stages/audio/*): WER/CER detail,
+duration from WAV binary, rates, bandwidth rolloff, preserve-by-value."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nemo_curator_spark.operators import audio as A
+from nemo_curator_spark.operators import multimodal as MM
+
+
+def test_word_error_rate_detail_known_cases():
+    # substitution only: 1 of 3 words
+    wer, tokens, ins, dele, sub = A.word_error_rate_detail(["a x c"], ["a b c"])
+    assert (wer, tokens, ins, dele, sub) == (1 / 3, 3, 0.0, 0.0, 1 / 3)
+    # deletion: hyp shorter
+    wer, tokens, ins, dele, sub = A.word_error_rate_detail(["a c"], ["a b c"])
+    assert (wer, tokens, ins, dele, sub) == (1 / 3, 3, 0.0, 1 / 3, 0.0)
+    # insertion: hyp longer
+    wer, tokens, ins, dele, sub = A.word_error_rate_detail(["a b x c"], ["a b c"])
+    assert (wer, tokens, ins, dele, sub) == (1 / 3, 3, 1 / 3, 0.0, 0.0)
+    # identical
+    assert A.word_error_rate_detail(["same text"], ["same text"])[0] == 0.0
+    # empty reference, non-empty hypothesis -> inf
+    assert A.word_error_rate_detail(["x"], [""])[0] == float("inf")
+    # CER
+    cer, tokens, *_ = A.word_error_rate_detail(["abcd"], ["abxd"], use_cer=True)
+    assert cer == 1 / 4 and tokens == 4
+    # aggregate over multiple pairs: total edits / total ref tokens
+    wer, tokens, *_ = A.word_error_rate_detail(
+        ["a b", "x y z"], ["a b", "x q z"]
+    )
+    assert tokens == 5 and wer == 1 / 5
+
+
+def test_wer_matches_bruteforce_on_random_pairs():
+    # property: rate equals plain Levenshtein distance / ref length
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    dp[j] + 1,
+                    dp[j - 1] + 1,
+                    prev + (a[i - 1] != b[j - 1]),
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    rng = np.random.RandomState(3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for _ in range(25):
+        h = " ".join(rng.choice(vocab, size=rng.randint(0, 8)))
+        r = " ".join(rng.choice(vocab, size=rng.randint(1, 8)))
+        wer, tokens, ins, dele, sub = A.word_error_rate_detail([h], [r])
+        assert tokens == len(r.split())
+        assert wer == pytest.approx(lev(h.split(), r.split()) / tokens)
+        # detail rates decompose the distance exactly
+        assert ins + dele + sub == pytest.approx(wer)
+
+
+def test_clean_text_and_rates():
+    assert A.clean_text("  hello — world_x  ") == A.clean_text("hello — world_x")
+    assert A.clean_text("a_b") == "a b"
+    assert A.clean_text('say "hi"') == "say hi"
+    assert A.get_char_rate("ab cd", 2.0) == 2.0  # 4 chars / 2 s
+    assert A.get_word_rate("ab cd", 2.0) == 1.0
+    assert A.get_char_rate("ab", 0.0) == 0.0
+
+
+def test_duration_from_wav_binary():
+    sr = 16000
+    samples = (np.sin(np.linspace(0, 100, sr * 2)) * 10000).astype(np.int16)
+    raw = MM.encode_wav(samples, sample_rate=sr)
+    assert A.get_audio_duration(raw) == pytest.approx(2.0)
+    assert A.get_audio_duration(b"not a wav") == -1.0
+    assert A.get_audio_duration(None) == -1.0
+
+
+def test_bandwidth_rolloff_tracks_tone_frequency():
+    sr = 16000
+    t = np.arange(sr) / sr
+    low = np.sin(2 * np.pi * 500 * t)
+    high = np.sin(2 * np.pi * 6000 * t)
+    bw_low = A.estimate_bandwidth(low, sr)
+    bw_high = A.estimate_bandwidth(high, sr)
+    # rolloff sits near the tone (within a few bins of 31.25 Hz each)
+    assert abs(bw_low - 500) < 300, bw_low
+    assert abs(bw_high - 6000) < 500, bw_high
+    assert bw_high > bw_low
+
+
+def test_compute_wer_stage_and_preserve(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat", "the cat sat"),
+            (2, "the dog sat", "the cat sat"),
+            (3, "x", ""),
+        ],
+        "id long, text string, text_ref string",
+    )
+    out = {r["id"]: r["metrics"] for r in A.compute_wer(df).collect()}
+    assert out[1]["wer"] == 0.0 and out[1]["cer"] == 0.0
+    assert out[2]["wer"] == pytest.approx(round(1 / 3, 4))
+    assert out[3]["wer"] is None  # empty reference -> skipped
+    kept = A.preserve_by_value(df, "id", 2, "lt").collect()
+    assert [r["id"] for r in kept] == [1]
+    with pytest.raises(ValueError):
+        A.preserve_by_value(df, "id", 2, "bogus")
