@@ -794,6 +794,56 @@ FROM toks WHERE duration > 0.4
 """
 
 
+def _image_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image binary-column plumbing, value-gated end to end: a
+    deterministic gradient image per doc is PPM-encoded, nearest-neighbor
+    resized to 8x8 through the REAL codec path (multimodal.resize_nearest:
+    decode -> integer index -> re-encode), decoded again, and reduced to
+    exact integer pixel sums. The oracle recomputes the same sums from the
+    closed-form pixel formula — pure integer math, so any codec/indexing
+    bug flips the hash."""
+    import numpy as np
+
+    from nemo_curator_spark.operators import multimodal as mm
+
+    df = _docs(spark, sf_dir)
+
+    @F.pandas_udf("struct<width:int,height:int,pix_sum:long>")
+    def _roundtrip(ids: pd.Series) -> pd.DataFrame:
+        rows = []
+        for i in ids:
+            i = int(i)
+            w, h = 16 + i % 16, 12 + i % 8
+            y, x, c = np.ogrid[0:h, 0:w, 0:3]
+            img = ((x + y + 7 * c + i) % 256).astype(np.uint8)
+            raw = mm.encode_ppm(img)
+            resized = mm.resize_nearest(raw, 8, 8)
+            _, _, _, px = mm.decode_ppm(resized)
+            rows.append((w, h, int(px.astype(np.int64).sum())))
+        return pd.DataFrame(rows, columns=["width", "height", "pix_sum"])
+
+    return df.select("doc_id", _roundtrip(F.col("doc_id")).alias("_m")).select(
+        "doc_id",
+        F.col("_m.width").alias("width"),
+        F.col("_m.height").alias("height"),
+        F.col("_m.pix_sum").alias("pix_sum"),
+    )
+
+
+_IMAGE_RESIZE_ORACLE = """
+WITH g AS (SELECT UNNEST(generate_series(0, 7)) AS i),
+c AS (SELECT UNNEST(generate_series(0, 2)) AS ch),
+dims AS (
+  SELECT doc_id, 16 + doc_id % 16 AS w, 12 + doc_id % 8 AS h FROM documents
+)
+SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CAST(sum((x.i * d.w // 8 + y.i * d.h // 8 + 7 * c.ch + d.doc_id) % 256)
+            AS BIGINT) AS pix_sum
+FROM dims d, g x, g y, c
+GROUP BY d.doc_id, d.w, d.h
+"""
+
+
 _NEARDUP_ORACLE_DIR = "/dev/shm/ncs_neardup_oracle"
 
 
@@ -2007,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"filter_{extra}"] = _rule_query(extra)
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["audio_manifest_metrics"] = _audio_metrics_query
+    out["image_resize_stats"] = _image_resize_query
     return out
 
 
@@ -2039,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_topk"] = _ivf_oracle()
     out["embedding_neardup_pairs"] = _embedding_neardup_oracle()
     out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
+    out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
