@@ -244,6 +244,12 @@ def ensure_web_pages_parquet(
                 )
 
     df = meta.mapInPandas(gen, schema=WEB_PAGES_SCHEMA)
+    # spread the cache over >= 2x-the-box file count: parquet splits can't
+    # cross row-group boundaries, so a 17-file cache caps every downstream
+    # scan at 17 tasks (measured ~5-6 effective cores on local[32] — the
+    # whole chain was parallelism-starved, not compute-bound). Content is
+    # unchanged (per-row data depends only on chunk seed/offset).
+    df = df.repartition(max(64, n_chunks))
     df.write.mode("overwrite").parquet(path)
     return path
 
