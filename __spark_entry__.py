@@ -313,9 +313,15 @@ def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fasttext_filters.py:58-111): a deterministic MiniFastText artifact
     (fastText architecture, operators/fasttext_mini.py) trained on a
     seed-pinned per-language sample of the same table, loaded per worker
-    from disk, batch-predicted. Model inference isn't SQL-expressible ->
-    rows-only; exact behavior pinned by tests/test_fasttext_mini.py."""
+    from disk, batch-predicted. Value-hash oracle via the artifact
+    protocol: the trained weights (per-word input vectors + the label
+    output matrix — float64 end to end, word_ngrams=1 so features are
+    exactly vocab hits + EOS) are exported as parquet, and DuckDB replays
+    tokenize -> vocab join -> mean hidden vector -> logits -> stable
+    softmax -> argmax. Exact per-weight behavior additionally pinned by
+    tests/test_fasttext_mini.py."""
     import os
+    import shutil
     import tempfile
 
     from nemo_curator_spark.operators import fasttext_mini as FT
@@ -350,6 +356,30 @@ def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(tempfile.mkdtemp(prefix="minift_"), "langid.minift.json")
     model.save(path)
+
+    # export the weights for the SQL replay
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tmp = _FASTTEXT_ORACLE_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    dim = model.input_matrix.shape[1]
+    words = sorted(model.vocab, key=model.vocab.get)
+    vcols = {"word": words}
+    for d in range(dim):
+        vcols[f"v{d}"] = [float(model.input_matrix[model.vocab[w], d]) for w in words]
+    pq.write_table(pa.table(vcols), os.path.join(tmp, "vocab.parquet"))
+    lcols = {
+        "idx": list(range(len(model.labels))),
+        "label": [lb.removeprefix("__label__") for lb in model.labels],
+    }
+    for d in range(dim):
+        lcols[f"o{d}"] = [float(model.output_matrix[i, d]) for i in range(len(model.labels))]
+    pq.write_table(pa.table(lcols), os.path.join(tmp, "labels.parquet"))
+    shutil.rmtree(_FASTTEXT_ORACLE_DIR, ignore_errors=True)
+    os.replace(tmp, _FASTTEXT_ORACLE_DIR)
+
     scorer = FastTextLangId(model_path=path, min_langid_score=0.3)
     pred = scorer.udf()(F.col("text"))
     return df.select(
@@ -357,6 +387,52 @@ def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred["lang"].alias("lang_pred"),
         F.round(pred["score"], 6).alias("lang_score"),
     )
+
+
+_FASTTEXT_ORACLE_DIR = "/dev/shm/ncs_fasttext_oracle"
+
+
+def _fasttext_langid_oracle() -> str:
+    d = _FASTTEXT_ORACLE_DIR
+    dims = range(8)
+    hid = ", ".join(f"avg(v{i}) AS h{i}" for i in dims)
+    logit = " + ".join(f"l.o{i} * h.h{i}" for i in dims)
+    return f"""
+WITH v AS (SELECT * FROM read_parquet('{d}/vocab.parquet')),
+lab AS (SELECT * FROM read_parquet('{d}/labels.parquet')),
+toks AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(s, '\\s+') END) AS word
+  FROM (
+    SELECT doc_id,
+      regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+    FROM documents)
+  UNION ALL
+  SELECT doc_id, '</s>' AS word FROM documents
+),
+m AS (SELECT t.doc_id, v.* FROM toks t JOIN v ON v.word = t.word),
+h AS (SELECT doc_id, {hid} FROM m GROUP BY doc_id),
+lg AS (
+  SELECT h.doc_id, l.idx, l.label, {logit} AS logit
+  FROM h CROSS JOIN lab l
+),
+sm AS (
+  SELECT doc_id, idx, label,
+         exp(logit - max(logit) OVER (PARTITION BY doc_id)) AS e
+  FROM lg
+),
+p AS (
+  SELECT doc_id, idx, label,
+         e / sum(e) OVER (PARTITION BY doc_id) AS prob
+  FROM sm
+)
+SELECT doc_id, label AS lang_pred, round(prob, 6) AS lang_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY prob DESC, idx ASC
+  ) AS rn FROM p
+) WHERE rn = 1
+"""
 
 
 def _general_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
     out["quality_pareto"] = _quality_oracle()
     out["token_count_fingerprint"] = _token_fp_oracle()
     out["perplexity_bucketed"] = _perplexity_oracle()
+    out["fasttext_langid_mini"] = _fasttext_langid_oracle()
     out["fuzzy_dedup_removal_ids"] = _fuzzy_dedup_oracle()
     out["simhash_near_dup_pairs"] = _simhash_oracle()
     out["ann_hyperplane_topk"] = _ann_oracle()
