@@ -1621,8 +1621,19 @@ def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenCountFilter + TokenizerFertilityFilter through the real
     pluggable-tokenizer path (reference token_count.py:70-95,
     code.py:100-122) with the vendored MiniBPE tokenizer trained on a
-    seed-pinned sample of the same table. BPE encoding isn't
-    SQL-expressible -> rows-only; pinned by tests/test_bpe_code_filters.py."""
+    seed-pinned sample of the same table.
+
+    Value-hash oracle via the vocabulary-artifact protocol: BPE encoding
+    is per GPT-2-style pretoken (word + leading whitespace), so
+    n_tokens(doc) decomposes as the sum of per-pretoken token counts.
+    The query exports (pretoken -> n_tok) for every distinct pretoken in
+    the corpus (generated with the SAME python regex the encoder uses);
+    DuckDB re-pretokenizes each doc with RE2, joins, and sums. fertility
+    = length(text)/n_tokens is one exact integer division on both
+    engines. Per-merge encoder behavior additionally pinned by
+    tests/test_bpe_code_filters.py."""
+    import shutil
+
     from pyspark.sql import types as T
 
     from nemo_curator_spark.functions import bpe
@@ -1636,6 +1647,32 @@ def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     merges = bpe.train_bpe(sample, num_merges=256)
+
+    # vocabulary artifact for the SQL replay
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _pretoks(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                [w.decode("utf-8", "replace") for w in bpe._pretokenize(t or "")]
+                for t in texts
+            ]
+        )
+
+    @F.pandas_udf(T.IntegerType())
+    def _ntok(words: pd.Series) -> pd.Series:
+        tok = bpe.MiniBPE(merges)
+        return pd.Series(
+            [len(tok._encode_word(w.encode("utf-8"))) for w in words],
+            dtype="int32",
+        )
+
+    vocab = (
+        df.select(F.explode(_pretoks(F.col("text"))).alias("pretok"))
+        .distinct()
+        .withColumn("n_tok", _ntok(F.col("pretok")))
+    )
+    shutil.rmtree(_BPE_ORACLE_DIR, ignore_errors=True)
+    vocab.coalesce(1).write.parquet(_BPE_ORACLE_DIR)
 
     schema = T.StructType(
         [
@@ -1663,6 +1700,35 @@ def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s["fertility"], 6).alias("fertility"),
         (s["fertility"] >= 2.5).cast("int").alias("keep_fertility"),
     )
+
+
+_BPE_ORACLE_DIR = "/dev/shm/ncs_bpe_oracle"
+
+
+def _token_bpe_oracle() -> str:
+    d = _BPE_ORACLE_DIR
+    return f"""
+WITH vocab AS (SELECT pretok, n_tok FROM read_parquet('{d}/*.parquet')),
+units AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\s*\\S+')) AS pretok
+  FROM documents
+),
+cnt AS (
+  SELECT u.doc_id, sum(v.n_tok) AS n_tokens
+  FROM units u JOIN vocab v ON v.pretok = u.pretok
+  GROUP BY u.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_tokens, 0) AS INT) AS n_tokens,
+       CAST(COALESCE(c.n_tokens, 0) BETWEEN 10 AND 100000 AS INT)
+         AS keep_count,
+       CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN -1.0
+            ELSE round(length(d.text) / c.n_tokens, 6) END AS fertility,
+       CAST((CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN -1.0
+                  ELSE length(d.text) / c.n_tokens END) >= 2.5 AS INT)
+         AS keep_fertility
+FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id
+"""
 
 
 _HTML_WRAP_PRE = "<html><head><style>p{margin:0}</style></head><body><p>"
@@ -2195,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
     out["doc_splitter"] = _SPLITTER_ORACLE
     out["doc_joiner_roundtrip"] = _JOINER_ORACLE
     out["modifier_fasttext_label"] = _FASTTEXT_LABEL_ORACLE
-    # filter_token_count_bpe: BPE encoding not SQL-expressible -> rows-only
+    out["filter_token_count_bpe"] = _token_bpe_oracle()
     out["filter_html_boilerplate"] = _html_boilerplate_oracle()
     out["filter_per_extension"] = _per_extension_oracle()
     return out
