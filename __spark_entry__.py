@@ -1702,6 +1702,88 @@ def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
+
+
+def _token_chunking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TokenSplitterStage (reference math/modifiers/chunking.py:24-120):
+    paragraph-preserving greedy token-budget chunking over the vendored
+    MiniBPE. Oracle protocol: the per-paragraph (index, text, token count)
+    table — the tokenizer-dependent half — is materialized; DuckDB
+    independently replays the greedy packing (a running-sum-with-reset
+    recursive CTE) and the ordered chunk reassembly."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.functions import bpe
+    from nemo_curator_spark.operators import chunking as chunk_mod
+
+    df = _docs(spark, sf_dir)
+    sample = [
+        r["text"]
+        for r in df.select("text").orderBy(F.xxhash64("text")).limit(200).collect()
+    ]
+    merges = bpe.train_bpe(sample, num_merges=256)
+
+    para_type = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("ptext", T.StringType()),
+                T.StructField("ptok", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(para_type)
+    def _paras(texts: pd.Series) -> pd.Series:
+        tok = bpe.MiniBPE(merges)
+        out = []
+        for t in texts:
+            ps = chunk_mod.split_paragraphs(t or "")
+            out.append(
+                [(i, p, len(tok.encode(p))) for i, p in enumerate(ps)]
+            )
+        return pd.Series(out)
+
+    paras = df.select(
+        "doc_id", F.explode(_paras(F.col("text"))).alias("p")
+    ).select("doc_id", "p.i", "p.ptext", "p.ptok")
+    shutil.rmtree(_CHUNK_ORACLE_DIR, ignore_errors=True)
+    paras.coalesce(1).write.parquet(_CHUNK_ORACLE_DIR)
+
+    tok = bpe.MiniBPE(merges)
+    out = chunk_mod.token_splitter(
+        df.select("doc_id", "text"), tok, max_length_tokens=60
+    )
+    return out.select("doc_id", "chunk_id", "n_tokens", "text")
+
+
+def _token_chunking_oracle() -> str:
+    d = _CHUNK_ORACLE_DIR
+    return f"""
+WITH RECURSIVE paras AS (
+  SELECT doc_id, i, ptext, ptok FROM read_parquet('{d}/*.parquet')
+),
+rec(doc_id, i, chunk_id, run) AS (
+  SELECT doc_id, i, 0 AS chunk_id, ptok AS run FROM paras WHERE i = 0
+  UNION ALL
+  SELECT p.doc_id, p.i,
+    CASE WHEN r.run + p.ptok > 60 AND r.run > 0
+         THEN r.chunk_id + 1 ELSE r.chunk_id END,
+    CASE WHEN r.run + p.ptok > 60 AND r.run > 0
+         THEN p.ptok ELSE r.run + p.ptok END
+  FROM rec r JOIN paras p ON p.doc_id = r.doc_id AND p.i = r.i + 1
+)
+SELECT r.doc_id, r.chunk_id,
+       CAST(sum(p.ptok) AS INT) AS n_tokens,
+       string_agg(p.ptext, '' ORDER BY r.i) AS text
+FROM rec r JOIN paras p ON p.doc_id = r.doc_id AND p.i = r.i
+GROUP BY r.doc_id, r.chunk_id
+"""
+
+
 _BPE_ORACLE_DIR = "/dev/shm/ncs_bpe_oracle"
 
 
@@ -2200,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["audio_manifest_metrics"] = _audio_metrics_query
     out["image_resize_stats"] = _image_resize_query
+    out["token_chunking"] = _token_chunking_query
     return out
 
 
@@ -2234,6 +2317,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_neardup_pairs"] = _embedding_neardup_oracle()
     out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
+    out["token_chunking"] = _token_chunking_oracle()
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
