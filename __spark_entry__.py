@@ -1702,6 +1702,75 @@ def _token_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _interleaved_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InterleavedImageToTextRatioFilterStage (reference
+    interleaved/filter/image_to_text_ratio_filter.py:39-71): whole samples
+    kept iff images-per-word falls inside the band. Interleaved rows are
+    manufactured deterministically from the documents table (one text
+    segment + doc_id%4 image segments per sample); the stage itself is
+    pure relational, so the oracle replays it directly in SQL."""
+    from nemo_curator_spark.operators import interleaved as il
+
+    df = _docs(spark, sf_dir)
+    text_rows = df.select(
+        F.col("doc_id").alias("sample_id"),
+        F.lit(0).alias("seq"),
+        F.lit("text").alias("modality"),
+        F.col("text").alias("text_content"),
+    )
+    img_rows = (
+        df.where(F.col("doc_id") % 4 > 0)
+        .select(
+            F.col("doc_id").alias("sample_id"),
+            F.explode(
+                F.sequence(F.lit(1), (F.col("doc_id") % 4).cast("int"))
+            ).alias("seq"),
+        )
+        .select(
+            "sample_id",
+            "seq",
+            F.lit("image").alias("modality"),
+            F.lit(None).cast("string").alias("text_content"),
+        )
+    )
+    rows = text_rows.unionByName(img_rows)
+    kept = il.image_to_text_ratio_filter(rows, min_ratio=0.0, max_ratio=0.02)
+    return kept.select("sample_id", "seq", "modality")
+
+
+_INTERLEAVED_RATIO_ORACLE = """
+WITH rows_ AS (
+  SELECT doc_id AS sample_id, 0 AS seq, 'text' AS modality,
+         text AS text_content
+  FROM documents
+  UNION ALL
+  SELECT doc_id AS sample_id, CAST(t.s AS INT) AS seq, 'image' AS modality,
+         NULL AS text_content
+  FROM documents, UNNEST(generate_series(1, CAST(doc_id % 4 AS INT))) AS t(s)
+  WHERE doc_id % 4 > 0
+),
+stats AS (
+  SELECT sample_id,
+    sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS n_img,
+    sum(CASE WHEN modality = 'text' THEN
+      CASE WHEN s = '' THEN 0 ELSE len(regexp_split_to_array(s, '\\s+')) END
+      ELSE 0 END) AS n_words
+  FROM (
+    SELECT *,
+      regexp_replace(regexp_replace(COALESCE(text_content, ''),
+                     '^\\s+', ''), '\\s+$', '') AS s
+    FROM rows_)
+  GROUP BY sample_id
+),
+keep AS (
+  SELECT sample_id FROM stats
+  WHERE n_img / greatest(n_words, 1) BETWEEN 0.0 AND 0.02
+)
+SELECT r.sample_id, r.seq, r.modality
+FROM rows_ r JOIN keep k ON k.sample_id = r.sample_id
+"""
+
+
 _CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
 
 
@@ -2283,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["audio_manifest_metrics"] = _audio_metrics_query
     out["image_resize_stats"] = _image_resize_query
     out["token_chunking"] = _token_chunking_query
+    out["interleaved_ratio_filter"] = _interleaved_ratio_query
     return out
 
 
@@ -2318,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
     out["token_chunking"] = _token_chunking_oracle()
+    out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
