@@ -1771,6 +1771,65 @@ FROM rows_ r JOIN keep k ON k.sample_id = r.sample_id
 """
 
 
+def _video_clips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedStrideExtractorStage (reference clipping/
+    clip_extraction_stages.py:437-503) over a videos table manufactured
+    deterministically from documents (num_frames/framerate from doc_id).
+    Every operation is exact IEEE arithmetic on both engines (stride 2.5
+    is binary-exact, frame bounds truncate), so the oracle needs no
+    rounding at all."""
+    from nemo_curator_spark.operators import video as video_mod
+
+    df = _docs(spark, sf_dir)
+    videos = df.select(
+        F.col("doc_id").alias("video_id"),
+        (F.lit(100) + (F.col("doc_id") % 400)).cast("int").alias("num_frames"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(24.0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(25.0))
+        .otherwise(F.lit(30.0))
+        .alias("framerate"),
+    )
+    return video_mod.fixed_stride_clips(
+        videos, clip_len_s=4.0, clip_stride_s=2.5, min_clip_length_s=1.0,
+        limit_clips=6,
+    )
+
+
+_VIDEO_CLIPS_ORACLE = """
+WITH videos AS (
+  SELECT doc_id AS video_id,
+         CAST(100 + doc_id % 400 AS INT) AS num_frames,
+         CASE WHEN doc_id % 3 = 0 THEN 24.0
+              WHEN doc_id % 3 = 1 THEN 25.0 ELSE 30.0 END AS framerate
+  FROM documents
+),
+spans AS (
+  SELECT video_id, framerate, t.k AS clip_idx,
+         t.k * 2.5 AS start_s,
+         least(t.k * 2.5 + 4.0, num_frames / framerate) AS end_s,
+         num_frames / framerate AS dur
+  FROM videos,
+       UNNEST(generate_series(0,
+         greatest(CAST(ceil((num_frames / framerate) / 2.5) AS INT) - 1, 0)
+       )) AS t(k)
+  WHERE framerate > 0
+),
+kept AS (
+  SELECT * FROM spans
+  WHERE start_s < dur AND (end_s - start_s) >= 1.0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY video_id ORDER BY clip_idx
+  ) AS rn FROM kept
+)
+SELECT video_id, CAST(clip_idx AS INT) AS clip_idx, start_s, end_s,
+       CAST(trunc(start_s * framerate) AS INT) AS start_frame,
+       CAST(trunc(end_s * framerate) AS INT) AS end_frame
+FROM ranked WHERE rn <= 6
+"""
+
+
 _CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
 
 
@@ -2353,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_resize_stats"] = _image_resize_query
     out["token_chunking"] = _token_chunking_query
     out["interleaved_ratio_filter"] = _interleaved_ratio_query
+    out["video_fixed_stride_clips"] = _video_clips_query
     return out
 
 
@@ -2389,6 +2449,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
+    out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE
     out["knn_cosine_topk"] = _KNN_ORACLE
     out["events_hourly_agg"] = _EVENTS_HOURLY_ORACLE
     out["events_sessionize"] = _SESSIONIZE_ORACLE
