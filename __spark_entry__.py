@@ -2388,31 +2388,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["filter_token_count_bpe"] = _token_bpe_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
-    # --- rotation: green in r01, evicted from the r02 window ---
+    # --- rotation: r01-green entries + new round-3 operators (never
+    # driver-gated) fill the rest of the window; entries already
+    # driver-gated green in r01/r02 (per-rule filters, general/python
+    # comment, non-english chain, hourly/topk/tpch_q1) sit past 50 ---
     out["knn_cosine_topk"] = _knn_query
-    out["events_hourly_agg"] = _events_hourly_query
-    out["events_topk_per_user"] = _topk_per_user_query
     out["lineitem_rollup"] = _rollup_query
-    out["tpch_q1"] = _tpch_q1_query
     out["ivf_topk"] = _ivf_query
     out["ann_hyperplane_topk"] = _ann_query
     out["fasttext_langid_mini"] = _fasttext_langid_query
-    out["filter_general_comment_ratio"] = _general_comment_query
-    out["filter_python_comment_ratio"] = _python_comment_query
-    out["heuristic_chain_non_english"] = (
-        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
-    )
-    # --- past the 50-entry window: per-rule queries, green in r01+r02 ---
-    for rule in H.RULES:
-        out[f"filter_{rule.name}"] = _rule_query(rule.name)
-    for extra in H.EXTRA_RULES:
-        out[f"filter_{extra}"] = _rule_query(extra)
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["audio_manifest_metrics"] = _audio_metrics_query
     out["image_resize_stats"] = _image_resize_query
     out["token_chunking"] = _token_chunking_query
     out["interleaved_ratio_filter"] = _interleaved_ratio_query
     out["video_fixed_stride_clips"] = _video_clips_query
+    # --- past the 50-entry window: queries green in earlier driver gates ---
+    out["events_hourly_agg"] = _events_hourly_query
+    out["events_topk_per_user"] = _topk_per_user_query
+    out["tpch_q1"] = _tpch_q1_query
+    out["filter_general_comment_ratio"] = _general_comment_query
+    out["filter_python_comment_ratio"] = _python_comment_query
+    out["heuristic_chain_non_english"] = (
+        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
+    )
+    for rule in H.RULES:
+        out[f"filter_{rule.name}"] = _rule_query(rule.name)
+    for extra in H.EXTRA_RULES:
+        out[f"filter_{extra}"] = _rule_query(extra)
     return out
 
 
