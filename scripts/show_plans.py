@@ -54,6 +54,20 @@ def main() -> None:
         "ann topk (expect: bucket-key equi-joins, NO cartesian product)",
         similarity.ann_topk_hyperplane(emb, k=3, num_tables=2),
     )
+    show(
+        "ivf rerank (expect: single Arrow assignment projection, explode, "
+        "equi-join on list id — no crossJoin, no per-row window before "
+        "the rank)",
+        similarity.ivf_topk(emb, k=3, n_lists=4, n_probe=2),
+    )
+    from nemo_curator_spark.operators import semantic
+
+    show(
+        "semantic scores (expect: one Arrow assign projection, window "
+        "rank per cluster, one join bounded by the earlier-side cap, "
+        "groupBy max)",
+        semantic.semantic_scores(emb, k=4),
+    )
     from nemo_curator_spark.pipeline import webpages
 
     web = spark.createDataFrame(
