@@ -207,3 +207,55 @@ def test_as_of_join(spark):
     assert out[(1, 20.0)] == 200.0   # 18 <= 20
     assert out[(1, 5.0)] == 100.0    # inclusive >= at equal ts
     assert out[(2, 15.0)] is None    # no preceding right row
+
+
+def test_semantic_easy_ranking_matches_pyref(spark):
+    """which_to_keep='easy' (ascending dist, keep representatives) also
+    matches the pure-python reference port."""
+    from nemo_curator_spark import pyref
+
+    rows = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clustered = semantic.cluster_embeddings(df, k=4).collect()
+    items = [
+        (r["vec_id"], r["cluster"], r["cosine_dist_to_cent"], list(r["nvec"]))
+        for r in clustered
+    ]
+    want = pyref.semdedup_removal_py(items, threshold=0.999, which_to_keep="easy")
+    got = {
+        r["vec_id"]
+        for r in semantic.semantic_duplicate_ids(
+            df, k=4, threshold=0.999, which_to_keep="easy"
+        ).collect()
+    }
+    assert got == want
+    # hard vs easy disagree on WHICH member of a planted pair survives
+    hard = {
+        r["vec_id"]
+        for r in semantic.semantic_duplicate_ids(
+            df, k=4, threshold=0.999, which_to_keep="hard"
+        ).collect()
+    }
+    assert len(got) == len(hard) == 2
+
+
+def test_semantic_random_ranking_deterministic(spark):
+    rows = _planted_corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {
+        r["vec_id"]
+        for r in semantic.semantic_duplicate_ids(
+            df, k=4, threshold=0.999, which_to_keep="random", seed=7
+        ).collect()
+    }
+    b = {
+        r["vec_id"]
+        for r in semantic.semantic_duplicate_ids(
+            df, k=4, threshold=0.999, which_to_keep="random", seed=7
+        ).collect()
+    }
+    assert a == b and len(a) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        semantic.semantic_scores(df, which_to_keep="bogus")
