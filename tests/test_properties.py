@@ -98,3 +98,81 @@ def test_ngram_duck_oracles_match_pyref(text, n):
     con.execute("INSERT INTO documents VALUES (1, ?)", [text])
     got = con.execute(rule.duck_query("documents")).df()["score"][0]
     assert abs(got - expected) < 1e-12, (text, n, expected, got)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), max_size=30),
+    st.integers(min_value=1, max_value=40),
+)
+def test_pack_paragraphs_invariants(counts, budget):
+    from nemo_curator_spark.operators.chunking import pack_paragraphs
+
+    ids = pack_paragraphs(counts, budget)
+    assert len(ids) == len(counts)
+    if ids:
+        # chunk ids are non-decreasing and start at 0
+        assert ids[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(ids, ids[1:]))
+        # a chunk only exceeds the budget if it is a single paragraph
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for n, c in zip(counts, ids):
+            per[c].append(n)
+        for members in per.values():
+            assert sum(members) <= budget or len(members) == 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=10_000),
+)
+def test_kmeans_np_deterministic_and_covers(k, n, seed):
+    import numpy as np
+
+    from nemo_curator_spark.functions.kmeans_np import kmeans_fit
+
+    rng = np.random.RandomState(seed % 1000)
+    X = rng.normal(size=(n, 4))
+    a = kmeans_fit(X, k, seed=seed)
+    b = kmeans_fit(X, k, seed=seed)
+    assert np.array_equal(a, b)  # bit-deterministic
+    assert a.shape == (min(k, n), 4)
+    assert np.isfinite(a).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=120), st.text(max_size=120))
+def test_wer_detail_is_a_metric_decomposition(h, r):
+    from nemo_curator_spark.operators.audio import word_error_rate_detail
+
+    wer, tokens, ins, dele, sub = word_error_rate_detail([h], [r])
+    if tokens == 0:
+        return
+    # rates decompose exactly, wer is symmetric-ish bounded
+    assert abs((ins + dele + sub) - wer) < 1e-12
+    assert wer >= 0
+    # identity
+    w2, *_ = word_error_rate_detail([r], [r])
+    assert w2 == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_simhash_pure_function_of_tokens(text):
+    # fingerprint depends only on the token multiset order-insensitively?
+    # No — simhash is order-insensitive by construction (per-token votes).
+    import pandas as pd
+
+    from nemo_curator_spark.operators import dedup
+
+    # exercise the vectorized UDF's inner path via a local pandas call
+    udf_fn = dedup.simhash_udf().func
+    a = udf_fn(pd.Series([text]))[0]
+    shuffled = " ".join(reversed(text.split()))
+    b = udf_fn(pd.Series([shuffled]))[0]
+    # same multiset of tokens -> same fingerprint
+    assert a == b
