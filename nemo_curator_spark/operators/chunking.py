@@ -44,7 +44,11 @@ def pack_paragraphs(
 ) -> list[int]:
     """Greedy chunk id per paragraph (chunking.py:86-105): close the open
     chunk when the next paragraph would exceed the budget and the chunk
-    is non-empty."""
+    is non-empty (reference closes only on ``token_count > 0``, so a
+    zero-token paragraph leaves the chunk open). Precondition in the real
+    pipeline: counts come from non-blank paragraphs, so every count is
+    >=1 and a chunk exceeds the budget only when it is a single
+    over-budget paragraph."""
     ids = []
     chunk, running = 0, 0
     for n in counts:
