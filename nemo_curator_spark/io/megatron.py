@@ -104,6 +104,27 @@ def read_shard(file_prefix: str) -> list[np.ndarray]:
     return out
 
 
+def shard_stats_from_idx(file_prefix: str) -> dict:
+    """Recover write_shard's stats dict from an existing .idx (used for
+    idempotent task retries — same shard name implies same content
+    digest, hence identical stats)."""
+    with open(file_prefix + ".idx", "rb") as f:
+        header = f.read(9)
+        if header != INDEX_HEADER:
+            raise ValueError(f"bad index header: {header!r}")
+        struct.unpack("<Q", f.read(8))  # version
+        (dtype_code,) = struct.unpack("<B", f.read(1))
+        (n,) = struct.unpack("<Q", f.read(8))
+        struct.unpack("<Q", f.read(8))  # document count
+        lengths = np.frombuffer(f.read(4 * n), dtype=np.int32)
+    return {
+        "file_prefix": file_prefix,
+        "num_docs": int(n),
+        "num_tokens": int(lengths.sum()),
+        "token_size": 2 if dtype_code == 8 else 4,
+    }
+
+
 def write_megatron(
     df,
     out_dir: str,
@@ -115,8 +136,13 @@ def write_megatron(
     """Distributed shard writing: one .bin/.idx pair per partition via
     mapInPandas (the reference writes one pair per DocumentBatch), shard
     names unique per (partitionId, batch) with a content digest of the
-    text bytes; refuses to overwrite an existing shard. Returns the
-    manifest DataFrame (collect it to materialize the write)."""
+    text bytes. Writes are idempotent: the digest is part of the shard
+    name, so an existing complete shard at the same name has identical
+    content — a Spark task retry or speculative attempt skips it and
+    re-emits its stats instead of failing (a half-written shard from a
+    crashed attempt is impossible because both files land via tmp+rename).
+    Returns the manifest DataFrame (collect it to materialize the
+    write)."""
     import os
 
     import pandas as pd
@@ -148,14 +174,25 @@ def write_megatron(
             prefix = os.path.join(
                 out_dir, f"shard-{pid:05d}-{bi:04d}-{h.hexdigest()[:8]}"
             )
-            if os.path.exists(prefix + ".bin"):
-                raise FileExistsError(
-                    f"megatron shard would overwrite {prefix}.bin"
-                )
+            if os.path.exists(prefix + ".bin") and os.path.exists(
+                prefix + ".idx"
+            ):
+                # Same name => same content digest => identical shard.
+                # Idempotent success for task retries / speculation.
+                yield pd.DataFrame([shard_stats_from_idx(prefix)])
+                continue
+            # tmp+rename so a crashed attempt never leaves a half-shard
+            # at the final name (attempt id keeps concurrent speculative
+            # attempts from clobbering each other's tmp files).
+            att = ctx.taskAttemptId() if ctx is not None else os.getpid()
+            tmp = f"{prefix}.tmp{att}"
             stats = write_shard(
-                pdf[text_col].tolist(), prefix, tok, vocab_size,
+                pdf[text_col].tolist(), tmp, tok, vocab_size,
                 append_eod, eod_token_id,
             )
+            os.replace(tmp + ".bin", prefix + ".bin")
+            os.replace(tmp + ".idx", prefix + ".idx")
+            stats["file_prefix"] = prefix
             yield pd.DataFrame([stats])
 
     return df.mapInPandas(

@@ -93,3 +93,42 @@ def test_write_megatron_spark(spark, tmp_path):
         assert len(docs) == r["num_docs"]
         total += sum(len(d) for d in docs)
     assert total == sum(len(tok.encode(t)) for t in TEXTS * 4)
+
+
+def test_write_megatron_retry_is_idempotent(spark, tmp_path):
+    # A task retry / speculative attempt regenerates the same
+    # (partition, batch, digest) shard name; the second write must
+    # succeed as a no-op with identical stats, not raise.
+    merges = bpe.train_bpe(TEXTS * 3, num_merges=32)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS * 4)], "doc_id long, text string"
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    first = sorted(
+        (r["file_prefix"], r["num_docs"], r["num_tokens"], r["token_size"])
+        for r in megatron.write_megatron(df, out, merges).collect()
+    )
+    import os
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    second = sorted(
+        (r["file_prefix"], r["num_docs"], r["num_tokens"], r["token_size"])
+        for r in megatron.write_megatron(df, out, merges).collect()
+    )
+    assert first == second
+    # and the existing shard bytes were not rewritten
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    # no tmp droppings left behind
+    assert not [f for f in os.listdir(out) if ".tmp" in f]
+
+
+def test_shard_stats_from_idx_roundtrip(tmp_path):
+    merges = bpe.train_bpe(TEXTS, num_merges=16)
+    tok = bpe.MiniBPE(merges)
+    prefix = str(tmp_path / "s")
+    stats = megatron.write_shard(TEXTS, prefix, tok, vocab_size=256 + 16)
+    assert megatron.shard_stats_from_idx(prefix) == stats
