@@ -124,14 +124,24 @@ def merge_chunks(
     separator: str = "\n",
 ) -> DataFrame:
     """ChunkMergeStage as a declarative plan: window-dedup on
-    (groupby, chunk_id), marker/empty filters, ordered concat_ws via
+    (groupby, chunk_id) keeping the row with the smallest
+    (xxhash64(text), text) — a deterministic, partitioning-independent
+    tie-break when retries produced divergent content for the same
+    chunk — marker/empty filters, ordered concat_ws via
     array_agg sorted on chunk_id, sums, first() for the rest, then the
     post-filters. One shuffle on the groupby key."""
     groupby_cols = groupby_cols or ["url"]
     markers = no_content_markers or ["NO USEFUL CONTENT", '"NO USEFUL CONTENT"']
     sum_cols = sum_cols or ["num_generated_tokens", "num_input_tokens"]
 
-    w = Window.partitionBy(*groupby_cols, chunk_id_col).orderBy(F.lit(1))
+    # Deterministic keep-one for duplicate (groupby, chunk_id) rows (the
+    # LLM-cleanup retry case can produce duplicates with DIFFERENT
+    # content): order on a content hash of the cleaned text, tie-broken
+    # by the text itself, so the survivor is a pure function of the data
+    # and not of partitioning/arrival order.
+    w = Window.partitionBy(*groupby_cols, chunk_id_col).orderBy(
+        F.xxhash64(F.col(text_col)).asc(), F.col(text_col).asc()
+    )
     d = (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

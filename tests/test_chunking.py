@@ -83,8 +83,11 @@ def test_merge_chunks_roundtrip_and_filters(spark):
     rows = [
         # (url, chunk_id, cleaned_text, text, num_generated_tokens)
         ("u1", 0, "clean A", "raw A", 5),
+        # duplicate (u1, 1) with DIFFERENT content (the LLM-retry case):
+        # the survivor is the row with the smallest (xxhash64(cleaned),
+        # cleaned), independent of input order and partitioning.
         ("u1", 1, "clean B", "raw B", 7),
-        ("u1", 1, "dup ignored", "dup", 99),  # dedup keep-first on chunk_id
+        ("u1", 1, "dup text", "dup", 99),
         ("u1", 2, "NO USEFUL CONTENT", "raw C", 3),  # marker dropped
         ("u2", 0, "", "raw", 1),  # empty chunk dropped -> u2 vanishes
     ]
@@ -93,14 +96,35 @@ def test_merge_chunks_roundtrip_and_filters(spark):
         "url string, chunk_id int, cleaned_text string, text string, "
         "num_generated_tokens long",
     )
+    # derive the expected survivor from the documented tie-break rule
+    from pyspark.sql import functions as F
+
+    dups = {"clean B": ("raw B", 7), "dup text": ("dup", 99)}
+    hashes = dict(
+        spark.createDataFrame([(t,) for t in dups], "t string")
+        .select("t", F.xxhash64("t").alias("h"))
+        .collect()
+    )
+    winner = min(dups, key=lambda t: (hashes[t], t))
+    w_raw, w_tok = dups[winner]
     merged = C.merge_chunks(df).toPandas()
     assert list(merged["url"]) == ["u1"]
     r = merged.iloc[0]
-    assert r["cleaned_text"] == "clean A\nclean B"
-    assert r["text"] == "raw A\nraw B"
-    assert r["num_generated_tokens"] == 12  # 5 + 7, dup and marker excluded
+    assert r["cleaned_text"] == f"clean A\n{winner}"
+    assert r["text"] == f"raw A\n{w_raw}"
+    assert r["num_generated_tokens"] == 5 + w_tok  # loser+marker excluded
     # max_text_length post-filter
     assert C.merge_chunks(df, max_text_length=5).count() == 0
+    # determinism: reversed input order + different partitioning give the
+    # byte-identical merge (the round-3 arbitrary-order window did not)
+    df_rev = spark.createDataFrame(
+        list(reversed(rows)),
+        "url string, chunk_id int, cleaned_text string, text string, "
+        "num_generated_tokens long",
+    ).repartition(7)
+    merged2 = C.merge_chunks(df_rev).toPandas()
+    assert merged2.iloc[0]["cleaned_text"] == f"clean A\n{winner}"
+    assert merged2.iloc[0]["num_generated_tokens"] == 5 + w_tok
 
 
 def test_split_then_merge_recovers_document(spark):
