@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nemo_curator_spark.functions import heuristics as H
+from nemo_curator_spark import constants as CN
 from nemo_curator_spark.operators import dedup, pii, quality, similarity, text_ops
 from nemo_curator_spark.operators import langid as langid_mod
 from nemo_curator_spark.pipeline import chain
@@ -403,10 +404,10 @@ lab AS (SELECT * FROM read_parquet('{d}/labels.parquet')),
 toks AS (
   SELECT doc_id, UNNEST(
     CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
-         ELSE regexp_split_to_array(s, '\\s+') END) AS word
+         ELSE regexp_split_to_array(s, '{CN.SPLIT_PATTERN}') END) AS word
   FROM (
     SELECT doc_id,
-      regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+      regexp_replace(text, '{CN.STRIP_PATTERN}', '', 'g') AS s
     FROM documents)
   UNION ALL
   SELECT doc_id, '</s>' AS word FROM documents
@@ -626,10 +627,10 @@ g AS (
   FROM (
     SELECT doc_id,
       CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
-           ELSE regexp_split_to_array(s, '\\s+') END AS ws
+           ELSE regexp_split_to_array(s, '{CN.SPLIT_PATTERN}') END AS ws
     FROM (
       SELECT doc_id,
-        regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+        regexp_replace(text, '{CN.STRIP_PATTERN}', '', 'g') AS s
       FROM documents JOIN needed ON needed.id = documents.doc_id
     )
   )
@@ -848,7 +849,7 @@ def _audio_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUDIO_METRICS_ORACLE = """
+_AUDIO_METRICS_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text,
          (8000 + (doc_id % 100) * 160) / 16000.0 AS duration
@@ -857,10 +858,10 @@ WITH base AS (
 toks AS (
   SELECT doc_id, text, duration,
     CASE WHEN s = '' THEN 0
-         ELSE len(regexp_split_to_array(s, '\\s+')) END AS n_words
+         ELSE len(regexp_split_to_array(s, '{CN.SPLIT_PATTERN}')) END AS n_words
   FROM (
     SELECT *,
-      regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', '') AS s
+      regexp_replace(text, '{CN.STRIP_PATTERN}', '', 'g') AS s
     FROM base)
 )
 SELECT doc_id, duration,
@@ -1427,8 +1428,12 @@ def _semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nvec").alias("e_nvec"),
         F.col("rnk").alias("e_rnk"),
     )
+    # earlier-side cap (same guard as semantic.semantic_scores): keeps
+    # within-cluster pair generation O(n * cap) instead of O(n^2) if the
+    # driver ever regenerates much larger tables
+    max_cluster_size = 5000
     pairs = ranked.join(
-        earlier,
+        earlier.where(F.col("e_rnk") <= max_cluster_size),
         (F.col("cluster") == F.col("e_cluster"))
         & (F.col("e_rnk") < F.col("rnk")),
     ).select(
@@ -1462,6 +1467,7 @@ WITH c AS (
 pairs AS (
   SELECT x.id, list_dot_product(x.nvec, e.nvec) AS sim
   FROM c x JOIN c e ON e.cluster = x.cluster AND e.rnk < x.rnk
+                   AND e.rnk <= 5000
 ),
 scores AS (
   SELECT id, greatest(max(sim), 0.0) AS s FROM pairs GROUP BY id
@@ -1493,13 +1499,14 @@ def _classifier_stage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLASSIFIER_STAGE_ORACLE = r"""
+_CLASSIFIER_STAGE_ORACLE = f"""
 SELECT doc_id,
   CASE WHEN n >= 50 THEN 'long' ELSE 'short' END AS pred_label,
   round(least(n / 512.0, 1.0), 8) AS pred_prob
 FROM (
   SELECT doc_id,
-    least(len(list_filter(string_split(text, ' '), w -> w <> '')), 512) AS n
+    least(len(list_filter(regexp_split_to_array(text, '{CN.SPLIT_PATTERN}'),
+                          w -> w <> '')), 512) AS n
   FROM documents
 )
 """
@@ -1509,37 +1516,48 @@ _EMBED_ORACLE_DIR = "/dev/shm/ncs_embed_oracle"
 
 
 def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed bag-of-words projection, fully value-gated: the per-word
-    crc32 values (the one primitive DuckDB lacks) are exported as a vocab
-    artifact; the oracle rebuilds every signed count from it. The query
-    emits the UNnormalized projection (exactly integer-valued), exploded
-    to (doc_id, idx, cnt), so no float32 rounding can perturb the hash."""
+    """Hashed bag-of-words projection, fully value-gated via the
+    write-then-read protocol (the filter_token_count_bpe per-pretoken
+    pattern): the artifact is the per-document (token-hash, count)
+    contributions produced by the SAME Python tokenizer the
+    EmbedderStage UDF runs (``(t or "").lower().split()`` + crc32,
+    operators/classifiers.py:207), so the oracle only replays the
+    modulo/sign/aggregate/zero-fill math and never re-tokenizes. This
+    closes the round-3 red row: the old vocab artifact was built with
+    Java-regex ``\\s+`` + ``F.lower`` while the oracle re-split with RE2
+    ``\\s+`` — three tokenizers that disagree on Python-only whitespace
+    (\\x85, \\xa0, Zs, \\x1c-\\x1f) and JVM contextual lowercasing
+    (final sigma), flipping the value hash while preserving rows+schema.
+    The query emits the UNnormalized projection (exactly integer-valued),
+    exploded to (doc_id, idx, cnt), so no float32 rounding can perturb
+    the hash."""
     import shutil
 
     from nemo_curator_spark.operators.classifiers import EmbedderStage
 
     df = _docs(spark, sf_dir)
-    words = df.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""),
-                r"\s+",
-            )
-        ).alias("word")
-    ).where(F.col("word") != "").distinct()
 
-    @F.pandas_udf("long")
-    def _crc32(w):
+    @F.pandas_udf("array<long>")
+    def _tok_hashes(texts: pd.Series) -> pd.Series:
         import zlib
 
-        import pandas as pd
+        return pd.Series(
+            [
+                [
+                    zlib.crc32(w.encode("utf-8"))
+                    for w in (t or "").lower().split()
+                ]
+                for t in texts
+            ]
+        )
 
-        return pd.Series([zlib.crc32(x.encode("utf-8")) for x in w])
-
-    shutil.rmtree(_EMBED_ORACLE_DIR, ignore_errors=True)
-    words.withColumn("h", _crc32(F.col("word"))).coalesce(1).write.parquet(
-        _EMBED_ORACLE_DIR
+    contrib = (
+        df.select("doc_id", F.explode(_tok_hashes(F.col("text"))).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
+    shutil.rmtree(_EMBED_ORACLE_DIR, ignore_errors=True)
+    contrib.coalesce(1).write.parquet(_EMBED_ORACLE_DIR)
     out = EmbedderStage(dim=32, normalize=False).apply(df)
     return out.select(
         "doc_id", F.posexplode("embedding").alias("idx", "_v")
@@ -1549,22 +1567,12 @@ def _embedder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedder_oracle() -> str:
     d = _EMBED_ORACLE_DIR
     return f"""
-WITH vocab AS (SELECT word, h FROM read_parquet('{d}/*.parquet')),
-toks AS (
-  SELECT doc_id, UNNEST(
-    CASE WHEN s = '' THEN CAST([] AS VARCHAR[])
-         ELSE regexp_split_to_array(s, '\\s+') END) AS word
-  FROM (
-    SELECT doc_id,
-      regexp_replace(regexp_replace(lower(text), '^\\s+', ''), '\\s+$', '') AS s
-    FROM documents)
-),
-contrib AS (
-  SELECT t.doc_id, v.h % 32 AS idx,
-         CASE WHEN (v.h // 65536) % 2 = 1 THEN 1 ELSE -1 END AS sgn
-  FROM toks t JOIN vocab v ON v.word = t.word
-),
-agg AS (SELECT doc_id, idx, sum(sgn) AS cnt FROM contrib GROUP BY doc_id, idx)
+WITH contrib AS (SELECT doc_id, h, n FROM read_parquet('{d}/*.parquet')),
+agg AS (
+  SELECT doc_id, h % 32 AS idx,
+         CAST(sum(CASE WHEN (h // 65536) % 2 = 1 THEN n ELSE -n END)
+              AS BIGINT) AS cnt
+  FROM contrib GROUP BY doc_id, h % 32)
 SELECT d.doc_id, g.i AS idx, COALESCE(a.cnt, 0) AS cnt
 FROM documents d
 CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS i) g
@@ -1738,7 +1746,7 @@ def _interleaved_ratio_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("sample_id", "seq", "modality")
 
 
-_INTERLEAVED_RATIO_ORACLE = """
+_INTERLEAVED_RATIO_ORACLE = f"""
 WITH rows_ AS (
   SELECT doc_id AS sample_id, 0 AS seq, 'text' AS modality,
          text AS text_content
@@ -1753,12 +1761,12 @@ stats AS (
   SELECT sample_id,
     sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS n_img,
     sum(CASE WHEN modality = 'text' THEN
-      CASE WHEN s = '' THEN 0 ELSE len(regexp_split_to_array(s, '\\s+')) END
+      CASE WHEN s = '' THEN 0 ELSE len(regexp_split_to_array(s, '{CN.SPLIT_PATTERN}')) END
       ELSE 0 END) AS n_words
   FROM (
     SELECT *,
-      regexp_replace(regexp_replace(COALESCE(text_content, ''),
-                     '^\\s+', ''), '\\s+$', '') AS s
+      regexp_replace(COALESCE(text_content, ''),
+                     '{CN.STRIP_PATTERN}', '', 'g') AS s
     FROM rows_)
   GROUP BY sample_id
 ),
@@ -1920,7 +1928,7 @@ def _token_bpe_oracle() -> str:
     return f"""
 WITH vocab AS (SELECT pretok, n_tok FROM read_parquet('{d}/*.parquet')),
 units AS (
-  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\s*\\S+')) AS pretok
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '{CN.ISPACE_CLASS}*{CN.NONSPACE_CLASS}+')) AS pretok
   FROM documents
 ),
 cnt AS (

@@ -125,7 +125,28 @@ HASH_RUN = "#+"
 # whitespace char class for the WhiteSpace rule ( \b = \x08 backspace ).
 WS_CLASS = "[\t\n\r\x08 ]"
 
-# word splitter: the reference uses str.split() (any unicode whitespace,
-# empties removed). In Spark/DuckDB we split on `\s+` after trimming; for
-# documents whose whitespace is ASCII (all synthetic fixtures) the two agree.
-SPLIT_PATTERN = r"\s+"
+# --- engine-harmonized word splitting (round-4 whitespace fix) --------------
+# The reference tokenizes with python str.split(): every char where
+# str.isspace() is True separates words. Java regex \s and RE2 \s are
+# ASCII-only, so oracles and JVM expressions built on '\s+' silently
+# diverged from the python reference on \x85, \xa0, \x1c-\x1f and Unicode
+# Zs/Zl/Zp (round 3's embedder_hash_dim red driver row was exactly this
+# class). ISPACE_CHARS enumerates the python-isspace set as LITERAL
+# characters, so the derived classes are valid — and identical — in Java
+# regex (Spark JVM), RE2 (DuckDB), and python `re` alike (no \p{..}/\u/\x{}
+# escape-syntax differences to reconcile).
+ISPACE_CHARS = "".join(
+    chr(c)
+    for c in (
+        [0x09, 0x0A, 0x0B, 0x0C, 0x0D]  # \\t \\n VT FF \\r
+        + [0x1C, 0x1D, 0x1E, 0x1F]  # FS GS RS US (python-only)
+        + [0x20, 0x85, 0xA0, 0x1680]  # SP, NEL, NBSP, Ogham
+        + list(range(0x2000, 0x200B))  # Zs en/em/thin/... spaces
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]  # Zl Zp NNBSP MMSP ideographic
+    )
+)
+ISPACE_CLASS = "[" + ISPACE_CHARS + "]"
+NONSPACE_CLASS = "[^" + ISPACE_CHARS + "]"
+SPLIT_PATTERN = ISPACE_CLASS + "+"
+SPLIT_PATTERN_PY = SPLIT_PATTERN  # same literal string compiles under `re`
+STRIP_PATTERN = "^" + ISPACE_CLASS + "+|" + ISPACE_CLASS + "+$"

@@ -41,7 +41,7 @@ from nemo_curator_spark import pyref
 # rule so the plan splits/trims each text a constant number of times.
 # ---------------------------------------------------------------------------
 
-STRIP_RE = r"^\s+|\s+$"
+STRIP_RE = C.STRIP_PATTERN  # python-isspace class (constants.py)
 
 
 def text_ctx(text: Column) -> dict[str, Column]:
@@ -49,7 +49,7 @@ def text_ctx(text: Column) -> dict[str, Column]:
     words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
         F.split(stripped, C.SPLIT_PATTERN)
     )
-    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(r"\S"))
+    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(C.NONSPACE_CLASS))
     return {
         "text": text,
         "nchar": F.length(text),
@@ -80,20 +80,20 @@ def _ratio_over(arr: Column, pred, empty_val: float) -> Column:
 
 
 def d_stripped(c: str) -> str:
-    return f"regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+    return f"regexp_replace({c}, '{C.STRIP_PATTERN}', '', 'g')"
 
 
 def d_words(c: str) -> str:
     s = d_stripped(c)
     return (
         f"(CASE WHEN {s} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({s}, '\\s+') END)"
+        f"ELSE regexp_split_to_array({s}, '{C.SPLIT_PATTERN}') END)"
     )
 
 
 def d_lines(c: str) -> str:
     return (
-        f"list_filter(string_split({c}, chr(10)), x -> regexp_matches(x, '\\S'))"
+        f"list_filter(string_split({c}, chr(10)), x -> regexp_matches(x, '{C.NONSPACE_CLASS}'))"
     )
 
 
@@ -689,7 +689,7 @@ def _top_ngram_duck_query(n: int):
         return f"""
 WITH w AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+    list_filter(string_split_regex(text, '{C.SPLIT_PATTERN}'), x -> x <> '') AS words
   FROM {table}
 ), g AS (
   SELECT doc_id, text, words,
@@ -739,7 +739,7 @@ def _dup_ngram_duck_query(n: int):
         return f"""
 WITH w AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+    list_filter(string_split_regex(text, '{C.SPLIT_PATTERN}'), x -> x <> '') AS words
   FROM {table}
 ), g AS (
   SELECT doc_id, text, words,

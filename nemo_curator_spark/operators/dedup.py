@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from nemo_curator_spark import constants as C
 
 MERSENNE_PRIME_61 = (1 << 61) - 1
 
@@ -160,9 +161,9 @@ def jaccard_ngram(
     n: int = 3,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for candidate pairs (verification step)."""
-    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(F.col(text_col), C.STRIP_PATTERN, "")
     words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
+        F.split(stripped, C.SPLIT_PATTERN)
     )
     # hash each n-gram to int64: intersect/union over longs, not strings
     grams = F.when(

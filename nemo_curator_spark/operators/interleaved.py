@@ -27,16 +27,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from nemo_curator_spark import constants as C
 
 DEFAULT_BLUR_SCORE_THRESHOLD = 100.0
 
 
 def word_count_col(text_col: str):
     """JVM words-per-segment: null/empty -> 0, else whitespace split."""
-    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(F.col(text_col), C.STRIP_PATTERN, "")
     return F.when(
         F.col(text_col).isNull() | (stripped == ""), F.lit(0)
-    ).otherwise(F.size(F.split(stripped, r"\s+")))
+    ).otherwise(F.size(F.split(stripped, C.SPLIT_PATTERN)))
 
 
 def image_to_text_ratio_filter(

@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from nemo_curator_spark import constants as C
 
 # script ranges as LITERAL char ranges (valid in Java regex and RE2 alike)
 _R = lambda a, b: chr(a) + "-" + chr(b)  # noqa: E731
@@ -62,10 +63,10 @@ def langid_struct(text: Column) -> Column:
     letters = F.greatest(F.regexp_count(text, F.lit(r"\p{L}")), F.lit(1))
     fr = {k: _frac(text, v, letters) for k, v in SCRIPT_CLASSES.items()}
 
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, C.STRIP_PATTERN, "")
     words = F.when(
         stripped == "", F.array().cast("array<string>")
-    ).otherwise(F.split(stripped, r"\s+"))
+    ).otherwise(F.split(stripped, C.SPLIT_PATTERN))
     en_hits = _stop_hits(words, EN_STOPWORDS)
     pt_hits = _stop_hits(words, PT_STOPWORDS)
 
@@ -118,10 +119,10 @@ def add_langid(
         helpers["_en_hits"] = F.col(wl_col + ".en_stop_hits")
         helpers["_pt_hits"] = F.col(wl_col + ".pt_stop_hits")
     else:
-        stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+        stripped = F.regexp_replace(text, C.STRIP_PATTERN, "")
         words = F.when(
             stripped == "", F.array().cast("array<string>")
-        ).otherwise(F.split(stripped, r"\s+"))
+        ).otherwise(F.split(stripped, C.SPLIT_PATTERN))
         helpers["_en_hits"] = _stop_hits(words, EN_STOPWORDS)
         helpers["_pt_hits"] = _stop_hits(words, PT_STOPWORDS)
     df = df.withColumns(helpers)
@@ -170,10 +171,10 @@ def duck_langid_sql(col: str) -> tuple[str, str]:
         k: f"(len(regexp_extract_all({col}, {_dq(v)})) / {letters})"
         for k, v in SCRIPT_CLASSES.items()
     }
-    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    stripped = f"regexp_replace({col}, '{C.STRIP_PATTERN}', '', 'g')"
     words = (
         f"(CASE WHEN {stripped} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({stripped}, '\\s+') END)"
+        f"ELSE regexp_split_to_array({stripped}, '{C.SPLIT_PATTERN}') END)"
     )
 
     def hits(stops: tuple[str, ...]) -> str:
@@ -257,7 +258,7 @@ def histogram_artifact_score(
     ``translate`` (len(stripped) - len(stripped minus histogram chars)) —
     no regex, so arbitrary histogram characters need no escaping."""
     hist = "".join(sorted(load_histogram(lang)))
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, C.STRIP_PATTERN, "")
     cnt = F.length(stripped) - F.length(F.translate(stripped, hist, ""))
     nchar = F.length(text)
     return F.when(nchar == 0, F.lit(0.0)).otherwise(
@@ -269,7 +270,7 @@ def histogram_artifact_score(
 
 def duck_histogram_artifact_sql(col: str, lang: str, threshold: float = 0.8) -> str:
     hist = "".join(sorted(load_histogram(lang))).replace("'", "''")
-    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    stripped = f"regexp_replace({col}, '{C.STRIP_PATTERN}', '', 'g')"
     cnt = f"(len({stripped}) - len(translate({stripped}, '{hist}', '')))"
     return (
         f"(CASE WHEN len({col}) = 0 THEN 0.0 "

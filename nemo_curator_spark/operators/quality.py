@@ -53,9 +53,9 @@ def lexical_quality_score(text: Column) -> Column:
     and line-uniqueness. Not a model — a reproducible stand-in with the
     same column contract as the fastText scorer.
     """
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, C.STRIP_PATTERN, "")
     words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
+        F.split(stripped, C.SPLIT_PATTERN)
     )
     nwords = F.greatest(F.size(words), F.lit(1))
     stops = F.array(*[F.lit(w) for w in C.COMMON_ENGLISH_WORDS])
@@ -63,7 +63,7 @@ def lexical_quality_score(text: Column) -> Column:
         F.size(F.filter(words, lambda w: F.array_contains(stops, F.lower(w))))
         / nwords
     )
-    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(r"\S"))
+    lines = F.filter(F.split(text, "\n"), lambda x: x.rlike(C.NONSPACE_CLASS))
     nlines = F.greatest(F.size(lines), F.lit(1))
     end = F.array(*[F.lit(m) for m in C.END_MARKS])
     punct_frac = (
@@ -111,10 +111,10 @@ def duck_pareto_keep_sql(score_expr: str, key_col: str, alpha: float = 3.0) -> s
 
 
 def duck_lexical_quality_sql(col: str) -> str:
-    stripped = f"regexp_replace({col}, '^\\s+|\\s+$', '', 'g')"
+    stripped = f"regexp_replace({col}, '{C.STRIP_PATTERN}', '', 'g')"
     words = (
         f"(CASE WHEN {stripped} = '' THEN []::VARCHAR[] "
-        f"ELSE regexp_split_to_array({stripped}, '\\s+') END)"
+        f"ELSE regexp_split_to_array({stripped}, '{C.SPLIT_PATTERN}') END)"
     )
     stops = "[" + ", ".join(f"'{w}'" for w in C.COMMON_ENGLISH_WORDS) + "]"
     nwords = f"greatest(len({words}), 1)"
@@ -122,10 +122,10 @@ def duck_lexical_quality_sql(col: str) -> str:
         f"(len(list_filter({words}, w -> list_contains({stops}, lower(w)))) "
         f"/ {nwords})"
     )
-    lines = f"list_filter(string_split({col}, chr(10)), x -> regexp_matches(x, '\\S'))"
+    lines = f"list_filter(string_split({col}, chr(10)), x -> regexp_matches(x, '{C.NONSPACE_CLASS}'))"
     nlines = f"greatest(len({lines}), 1)"
     end = "[" + ", ".join("'" + m.replace("'", "''") + "'" for m in C.END_MARKS) + "]"
-    strip_s = "regexp_replace(s, '^\\s+|\\s+$', '', 'g')"
+    strip_s = f"regexp_replace(s, '{C.STRIP_PATTERN}', '', 'g')"
     punct_frac = (
         f"(len(list_filter({lines}, s -> list_contains({end}, "
         f"right({strip_s}, 1)))) / {nlines})"

@@ -7,10 +7,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from nemo_curator_spark import constants as C
 
 # BPE-ish tokenizer: word pieces OR single non-space symbols. Valid in Java
 # regex and RE2.
-TOKEN_PATTERN = r"[A-Za-z]+|\p{Nd}+|[^\sA-Za-z\p{Nd}]"
+# \s differs between Java ([\t\n\x0b\f\r ]) and RE2 (no \x0b!) — use the
+# harmonized isspace set so both engines count identically.
+TOKEN_PATTERN = r"[A-Za-z]+|\p{Nd}+|[^" + C.ISPACE_CHARS + r"A-Za-z\p{Nd}]"
 
 
 def token_count(text: Column, pattern: str = TOKEN_PATTERN) -> Column:
@@ -26,25 +29,38 @@ def duck_token_count_sql(col: str, pattern: str = TOKEN_PATTERN) -> str:
 
 
 def whitespace_token_count(text: Column) -> Column:
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    stripped = F.regexp_replace(text, C.STRIP_PATTERN, "")
     return F.when(stripped == "", F.lit(0)).otherwise(
-        F.size(F.split(stripped, r"\s+"))
+        F.size(F.split(stripped, C.SPLIT_PATTERN))
     ).cast("long")
+
+
+_UPPER_ASCII = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER_ASCII = "abcdefghijklmnopqrstuvwxyz"
 
 
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
-    casefolded text — stable under formatting-only edits."""
-    normalized = F.lower(
-        F.regexp_replace(F.regexp_replace(text, r"\s+", " "), r"^\s+|\s+$", "")
+    ASCII-casefolded text — stable under formatting-only edits.
+
+    Casefolding is ASCII-only via ``translate`` (not ``lower``) because
+    JVM and DuckDB ``lower`` disagree on locale-sensitive mappings (Greek
+    final sigma, dotted capital I) — translate is a pure char map with
+    identical semantics in both engines."""
+    normalized = F.translate(
+        F.regexp_replace(
+            F.regexp_replace(text, C.SPLIT_PATTERN, " "), C.STRIP_PATTERN, ""
+        ),
+        _UPPER_ASCII,
+        _LOWER_ASCII,
     )
     return F.md5(normalized)
 
 
 def duck_fingerprint_sql(col: str) -> str:
     normalized = (
-        f"lower(regexp_replace(regexp_replace({col}, '\\s+', ' ', 'g'), "
-        f"'^\\s+|\\s+$', '', 'g'))"
+        f"translate(regexp_replace(regexp_replace({col}, '{C.SPLIT_PATTERN}', ' ', 'g'), "
+        f"'{C.STRIP_PATTERN}', '', 'g'), '{_UPPER_ASCII}', '{_LOWER_ASCII}')"
     )
     return f"md5({normalized})"
 
