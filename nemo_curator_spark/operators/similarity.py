@@ -73,6 +73,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every row (or for ``queries``).
 
+    **O(n²) correctness baseline — not a scale path.** This is a
+    deliberate crossJoin whose outputs are bit-identical to a sequential
+    DuckDB dot product, kept as the oracle-gated ground truth the ANN
+    paths are measured against. Never route corpus-scale traffic here:
+    use :func:`similarity_search` (defaults to
+    :func:`ann_topk_hyperplane`) or :func:`ivf_topk`, both of which are
+    bucketed and shuffle-bounded.
+
     Output: (query_id, neighbor_id, cosine, rank). Ties break on
     neighbor_id ascending for determinism.
     """
@@ -348,3 +356,27 @@ def embedding_near_duplicates(
             "cosine",
         )
     )
+
+
+def similarity_search(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    method: str = "ann",
+    **kw,
+) -> DataFrame:
+    """Pipeline-facing similarity-search entry point.
+
+    Routes to the scale-safe paths by default: ``method='ann'`` (default)
+    -> :func:`ann_topk_hyperplane`, ``'ivf'`` -> :func:`ivf_topk`.
+    ``'exact'`` is accepted only as an explicit opt-in to the O(n²)
+    :func:`cosine_topk` correctness baseline — it crossJoins the corpus
+    and must never be the default for real traffic."""
+    if method == "ann":
+        return ann_topk_hyperplane(df, id_col=id_col, vec_col=vec_col, k=k, **kw)
+    if method == "ivf":
+        return ivf_topk(df, id_col=id_col, vec_col=vec_col, k=k, **kw)
+    if method == "exact":
+        return cosine_topk(df, id_col=id_col, vec_col=vec_col, k=k, **kw)
+    raise ValueError(f"unknown similarity_search method: {method!r}")

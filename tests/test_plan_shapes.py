@@ -110,3 +110,20 @@ def test_training_sample_plans_have_no_window_sort(spark):
     assert set(models) == {"en", "de"}
     for lm in models.values():
         assert lm.total > 0
+
+
+def test_similarity_search_default_path_has_no_cross_join(spark):
+    """similarity_search's DEFAULT route must never plan a cartesian
+    product — the exact O(n^2) baseline is an explicit opt-in only."""
+    from nemo_curator_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    for method in ("ann", "ivf"):
+        plan = _formatted_plan(
+            similarity.similarity_search(emb, k=2, method=method)
+        )
+        assert "CartesianProduct" not in plan, method
+        assert "BroadcastNestedLoopJoin" not in plan, method
