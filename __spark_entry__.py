@@ -590,7 +590,9 @@ def _fuzzy_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         _FUZZY_ORACLE_DIR
     )
     art = spark.read.parquet(_FUZZY_ORACLE_DIR)
-    pairs = dedup.lsh_candidate_pairs(art, "doc_id", "minhash", num_bands=16)
+    pairs = dedup.lsh_candidate_pairs(
+        art, "doc_id", "minhash", num_bands=16, num_perms=64
+    )
     verified = dedup.jaccard_ngram(df, pairs, "doc_id", "text", n=3).where(
         F.col("jaccard") >= 0.8
     )

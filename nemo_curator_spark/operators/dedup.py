@@ -120,10 +120,17 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     sig_col: str = "minhash",
     num_bands: int = 16,
+    num_perms: int | None = None,
 ) -> DataFrame:
-    """Docs sharing any LSH band bucket → candidate (a, b) pairs, a < b."""
-    sig_len_df = df.select(F.size(sig_col).alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else 0) // num_bands
+    """Docs sharing any LSH band bucket → candidate (a, b) pairs, a < b.
+
+    Pass ``num_perms`` (the signature length) when known — callers that
+    built the signatures always know it — to skip the one-row probe job
+    that otherwise derives it from the data."""
+    if num_perms is None:
+        sig_len_df = df.select(F.size(sig_col).alias("n")).limit(1).collect()
+        num_perms = sig_len_df[0]["n"] if sig_len_df else 0
+    rows_per_band = num_perms // num_bands
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
         lambda i: F.struct(
@@ -296,7 +303,7 @@ def fuzzy_duplicate_ids(
 ) -> DataFrame:
     """Full fuzzy-dedup workflow → removal ids (keep min id per component)."""
     sigs = add_minhash(df, text_col, num_perms, shingle_width, seed)
-    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", num_bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, "minhash", num_bands, num_perms)
     if jaccard_threshold is not None:
         verified = jaccard_ngram(df, pairs, id_col, text_col).where(
             F.col("jaccard") >= jaccard_threshold
@@ -304,7 +311,12 @@ def fuzzy_duplicate_ids(
         edges = verified.select("a", "b")
     else:
         edges = pairs
-    comps = connected_components(edges)
+    # warn-mode: at corpus scale a pathological non-convergence at the
+    # last iteration must degrade to partial labels (duplicates survive —
+    # safe direction, no data loss) rather than kill a long job at its
+    # final stage; the strict raise stays the default for the low-level
+    # API and the correctness gates.
+    comps = connected_components(edges, strict=False)
     return comps.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )
