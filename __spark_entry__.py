@@ -923,6 +923,95 @@ GROUP BY d.doc_id, d.w, d.h
 """
 
 
+_IMGDEDUP_ORACLE_DIR = "/dev/shm/ncs_imgdedup_oracle"
+
+
+def _image_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup workflow (reference stages/image/deduplication/* +
+    embedders/*): synthesize a deterministic PPM image per doc through
+    the REAL codec path, plant byte-identical duplicates under new ids
+    (every 10th doc re-id'd +10M, pixel content keyed on the base id),
+    embed via decode->resize->flatten integer pixel features
+    (operators/image_dedup.py — the CLIP plug point), KMeans-cluster,
+    and apply the SemDeDup hard ranking at 1-eps. Write-then-read
+    protocol identical to semantic_dedup_removal_ids: the clustered
+    feature artifact (id, nvec, cluster, cosine_dist_to_cent) is
+    materialized and both engines replay the same within-cluster SQL."""
+    import shutil
+
+    from nemo_curator_spark.operators import image_dedup as imgd
+    from nemo_curator_spark.operators import semantic
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    dup = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id")
+    )
+    ids = base.unionAll(dup).select(
+        F.col("doc_id").alias("image_id"),
+        (F.col("doc_id") % 10_000_000).alias("_key"),
+    )
+    imgs = imgd.with_synth_images(ids, id_col="image_id", content_key_col="_key")
+    feats = imgd.image_feature_vectors(imgs, "image", "image_id")
+    clustered = semantic.cluster_embeddings(
+        feats.withColumnRenamed("image_id", "vec_id"), k=8
+    ).select(
+        F.col("vec_id").alias("id"), "nvec", "cluster", "cosine_dist_to_cent"
+    )
+    shutil.rmtree(_IMGDEDUP_ORACLE_DIR, ignore_errors=True)
+    clustered.coalesce(1).write.parquet(_IMGDEDUP_ORACLE_DIR)
+    art = spark.read.parquet(_IMGDEDUP_ORACLE_DIR)
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("cosine_dist_to_cent"), F.desc("id")
+    )
+    ranked = art.withColumn("rnk", F.row_number().over(w))
+    earlier = ranked.select(
+        F.col("cluster").alias("e_cluster"),
+        F.col("nvec").alias("e_nvec"),
+        F.col("rnk").alias("e_rnk"),
+    )
+    pairs = ranked.join(
+        earlier.where(F.col("e_rnk") <= 5000),
+        (F.col("cluster") == F.col("e_cluster"))
+        & (F.col("e_rnk") < F.col("rnk")),
+    ).select(
+        "id",
+        F.aggregate(
+            F.zip_with("nvec", "e_nvec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sim"),
+    )
+    scores = pairs.groupBy("id").agg(
+        F.greatest(F.max("sim"), F.lit(0.0)).alias("s")
+    )
+    return scores.where(F.col("s") >= 0.99).select(
+        F.col("id").alias("image_id")
+    )
+
+
+def _image_dedup_oracle() -> str:
+    d = _IMGDEDUP_ORACLE_DIR
+    return f"""
+WITH c AS (
+  SELECT id, nvec, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY cosine_dist_to_cent DESC, id DESC
+         ) AS rnk
+  FROM read_parquet('{d}/*.parquet')
+),
+pairs AS (
+  SELECT x.id, list_dot_product(x.nvec, e.nvec) AS sim
+  FROM c x JOIN c e ON e.cluster = x.cluster AND e.rnk < x.rnk
+                   AND e.rnk <= 5000
+),
+scores AS (
+  SELECT id, greatest(max(sim), 0.0) AS s FROM pairs GROUP BY id
+)
+SELECT id AS image_id FROM scores WHERE s >= 0.99
+"""
+
+
 _NEARDUP_ORACLE_DIR = "/dev/shm/ncs_neardup_oracle"
 
 
@@ -2410,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["audio_manifest_metrics"] = _audio_metrics_query
     out["image_resize_stats"] = _image_resize_query
+    out["image_dedup_removal_ids"] = _image_dedup_query
     out["token_chunking"] = _token_chunking_query
     out["interleaved_ratio_filter"] = _interleaved_ratio_query
     out["video_fixed_stride_clips"] = _video_clips_query
@@ -2460,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedding_neardup_pairs"] = _embedding_neardup_oracle()
     out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
+    out["image_dedup_removal_ids"] = _image_dedup_oracle()
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE
