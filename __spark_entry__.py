@@ -461,19 +461,50 @@ def _general_comment_oracle() -> str:
     )
 
 
+_PYCOMMENT_ORACLE_DIR = "/dev/shm/ncs_pycomment_oracle"
+
+
 def _python_comment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PythonCommentToCodeFilter (reference code.py:27-48): stdlib ast +
-    tokenize per doc -> pandas UDF; not SQL-expressible (rows-only gate,
-    exact semantics pinned by tests/test_code_filters.py)."""
+    tokenize per doc. The CPython parse itself is not SQL-expressible,
+    but the write-then-read protocol value-gates it anyway (the last
+    rows-only query flipped in round 4): one pandas UDF emits the raw
+    (n_comment, n_source) counts, those are materialized as the
+    artifact, and BOTH engines derive score = n_comment/n_source (0 when
+    empty) and the keep band from the identical integers — pure IEEE
+    division and half-away rounding, no parser in the oracle. Exact
+    parser semantics remain pinned by tests/test_code_filters.py."""
+    import shutil
+
     from nemo_curator_spark.operators import code_filters as CF
 
     df = _docs(spark, sf_dir)
-    score = CF.python_comment_ratio_udf()(F.col("text"))
-    return df.select(
+    counts = df.select(
+        "doc_id", CF.python_comment_counts_udf()(F.col("text")).alias("_c")
+    ).select("doc_id", "_c.n_comment", "_c.n_source")
+    shutil.rmtree(_PYCOMMENT_ORACLE_DIR, ignore_errors=True)
+    counts.coalesce(1).write.parquet(_PYCOMMENT_ORACLE_DIR)
+    art = spark.read.parquet(_PYCOMMENT_ORACLE_DIR)
+    score = F.when(F.col("n_source") == 0, F.lit(0.0)).otherwise(
+        F.col("n_comment").cast("double") / F.col("n_source")
+    )
+    return art.select(
         "doc_id",
         F.round(score, 8).alias("score"),
         CF.keep(score).cast("int").alias("keep"),
     )
+
+
+def _python_comment_oracle() -> str:
+    from nemo_curator_spark.operators import code_filters as CF
+
+    d = _PYCOMMENT_ORACLE_DIR
+    score = "CASE WHEN n_source = 0 THEN 0.0 ELSE CAST(n_comment AS DOUBLE) / n_source END"
+    keep = CF.duck_keep_sql("score")
+    return f"""
+SELECT doc_id, round(score, 8) AS score, CAST({keep} AS INT) AS keep
+FROM (SELECT doc_id, {score} AS score FROM read_parquet('{d}/*.parquet'))
+"""
 
 
 _PPL_ORACLE_DIR = "/dev/shm/ncs_ppl_oracle"
@@ -2546,7 +2577,7 @@ def oracle_sql() -> dict[str, str]:
     for extra in H.EXTRA_RULES:
         out[f"filter_{extra}"] = _rule_oracle(extra)
     out["filter_general_comment_ratio"] = _general_comment_oracle()
-    # filter_python_comment_ratio: ast/tokenize per doc -> rows-only
+    out["filter_python_comment_ratio"] = _python_comment_oracle()
     out["heuristic_chain_native"] = _chain_native_oracle()
     out["heuristic_chain_non_english"] = _chain_native_oracle(english=False)
     out["heuristic_chain_full"] = _chain_full_oracle()

@@ -46,6 +46,33 @@ def python_comment_ratio_udf():
     return _udf
 
 
+def python_comment_counts_udf():
+    """(n_comment, n_source) per doc from the SAME stdlib ast/tokenize
+    path as :func:`pyref.python_comment_ratio` — the write-then-read
+    artifact half that lets the driver gate value-hash this filter:
+    score = n_comment/n_source (0 when n_source=0) replayed in SQL is
+    exactly the pyref ratio, including the exception->0 path
+    (n_comment=0)."""
+
+    @F.pandas_udf("n_comment long, n_source long")
+    def _udf(source: pd.Series) -> pd.DataFrame:
+        rows = []
+        for s in source:
+            s = s or ""
+            if not s:
+                rows.append((0, 0))
+                continue
+            try:
+                d = pyref._python_docstrings(s)
+                c = pyref._python_comments(s)
+                rows.append((len(c) + len(d), len(s)))
+            except Exception:
+                rows.append((0, len(s)))
+        return pd.DataFrame(rows, columns=["n_comment", "n_source"])
+
+    return _udf
+
+
 def general_comment_ratio(source: Column) -> Column:
     matches = F.regexp_extract_all(source, F.lit(_COMMENT_PATTERN), 0)
     stripped = F.transform(

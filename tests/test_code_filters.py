@@ -81,3 +81,34 @@ def test_keep_window():
     src = "int x; // note\n"
     s = pyref.general_comment_ratio(src)
     assert CF.MIN_RATIO <= s <= CF.MAX_RATIO
+
+
+def test_python_comment_counts_equal_pyref_ratio(spark):
+    # the artifact counts must reproduce pyref's ratio exactly,
+    # including the exception->0 and empty->0 paths
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark import pyref
+    from nemo_curator_spark.operators import code_filters as CF
+
+    samples = [
+        "",
+        "x = 1\n# a comment\n",
+        '"""docstring"""\ndef f():\n    pass\n',
+        "def broken(:\n",  # syntax error -> 0
+        "# only comments\n# more\n",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    )
+    rows = df.select(
+        "i", CF.python_comment_counts_udf()(F.col("text")).alias("c")
+    ).collect()
+    for r in rows:
+        s = samples[r["i"]]
+        got = (
+            0.0
+            if r["c"]["n_source"] == 0
+            else r["c"]["n_comment"] / r["c"]["n_source"]
+        )
+        assert got == pyref.python_comment_ratio(s), (s, r["c"])
