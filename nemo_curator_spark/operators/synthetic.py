@@ -347,3 +347,54 @@ def knowledge_list_postprocess_df(
         return pd.Series([knowledge_list_postprocess(g or "") for g in gens])
 
     return df.withColumn(field_name, _pp(F.col(field_name)))
+
+
+def strip_bold_markers(generated_text: str) -> str:
+    """QAMultilingualSyntheticStage._process_llm_response
+    (qa_multilingual_synthetic.py:63-72): some models add ** bolding —
+    every asterisk is removed from the generated text."""
+    t = generated_text or ""
+    return t.replace("*", "") if "*" in t else t
+
+
+def qa_multilingual_synthetic(
+    spark,
+    prompt: str,
+    languages: list[str],
+    client_factory,
+    num_samples: int,
+    seed: int = 42,
+) -> DataFrame:
+    """QAMultilingualSyntheticStage (qa_multilingual_synthetic.py:32-129)
+    as a source stage: ``num_samples`` rows generated from nothing — each
+    draws a language, formats ``prompt.format(language=...)``, queries
+    the injected client, and strips bold markers.
+
+    The reference draws languages with ``secrets.choice`` (irreproducible
+    by design); here the draw is seeded per sample id so a retried
+    partition regenerates identical rows — the property a distributed
+    source stage needs."""
+    langs = list(languages)
+
+    cache: dict = {}
+
+    @F.pandas_udf(T.StringType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        if "c" not in cache:
+            cache["c"] = client_factory()
+        batches = []
+        for i in ids:
+            rng = _random.Random((seed << 32) ^ int(i))
+            language = rng.choice(langs)
+            batches.append(
+                [{"role": "user", "content": prompt.format(language=language)}]
+            )
+        return pd.Series(
+            [strip_bold_markers(r) for r in cache["c"].generate_batch(batches)]
+        )
+
+    return (
+        spark.range(num_samples)
+        .withColumn("text", _gen(F.col("id")))
+        .select("id", "text")
+    )

@@ -177,3 +177,40 @@ def test_spark_knowledge_list_postprocess(spark):
     )
     out = S.knowledge_list_postprocess_df(df).collect()[0]["knowledge_list"]
     assert out == "item one\ncontinuation\nitem two"
+
+
+def test_strip_bold_markers():
+    assert S.strip_bold_markers("**bold** text*") == "bold text"
+    assert S.strip_bold_markers("plain") == "plain"
+    assert S.strip_bold_markers("") == ""
+
+
+def test_qa_multilingual_source_stage(spark):
+    class LangEcho:
+        def generate_batch(self, batches):
+            return ["**" + b[0]["content"] + "**" for b in batches]
+
+    out1 = S.qa_multilingual_synthetic(
+        spark,
+        prompt="Write a QA pair in {language}.",
+        languages=["en", "de", "ja"],
+        client_factory=LangEcho,
+        num_samples=12,
+        seed=7,
+    ).orderBy("id").toPandas()
+    assert len(out1) == 12
+    # bold markers stripped, prompt formatted with a language
+    assert all(t.startswith("Write a QA pair in ") for t in out1["text"])
+    assert not any("*" in t for t in out1["text"])
+    # seeded per-id draw -> identical rows under different partitioning
+    out2 = S.qa_multilingual_synthetic(
+        spark,
+        prompt="Write a QA pair in {language}.",
+        languages=["en", "de", "ja"],
+        client_factory=LangEcho,
+        num_samples=12,
+        seed=7,
+    ).repartition(5).orderBy("id").toPandas()
+    assert out1["text"].tolist() == out2["text"].tolist()
+    # all three languages appear across 12 seeded draws
+    assert len({t.rsplit(" ", 1)[-1] for t in out1["text"]}) == 3
