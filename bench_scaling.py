@@ -97,20 +97,24 @@ def main() -> None:
         synth.ensure_web_pages_parquet(spark, corpus, WEB_DOCS)
         spark.stop()
 
-    # second axis: DATA scaling at fixed parallelism (local[32], 20k vs
-    # 100k docs). Core-count scaling on one box is capped by host vCPU
+    # second axis: DATA scaling at fixed parallelism (local[32], 20k /
+    # 100k / 200k docs — three points so the axis shows a line, not a
+    # ratio). Core-count scaling on one box is capped by host vCPU
     # contention (ceiling below); data scaling is not — a linear plan
     # shape holds throughput constant as input grows, which is the
     # property that actually transfers to a 1000-executor cluster.
-    DOCS_SMALL = 20_000
-    corpus_small = os.path.join(REPO, "data", f"web_pages_{DOCS_SMALL}.parquet")
-    if not os.path.isdir(corpus_small):
-        from nemo_curator_spark.session import get_spark
-        from nemo_curator_spark import synth
+    DATA_POINTS = [20_000, 100_000, 200_000]
+    data_corpora = {}
+    for nd in DATA_POINTS:
+        c = os.path.join(REPO, "data", f"web_pages_{nd}.parquet")
+        if not os.path.isdir(c):
+            from nemo_curator_spark.session import get_spark
+            from nemo_curator_spark import synth
 
-        spark = get_spark(master="local[32]")
-        synth.ensure_web_pages_parquet(spark, corpus_small, DOCS_SMALL)
-        spark.stop()
+            spark = get_spark(master="local[32]")
+            synth.ensure_web_pages_parquet(spark, c, nd)
+            spark.stop()
+        data_corpora[nd] = c
 
     cal_n = calibrate(N_SMALL)
     cal_4n = calibrate(N_BIG)
@@ -123,10 +127,15 @@ def main() -> None:
     raw_eff = (tput_4n / tput_n) / 4
     norm_eff = raw_eff / ceiling if ceiling > 0 else float("nan")
 
-    r_ds = run_engine(32, corpus_small)
-    tput_ds = DOCS_SMALL / r_ds["best"]
-    tput_db = WEB_DOCS / (r_4n["best"] if N_BIG == 32 else run_engine(32, corpus)["best"])
-    data_eff = tput_db / tput_ds
+    data_runs = {}
+    for nd in DATA_POINTS:
+        if nd == WEB_DOCS and N_BIG == 32:
+            data_runs[nd] = r_4n  # reuse the 4N leg (same corpus+cores)
+        else:
+            data_runs[nd] = run_engine(32, data_corpora[nd])
+    data_tputs = {nd: nd / data_runs[nd]["best"] for nd in DATA_POINTS}
+    tput_ds = data_tputs[DATA_POINTS[0]]
+    data_eff = data_tputs[DATA_POINTS[-1]] / tput_ds
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH — measured performance + scaling evidence
@@ -170,20 +179,18 @@ Reference context (BASELINE.md): the reference's own multi-node study
 reports near-linear scaling (≈1.0) for this workload class, measured
 across physical nodes — consistent with shuffle-free map-heavy pipelines.
 
-## Data-scaling leg (fixed local[32], {DOCS_SMALL:,} vs {WEB_DOCS:,} docs)
+## Data-scaling axis (fixed local[32], three points)
 
 Core-count scaling on one shared VM is bounded by the hardware ceiling
 above; DATA scaling is not. If the plan is linear (no super-linear
-shuffle, no driver-side accumulation), throughput stays flat as the input
-grows {WEB_DOCS // DOCS_SMALL}x:
+shuffle, no driver-side accumulation), throughput stays flat-to-rising
+as the input grows {DATA_POINTS[-1] // DATA_POINTS[0]}x:
 
 | leg | best sec | docs/sec |
 |---|---|---|
-| {DOCS_SMALL:,} docs | {r_ds['best']:.1f} | {tput_ds:,.0f} |
-| {WEB_DOCS:,} docs | {r_4n['best'] if N_BIG == 32 else float('nan'):.1f} | {tput_db:,.0f} |
-
-**Throughput ratio (big/small): {data_eff:.3f}** — ≈1 (or >1 as fixed
-overhead amortizes) is the linear-plan signature.
+| {DATA_POINTS[0]:,} docs | {data_runs[DATA_POINTS[0]]['best']:.1f} | {data_tputs[DATA_POINTS[0]]:,.0f} |\n| {DATA_POINTS[1]:,} docs | {data_runs[DATA_POINTS[1]]['best']:.1f} | {data_tputs[DATA_POINTS[1]]:,.0f} |\n| {DATA_POINTS[2]:,} docs | {data_runs[DATA_POINTS[2]]['best']:.1f} | {data_tputs[DATA_POINTS[2]]:,.0f} |\n
+**Throughput ratio (largest/smallest): {data_eff:.3f}** — ≈1 (or >1 as
+fixed overhead amortizes) is the linear-plan signature.
 """
     # raw per-run record; the curated analysis lives in BENCH/BASELINE.md
     # (hand-maintained — update its table from this output)
@@ -198,7 +205,7 @@ overhead amortizes) is the linear-plan signature.
                 "tput_n": round(tput_n, 1),
                 "tput_4n": round(tput_4n, 1),
                 "data_eff": round(data_eff, 3),
-                "tput_20k": round(tput_ds, 1),
+                "data_tputs": {str(nd): round(t, 1) for nd, t in data_tputs.items()},
             }
         )
     )
