@@ -1963,6 +1963,89 @@ FROM ranked WHERE rn <= 6
 _CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
 
 
+def _video_scene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransNetV2 scene-extraction pipeline, model-free half (reference
+    clipping/transnetv2_extraction.py:197-326): deterministic synthetic
+    per-frame transition predictions (one per 17 frames, phase keyed on
+    doc_id — the model plug point), scene assembly via the window form
+    of _get_scenes including its trailing-index quirk, then stride span
+    generation + crop + min-length. Pure integer logic; the oracle
+    replays every step in SQL windows."""
+    from nemo_curator_spark.operators import video as video_mod
+
+    df = _docs(spark, sf_dir).select("doc_id")
+    n_frames = (F.lit(40) + (F.col("doc_id") % 60)).cast("int")
+    frames = (
+        df.withColumn(
+            "frame", F.explode(F.sequence(F.lit(0), n_frames - 1))
+        )
+        .withColumn(
+            "is_transition",
+            ((F.col("doc_id") * 7 + F.col("frame") * 13) % 17 == 0).cast("int"),
+        )
+    )
+    scenes = video_mod.scene_boundaries(
+        frames, video_col="doc_id", frame_col="frame",
+        transition_col="is_transition",
+    )
+    clips = video_mod.filter_scenes(
+        scenes, min_length=4, max_length=12, max_length_mode="stride",
+        crop_length=1,
+    )
+    return clips.select(
+        F.col("doc_id").cast("long").alias("video_id"),
+        F.col("scene_start").cast("long").alias("clip_start"),
+        F.col("scene_end").cast("long").alias("clip_end"),
+    )
+
+
+_VIDEO_SCENE_ORACLE = """
+WITH frames AS (
+  SELECT doc_id AS v, CAST(u.f AS INT) AS f,
+         CASE WHEN (doc_id*7 + u.f*13) % 17 = 0 THEN 1 ELSE 0 END AS t
+  FROM documents,
+       UNNEST(generate_series(0, CAST(40 + doc_id % 60 AS INT) - 1)) AS u(f)
+),
+flg AS (
+  SELECT v, f, t,
+    lag(t, 1, 0) OVER w AS prev,
+    max(f) OVER (PARTITION BY v) AS last_f,
+    count(*) OVER (PARTITION BY v) AS n
+  FROM frames WINDOW w AS (PARTITION BY v ORDER BY f)
+),
+flg2 AS (
+  SELECT *,
+    (t = 1 AND prev = 0 AND f <> 0) AS is_end,
+    COALESCE(max(CASE WHEN t = 0 AND prev = 1 THEN f END)
+      OVER (PARTITION BY v ORDER BY f ROWS UNBOUNDED PRECEDING), 0) AS strt,
+    max(CASE WHEN t = 1 AND prev = 0 AND f <> 0 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY v) AS has_end
+  FROM flg
+),
+scenes AS (
+  SELECT v, strt AS s, f AS e FROM flg2 WHERE is_end
+  UNION ALL
+  SELECT v, strt, f FROM flg2 WHERE f = last_f AND t = 0 AND has_end = 1
+  UNION ALL
+  SELECT DISTINCT v, 0, CAST(n AS INT) FROM flg2 WHERE has_end = 0
+),
+spans AS (
+  SELECT v, CAST(u.ss AS INT) AS s2,
+         least(CAST(u.ss AS INT) + 12, e) AS e2, e
+  FROM scenes, UNNEST(generate_series(s, e - 1, 12)) AS u(ss)
+  WHERE s < e
+),
+spans2 AS (SELECT v, s2, e2 FROM spans WHERE NOT ((e2 - s2) < 4 AND e2 = e)),
+cropped AS (
+  SELECT v, s2 + 1 AS s3, e2 - 1 AS e3 FROM spans2
+  WHERE (e2 - 1) - (s2 + 1) > 0
+)
+SELECT CAST(v AS BIGINT) AS video_id, CAST(s3 AS BIGINT) AS clip_start,
+       CAST(e3 AS BIGINT) AS clip_end
+FROM cropped WHERE e3 - s3 >= 4
+"""
+
+
 def _token_chunking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TokenSplitterStage (reference math/modifiers/chunking.py:24-120):
     paragraph-preserving greedy token-budget chunking over the vendored
@@ -2499,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- changed or new this round (must re-prove driver-side) ---
     out["embedder_hash_dim"] = _embedder_query  # r03's red row, fixed
     out["image_dedup_removal_ids"] = _image_dedup_query  # new workflow
+    out["video_scene_clips"] = _video_scene_query  # new workflow
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query  # pair cap
     out["classifier_stage"] = _classifier_stage_query  # oracle tokenizer
     out["fasttext_langid_mini"] = _fasttext_langid_query  # oracle split
@@ -2600,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
     out["audio_manifest_metrics"] = _AUDIO_METRICS_ORACLE
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
     out["image_dedup_removal_ids"] = _image_dedup_oracle()
+    out["video_scene_clips"] = _VIDEO_SCENE_ORACLE
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE

@@ -69,3 +69,201 @@ def fixed_stride_clips(
             .drop("_rn")
         )
     return out
+
+
+# --- TransNetV2 scene extraction, model-free half ---------------------------
+# (reference clipping/transnetv2_extraction.py:197-326). The TransNetV2
+# NETWORK is model-gated (torch absent); everything downstream of its
+# per-frame transition predictions — scene assembly, truncate/stride span
+# generation, cropping, min-length filtering — is exact integer logic and
+# is implemented twice: a pure-python port (the pyref-style pin) and a
+# window-function Spark form used by the value-hash gate.
+
+
+def get_scenes_py(
+    predictions: list[int], entire_scene_as_clip: bool = True
+) -> list[tuple[int, int]]:
+    """Direct port of _get_scenes (transnetv2_extraction.py:197-226),
+    including its two quirks: a mid scene ends AT the transition index,
+    while the trailing scene ends at the LAST index (one frame short),
+    and the whole-video fallback ends at len(predictions)."""
+    scenes: list[tuple[int, int]] = []
+    t, t_prev, start = -1, 0, 0
+    i = -1
+    for i, t in enumerate(predictions):
+        if t_prev == 1 and t == 0:
+            start = i
+        if t_prev == 0 and t == 1 and i != 0:
+            scenes.append((start, i))
+        t_prev = t
+    if scenes and t == 0:
+        scenes.append((start, i))
+    if not scenes and entire_scene_as_clip:
+        scenes.append((0, len(predictions)))
+    return scenes
+
+
+def filter_scenes_py(
+    scenes: list[tuple[int, int]],
+    min_length: int | None = None,
+    max_length: int | None = None,
+    max_length_mode: str = "truncate",
+    crop_length: int | None = None,
+) -> list[tuple[int, int]]:
+    """Direct port of _get_filtered_scenes/_crop_scenes/_create_spans
+    (transnetv2_extraction.py:229-326): max-length handling first
+    (truncate, or stride with only the FINAL short span dropped), then
+    crop, then the min-length filter."""
+    out = [tuple(s) for s in scenes]
+    if max_length is not None:
+        if max_length_mode == "truncate":
+            out = [(s, min(s + max_length, e)) for s, e in out]
+        elif max_length_mode == "stride":
+            spans = []
+            for s, e in out:
+                cur = s
+                while cur < e:
+                    end = min(cur + max_length, e)
+                    if min_length and (end - cur) < min_length and end == e:
+                        break
+                    spans.append((cur, end))
+                    cur = end
+            out = spans
+        else:
+            raise NotImplementedError(max_length_mode)
+    if crop_length is not None:
+        out = [
+            (s + crop_length, e - crop_length)
+            for s, e in out
+            if (e - crop_length) - (s + crop_length) > 0
+        ]
+    if min_length is not None:
+        out = [(s, e) for s, e in out if e - s >= min_length]
+    return out
+
+
+def scene_boundaries(
+    df: DataFrame,
+    video_col: str = "video_id",
+    frame_col: str = "frame",
+    transition_col: str = "is_transition",
+    entire_scene_as_clip: bool = True,
+) -> DataFrame:
+    """(video, frame, is_transition) rows → (video, scene_start,
+    scene_end) — the Spark window form of :func:`get_scenes_py`,
+    bit-identical on contiguous 0-based frame indices (pinned by
+    tests). One shuffle on the video id; no UDF.
+
+    Scale shape: everything is a window over (video, frame) — at 100 TB
+    of frame rows this is one hash exchange on video_id and a sort
+    within partitions, exactly what per-video sessionization costs."""
+    from pyspark.sql.window import Window
+
+    flg = (
+        df.select(
+            F.col(video_col).alias("_v"),
+            F.col(frame_col).alias("_f"),
+            F.col(transition_col).cast("int").alias("_t"),
+        )
+        .withColumn("_prev", F.lag("_t", 1, 0).over(
+            Window.partitionBy("_v").orderBy("_f")
+        ))
+    )
+    wv = Window.partitionBy("_v")
+    wo = Window.partitionBy("_v").orderBy("_f")
+    flg = (
+        flg.withColumn("_is_end", (F.col("_t") == 1) & (F.col("_prev") == 0) & (F.col("_f") != 0))
+        .withColumn("_marker", F.when((F.col("_t") == 0) & (F.col("_prev") == 1), F.col("_f")))
+        .withColumn(
+            "_start",
+            F.coalesce(
+                F.max("_marker").over(
+                    wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("_last", F.max("_f").over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(wv))
+        .withColumn("_has_end", F.max(F.col("_is_end").cast("int")).over(wv))
+    )
+    mid = flg.where("_is_end").select(
+        F.col("_v").alias(video_col),
+        F.col("_start").alias("scene_start"),
+        F.col("_f").alias("scene_end"),
+    )
+    trail = flg.where(
+        (F.col("_f") == F.col("_last")) & (F.col("_t") == 0) & (F.col("_has_end") == 1)
+    ).select(
+        F.col("_v").alias(video_col),
+        F.col("_start").alias("scene_start"),
+        F.col("_f").alias("scene_end"),
+    )
+    out = mid.unionByName(trail)
+    if entire_scene_as_clip:
+        whole = (
+            flg.where(F.col("_has_end") == 0)
+            .select(F.col("_v").alias(video_col), F.col("_n").alias("_n"))
+            .distinct()
+            .select(
+                video_col,
+                F.lit(0).alias("scene_start"),
+                F.col("_n").alias("scene_end"),
+            )
+        )
+        out = out.unionByName(whole)
+    return out
+
+
+def filter_scenes(
+    df: DataFrame,
+    min_length: int | None = None,
+    max_length: int | None = None,
+    max_length_mode: str = "truncate",
+    crop_length: int | None = None,
+    start_col: str = "scene_start",
+    end_col: str = "scene_end",
+) -> DataFrame:
+    """Spark form of :func:`filter_scenes_py` — pure Column arithmetic
+    (the stride mode is a ``sequence`` explode); same operation order:
+    max-length, crop, min-length."""
+    s, e = F.col(start_col), F.col(end_col)
+    if max_length is not None:
+        if max_length_mode == "truncate":
+            df = df.withColumn(end_col, F.least(s + max_length, e))
+        elif max_length_mode == "stride":
+            df = (
+                # guard: zero-length scenes (s == e, the trailing-run
+                # quirk) must yield no spans, and sequence() throws on
+                # start > stop — explode of NULL drops the row instead
+                df.withColumn(
+                    "_span_s",
+                    F.explode(
+                        F.when(s < e, F.sequence(s, e - 1, F.lit(max_length)))
+                    ),
+                )
+                .withColumn("_span_e", F.least(F.col("_span_s") + max_length, e))
+                .where(
+                    ~(
+                        F.lit(bool(min_length))
+                        & ((F.col("_span_e") - F.col("_span_s")) < F.lit(min_length or 0))
+                        & (F.col("_span_e") == e)
+                    )
+                )
+                .drop(start_col, end_col)
+                .withColumnRenamed("_span_s", start_col)
+                .withColumnRenamed("_span_e", end_col)
+            )
+        else:
+            raise NotImplementedError(max_length_mode)
+        s, e = F.col(start_col), F.col(end_col)
+    if crop_length is not None:
+        df = (
+            df.withColumn(start_col, s + crop_length)
+            .withColumn(end_col, e - crop_length)
+            .where(F.col(end_col) - F.col(start_col) > 0)
+        )
+        s, e = F.col(start_col), F.col(end_col)
+    if min_length is not None:
+        df = df.where(e - s >= min_length)
+    return df

@@ -56,3 +56,97 @@ def test_limit_clips(spark):
     out = V.fixed_stride_clips(df, 4.0, 2.5, 1.0, limit_clips=3)
     assert out.count() == 3
     assert [r["clip_idx"] for r in out.orderBy("clip_idx").collect()] == [0, 1, 2]
+
+
+# --- TransNetV2 scene extraction (model-free half) --------------------------
+
+
+def test_get_scenes_py_reference_quirks():
+    from nemo_curator_spark.operators import video as V
+
+    # mid scenes end AT the transition; trailing scene ends at last INDEX
+    assert V.get_scenes_py([0, 0, 1, 0, 0]) == [(0, 2), (3, 4)]
+    # transition at position 0 is ignored (i != 0 guard)
+    assert V.get_scenes_py([1, 0, 1]) == [(1, 2)]
+    # ends-with-transition: no trailing scene
+    assert V.get_scenes_py([0, 1]) == [(0, 1)]
+    # no transitions: whole video (length, not last index)
+    assert V.get_scenes_py([0, 0, 0]) == [(0, 3)]
+    assert V.get_scenes_py([0, 0, 0], entire_scene_as_clip=False) == []
+    # all-ones: no scenes even with the fallback (scenes empty, t==1)
+    assert V.get_scenes_py([1, 1]) == [(0, 2)]  # no end recorded -> fallback
+    # zero-length trailing scene when the last frame starts a run
+    assert V.get_scenes_py([0, 1, 0]) == [(0, 1), (2, 2)]
+
+
+def test_filter_scenes_py_matches_reference_semantics():
+    from nemo_curator_spark.operators import video as V
+
+    scenes = [(0, 25), (30, 33)]
+    # truncate
+    assert V.filter_scenes_py(scenes, max_length=10) == [(0, 10), (30, 33)]
+    # stride drops ONLY the final short span
+    assert V.filter_scenes_py(scenes, min_length=4, max_length=10,
+                              max_length_mode="stride") == [
+        (0, 10), (10, 20), (30, 33)  # (20,25) kept (5>=4); (30,33) short but
+    ][:2] + [(20, 25)]  # order: spans of scene 1 then scene 2 (3<4 dropped)
+    # crop then min
+    assert V.filter_scenes_py([(0, 10)], min_length=5, crop_length=2) == [(2, 8)]
+    assert V.filter_scenes_py([(0, 4)], crop_length=2) == []
+
+
+def test_scene_boundaries_spark_equals_python_port(spark):
+    import random
+
+    from nemo_curator_spark.operators import video as V
+
+    rng = random.Random(1234)
+    rows, expected = [], set()
+    for vid in range(40):
+        n = rng.randint(1, 30)
+        preds = [rng.randint(0, 1) for _ in range(n)]
+        for f, t in enumerate(preds):
+            rows.append((vid, f, t))
+        for s, e in V.get_scenes_py(preds):
+            expected.add((vid, s, e))
+    df = spark.createDataFrame(
+        rows, "video_id long, frame int, is_transition int"
+    ).repartition(7)
+    got = {
+        (r["video_id"], r["scene_start"], r["scene_end"])
+        for r in V.scene_boundaries(df).collect()
+    }
+    assert got == expected
+
+
+def test_filter_scenes_spark_equals_python_port(spark):
+    import random
+
+    from nemo_curator_spark.operators import video as V
+
+    rng = random.Random(99)
+    scenes = []
+    for vid in range(30):
+        for _ in range(rng.randint(1, 4)):
+            s = rng.randint(0, 50)
+            scenes.append((vid, s, s + rng.randint(0, 40)))
+    df = spark.createDataFrame(
+        scenes, "video_id long, scene_start int, scene_end int"
+    )
+    for kw in (
+        dict(max_length=12),
+        dict(min_length=4, max_length=12, max_length_mode="stride"),
+        dict(min_length=5, max_length=15, max_length_mode="stride", crop_length=2),
+        dict(min_length=3, crop_length=1),
+    ):
+        got = sorted(
+            (r["video_id"], r["scene_start"], r["scene_end"])
+            for r in V.filter_scenes(df, **kw).collect()
+        )
+        exp = []
+        for vid in range(30):
+            vid_scenes = [(s, e) for v, s, e in scenes if v == vid]
+            exp.extend(
+                (vid, s, e) for s, e in V.filter_scenes_py(vid_scenes, **kw)
+            )
+        assert got == sorted(exp), kw
