@@ -1963,6 +1963,102 @@ FROM ranked WHERE rn <= 6
 _CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
 
 
+def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segment concat bookkeeping + timestamp remap (reference
+    preprocessing/concatenation.py:146-236 + postprocessing/
+    timestamp_mapper.py:74-103): deterministic synthetic VAD segments
+    per doc (the VAD network is the model plug point), laid out in
+    concat space with 500 ms gaps via one window cumsum, then two
+    concat-space spans per doc translated back to original-file
+    positions through the overlap range join. Pure integer interval
+    arithmetic — the oracle replays every step in SQL."""
+    from nemo_curator_spark.operators import audio_segments as aseg
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    k = (F.lit(2) + F.col("doc_id") % 4).cast("int")
+    segs = (
+        base.withColumn("segment_num", F.explode(F.sequence(F.lit(0), k - 1)))
+        .withColumn(
+            "duration_ms",
+            (F.lit(800) + (F.col("doc_id") * 31 + F.col("segment_num") * 17) % 1200),
+        )
+        .withColumn(
+            "start_ms", F.col("segment_num") * 3000 + F.col("doc_id") % 7
+        )
+        .withColumn(
+            "end_ms",
+            F.when(F.col("segment_num") % 3 == 0, F.col("start_ms")).otherwise(
+                F.col("start_ms") + F.col("duration_ms") + (F.col("segment_num") % 2) * 10
+            ),
+        )
+        .withColumnRenamed("doc_id", "file_id")
+    )
+    mappings = aseg.segment_mappings(segs, silence_ms=500)
+    spans = (
+        base.withColumn("_s", F.explode(F.array(F.lit(0), F.lit(1))))
+        .select(
+            F.col("doc_id").alias("file_id"),
+            (F.col("_s") * 1500 + (F.col("doc_id") % 5) * 400).alias("concat_start_ms"),
+            (F.col("_s") * 1500 + (F.col("doc_id") % 5) * 400 + 2500).alias("concat_end_ms"),
+        )
+    )
+    out = aseg.translate_to_original(spans, mappings)
+    return out.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("span_start_ms").cast("long").alias("span_start_ms"),
+        F.col("segment_index").cast("long").alias("segment_index"),
+        F.col("original_start_ms").cast("long").alias("original_start_ms"),
+        F.col("original_end_ms").cast("long").alias("original_end_ms"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+    )
+
+
+_AUDIO_SEGMENT_REMAP_ORACLE = """
+WITH segs AS (
+  SELECT doc_id AS file_id, CAST(u.i AS INT) AS seg,
+         800 + (doc_id*31 + u.i*17) % 1200 AS dur,
+         u.i * 3000 + doc_id % 7 AS start_ms
+  FROM documents,
+       UNNEST(generate_series(0, CAST(2 + doc_id % 4 AS INT) - 1)) AS u(i)
+),
+segs2 AS (
+  SELECT *,
+    CASE WHEN seg % 3 = 0 THEN start_ms
+         ELSE start_ms + dur + (seg % 2) * 10 END AS end_ms
+  FROM segs
+),
+maps AS (
+  SELECT file_id, seg AS segment_index,
+    start_ms AS original_start_ms,
+    CASE WHEN end_ms <= start_ms THEN start_ms + dur ELSE end_ms END
+      AS original_end_ms,
+    COALESCE(sum(dur) OVER (PARTITION BY file_id ORDER BY seg, start_ms
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (row_number() OVER (PARTITION BY file_id ORDER BY seg, start_ms) - 1) * 500
+      AS concat_start_ms,
+    dur
+  FROM segs2
+),
+maps2 AS (SELECT *, concat_start_ms + dur AS concat_end_ms FROM maps),
+spans AS (
+  SELECT doc_id AS file_id,
+         u.s * 1500 + (doc_id % 5) * 400 AS cs,
+         u.s * 1500 + (doc_id % 5) * 400 + 2500 AS ce
+  FROM documents, UNNEST([0, 1]) AS u(s)
+)
+SELECT CAST(sp.file_id AS BIGINT) AS file_id,
+       CAST(sp.cs AS BIGINT) AS span_start_ms,
+       CAST(m.segment_index AS BIGINT) AS segment_index,
+       CAST(m.original_start_ms + (greatest(sp.cs, m.concat_start_ms) - m.concat_start_ms) AS BIGINT) AS original_start_ms,
+       CAST(m.original_start_ms + (least(sp.ce, m.concat_end_ms) - m.concat_start_ms) AS BIGINT) AS original_end_ms,
+       CAST(least(sp.ce, m.concat_end_ms) - greatest(sp.cs, m.concat_start_ms) AS BIGINT) AS duration_ms
+FROM spans sp JOIN maps2 m
+  ON m.file_id = sp.file_id
+ AND m.concat_end_ms > sp.cs AND m.concat_start_ms < sp.ce
+WHERE least(sp.ce, m.concat_end_ms) - greatest(sp.cs, m.concat_start_ms) > 0
+"""
+
+
 def _video_scene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransNetV2 scene-extraction pipeline, model-free half (reference
     clipping/transnetv2_extraction.py:197-326): deterministic synthetic
@@ -2583,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedder_hash_dim"] = _embedder_query  # r03's red row, fixed
     out["image_dedup_removal_ids"] = _image_dedup_query  # new workflow
     out["video_scene_clips"] = _video_scene_query  # new workflow
+    out["audio_segment_remap"] = _audio_segment_remap_query  # new workflow
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query  # pair cap
     out["classifier_stage"] = _classifier_stage_query  # oracle tokenizer
     out["fasttext_langid_mini"] = _fasttext_langid_query  # oracle split
@@ -2685,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_resize_stats"] = _IMAGE_RESIZE_ORACLE
     out["image_dedup_removal_ids"] = _image_dedup_oracle()
     out["video_scene_clips"] = _VIDEO_SCENE_ORACLE
+    out["audio_segment_remap"] = _AUDIO_SEGMENT_REMAP_ORACLE
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE

@@ -1,0 +1,187 @@
+"""Audio segment concatenation + timestamp remapping, Spark-first
+(reference ``stages/audio/preprocessing/concatenation.py`` +
+``stages/audio/postprocessing/timestamp_mapper.py``).
+
+The reference flow: VAD cuts a file into segments (model-gated) →
+``SegmentConcatenationStage`` splices the kept segments into one
+waveform with silence gaps, recording a concat-space→original-file
+mapping per segment → downstream spans (ASR, diarization) measured in
+concat space are translated back to original-file positions by
+``TimestampMapperStage._translate_to_original``.
+
+Everything except the VAD network is deterministic integer interval
+arithmetic and is expressed declaratively here:
+
+* :func:`segment_mappings` — the bookkeeping half of concatenation as
+  ONE window cumsum per file (no UDF, one shuffle on the file id).
+* :func:`translate_to_original` — the timestamp mapper's overlap
+  translation as a range join (file equi-key + interval overlap
+  predicate; AQE handles the skew, the file key bounds the fan-out).
+* :func:`concat_wav_segments` — the waveform half over REAL binary WAV
+  columns via the stdlib codec (applyInPandas per file; the per-file
+  accumulator is inherently sequential), byte-round-trip tested.
+
+Scale shape: mappings and translation never touch audio bytes, so the
+100-TB waveform column stays on scan partitions and only the tiny
+(file, segment, ms) rows shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def segment_mappings(
+    df: DataFrame,
+    silence_ms: int = 500,
+    file_col: str = "file_id",
+    segment_col: str = "segment_num",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Concat-space mapping rows (concatenation.py:146-236, the
+    bookkeeping half): segments ordered by (segment_num, start_ms) are
+    laid head-to-tail with ``silence_ms`` between consecutive segments;
+    each keeps its original span (``end <= start`` falls back to
+    ``start + duration``, the reference's orig_end fix-up).
+
+    Output: one row per segment with original_start_ms / original_end_ms
+    / concat_start_ms / concat_end_ms / segment_index."""
+    w = Window.partitionBy(file_col).orderBy(segment_col, start_col)
+    dur = F.col(duration_col)
+    cum_prev = F.coalesce(
+        F.sum(dur).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    idx = F.row_number().over(w) - 1
+    concat_start = cum_prev + idx * F.lit(silence_ms)
+    orig_end = F.when(
+        F.col(end_col) <= F.col(start_col), F.col(start_col) + dur
+    ).otherwise(F.col(end_col))
+    return df.select(
+        F.col(file_col),
+        F.col(start_col).alias("original_start_ms"),
+        orig_end.alias("original_end_ms"),
+        concat_start.alias("concat_start_ms"),
+        (concat_start + dur).alias("concat_end_ms"),
+        F.col(segment_col).alias("segment_index"),
+    )
+
+
+def translate_to_original(
+    spans: DataFrame,
+    mappings: DataFrame,
+    file_col: str = "file_id",
+    start_col: str = "concat_start_ms",
+    end_col: str = "concat_end_ms",
+) -> DataFrame:
+    """TimestampMapperStage._translate_to_original
+    (timestamp_mapper.py:74-103) as a range join: every (file,
+    concat-span) row joins the file's mappings it overlaps, clips the
+    overlap, and offsets it back into original-file coordinates.
+    Zero-length overlaps are dropped, exactly as the reference's
+    ``duration <= 0`` guard does."""
+    s = spans.select(
+        F.col(file_col).alias("_file"),
+        F.col(start_col).alias("_cs"),
+        F.col(end_col).alias("_ce"),
+    )
+    m = mappings.select(
+        F.col(file_col).alias("_mfile"),
+        "original_start_ms",
+        "concat_start_ms",
+        "concat_end_ms",
+        "segment_index",
+    )
+    joined = s.join(
+        m,
+        (F.col("_file") == F.col("_mfile"))
+        & (F.col("concat_end_ms") > F.col("_cs"))
+        & (F.col("concat_start_ms") < F.col("_ce")),
+    )
+    ov_start = F.greatest(F.col("_cs"), F.col("concat_start_ms"))
+    ov_end = F.least(F.col("_ce"), F.col("concat_end_ms"))
+    dur = ov_end - ov_start
+    return (
+        joined.where(dur > 0)
+        .select(
+            F.col("_file").alias(file_col),
+            F.col("_cs").alias("span_start_ms"),
+            F.col("_ce").alias("span_end_ms"),
+            "segment_index",
+            (
+                F.col("original_start_ms") + (ov_start - F.col("concat_start_ms"))
+            ).alias("original_start_ms"),
+            (
+                F.col("original_start_ms") + (ov_end - F.col("concat_start_ms"))
+            ).alias("original_end_ms"),
+            dur.alias("duration_ms"),
+        )
+    )
+
+
+def concat_wav_segments(
+    df: DataFrame,
+    silence_ms: int = 500,
+    file_col: str = "file_id",
+    segment_col: str = "segment_num",
+    wav_col: str = "wav",
+) -> DataFrame:
+    """Waveform half of SegmentConcatenationStage over real binary WAV
+    columns: per file, decode each segment with the stdlib codec, splice
+    with ``silence_ms`` of zeros between consecutive segments (none
+    trailing), re-encode. Segments whose sample rate differs from the
+    file's first segment are skipped with a mapping gap, mirroring the
+    reference's skip-and-warn."""
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    out_schema = (
+        f"{file_col} long, wav binary, sample_rate int, num_segments int, "
+        "total_duration_sec double"
+    )
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(segment_col)
+        parts: list[np.ndarray] = []
+        sr = None
+        n_kept = 0
+        for raw in pdf[wav_col]:
+            try:
+                _, seg_sr, samples = decode_wav(bytes(raw))
+            except Exception:
+                continue
+            if sr is not None and seg_sr != sr:
+                continue
+            sr = seg_sr
+            if parts:
+                parts.append(
+                    np.zeros(int(silence_ms * sr / 1000), dtype=samples.dtype)
+                )
+            parts.append(samples)
+            n_kept += 1
+        if sr is None or not parts:
+            return pd.DataFrame(
+                columns=[
+                    file_col, "wav", "sample_rate", "num_segments",
+                    "total_duration_sec",
+                ]
+            )
+        combined = np.concatenate(parts)
+        return pd.DataFrame(
+            [
+                {
+                    file_col: pdf[file_col].iloc[0],
+                    "wav": encode_wav(combined, sr),
+                    "sample_rate": sr,
+                    "num_segments": n_kept,
+                    "total_duration_sec": len(combined) / sr,
+                }
+            ]
+        )
+
+    return df.groupBy(file_col).applyInPandas(per_file, schema=out_schema)
