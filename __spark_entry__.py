@@ -1963,6 +1963,79 @@ FROM ranked WHERE rn <= 6
 _CHUNK_ORACLE_DIR = "/dev/shm/ncs_chunk_oracle"
 
 
+_TRANSLATION_ORACLE_DIR = "/dev/shm/ncs_translation_oracle"
+
+
+def _translation_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation coarse segmentation -> per-segment "translation"
+    (deterministic ASCII uppercase — the LLM plug point) -> reassembly
+    (reference experimental/translation segmentation.py:512-551 +
+    reassembly.py coarse branch). Write-then-read protocol: the segment
+    rows and reconstruction templates produced by the reference-exact
+    python segmenter are the artifacts (is_line_translatable uses python
+    isalpha + json.loads — not safely SQL-derivable, the embedder
+    lesson); the oracle independently replays translation + template
+    fill + line join from them via DuckDB json_transform + window
+    cumsum."""
+    import os
+    import shutil
+
+    from nemo_curator_spark.operators import translation as tr
+
+    df = _docs(spark, sf_dir)
+    segments, meta = tr.segment_documents_coarse(df)
+    shutil.rmtree(_TRANSLATION_ORACLE_DIR, ignore_errors=True)
+    segments.coalesce(1).write.parquet(
+        os.path.join(_TRANSLATION_ORACLE_DIR, "segments")
+    )
+    meta.coalesce(1).write.parquet(os.path.join(_TRANSLATION_ORACLE_DIR, "meta"))
+    seg_r = spark.read.parquet(os.path.join(_TRANSLATION_ORACLE_DIR, "segments"))
+    meta_r = spark.read.parquet(os.path.join(_TRANSLATION_ORACLE_DIR, "meta"))
+    upper = seg_r.withColumn(
+        "segment",
+        F.translate(
+            F.col("segment"),
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ),
+    )
+    return tr.reassemble_documents_coarse(meta_r, upper).select(
+        "doc_id", "text_out"
+    )
+
+
+def _translation_oracle() -> str:
+    d = _TRANSLATION_ORACLE_DIR
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+    json_transform(metadata,
+      '{{"template": ["VARCHAR"], "leading_spaces": ["VARCHAR"]}}') AS m
+  FROM read_parquet('{d}/meta/*.parquet')
+),
+lines AS (
+  SELECT doc_id, CAST(p.i AS INT) AS pos, m.template[p.i] AS slot,
+    sum(CASE WHEN m.template[p.i] IS NULL THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p.i) AS nseen,
+    m.leading_spaces AS leads
+  FROM meta, UNNEST(generate_series(1, len(m.template))) AS p(i)
+),
+filled AS (
+  SELECT l.doc_id, l.pos,
+    CASE WHEN l.slot IS NULL THEN
+      l.leads[CAST(l.nseen AS INT)] ||
+      translate(s.segment, 'abcdefghijklmnopqrstuvwxyz',
+                'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+    ELSE l.slot END AS line
+  FROM lines l
+  LEFT JOIN read_parquet('{d}/segments/*.parquet') s
+    ON s.doc_id = l.doc_id AND s.seg_idx = l.nseen - 1 AND l.slot IS NULL
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_out
+FROM filled GROUP BY doc_id
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -2680,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["image_dedup_removal_ids"] = _image_dedup_query  # new workflow
     out["video_scene_clips"] = _video_scene_query  # new workflow
     out["audio_segment_remap"] = _audio_segment_remap_query  # new workflow
+    out["translation_coarse_roundtrip"] = _translation_roundtrip_query  # new
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query  # pair cap
     out["classifier_stage"] = _classifier_stage_query  # oracle tokenizer
     out["fasttext_langid_mini"] = _fasttext_langid_query  # oracle split
@@ -2783,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
     out["image_dedup_removal_ids"] = _image_dedup_oracle()
     out["video_scene_clips"] = _VIDEO_SCENE_ORACLE
     out["audio_segment_remap"] = _AUDIO_SEGMENT_REMAP_ORACLE
+    out["translation_coarse_roundtrip"] = _translation_oracle()
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE
