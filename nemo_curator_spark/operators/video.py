@@ -187,32 +187,28 @@ def scene_boundaries(
         .withColumn("_n", F.count(F.lit(1)).over(wv))
         .withColumn("_has_end", F.max(F.col("_is_end").cast("int")).over(wv))
     )
-    mid = flg.where("_is_end").select(
-        F.col("_v").alias(video_col),
-        F.col("_start").alias("scene_start"),
-        F.col("_f").alias("scene_end"),
+    # ONE pass emits all three scene kinds (mid / trailing / whole-video)
+    # via mutually-exclusive row predicates instead of a 3-branch union —
+    # a union re-derives the window subtree per branch (3 exchanges of
+    # the full frame table at scale; this shape does 1).
+    cond_mid = F.col("_is_end")
+    cond_trail = (
+        (F.col("_f") == F.col("_last"))
+        & (F.col("_t") == 0)
+        & (F.col("_has_end") == 1)
     )
-    trail = flg.where(
-        (F.col("_f") == F.col("_last")) & (F.col("_t") == 0) & (F.col("_has_end") == 1)
-    ).select(
-        F.col("_v").alias(video_col),
-        F.col("_start").alias("scene_start"),
-        F.col("_f").alias("scene_end"),
+    cond_whole = (
+        (F.col("_has_end") == 0) & (F.col("_f") == 0)
+        if entire_scene_as_clip
+        else F.lit(False)
     )
-    out = mid.unionByName(trail)
-    if entire_scene_as_clip:
-        whole = (
-            flg.where(F.col("_has_end") == 0)
-            .select(F.col("_v").alias(video_col), F.col("_n").alias("_n"))
-            .distinct()
-            .select(
-                video_col,
-                F.lit(0).alias("scene_start"),
-                F.col("_n").alias("scene_end"),
-            )
-        )
-        out = out.unionByName(whole)
-    return out
+    return flg.where(cond_mid | cond_trail | cond_whole).select(
+        F.col("_v").alias(video_col),
+        F.when(cond_whole, F.lit(0))
+        .otherwise(F.col("_start"))
+        .alias("scene_start"),
+        F.when(cond_whole, F.col("_n")).otherwise(F.col("_f")).alias("scene_end"),
+    )
 
 
 def filter_scenes(

@@ -127,3 +127,25 @@ def test_similarity_search_default_path_has_no_cross_join(spark):
         )
         assert "CartesianProduct" not in plan, method
         assert "BroadcastNestedLoopJoin" not in plan, method
+
+
+def test_scene_boundaries_single_exchange(spark):
+    """All three scene kinds (mid/trailing/whole) are emitted in ONE pass
+    over the windowed frame table — a union of branches would re-derive
+    the window subtree and triple the exchanges at scale."""
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark.operators import video as V
+
+    frames = (
+        spark.range(50)
+        .select(F.col("id").alias("video_id"))
+        .withColumn("frame", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn("is_transition", (F.col("frame") % 5 == 0).cast("int"))
+    )
+    plan = _formatted_plan(V.scene_boundaries(frames))
+    # AQE may elide the exchange node entirely in the formatted pre-final
+    # plan; the invariant is that there is AT MOST one, never the three
+    # the union shape produced
+    assert plan.count("Exchange") <= 1, plan
+    assert plan.count("Union") == 0, plan
