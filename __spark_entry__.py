@@ -549,7 +549,9 @@ tot  AS (SELECT lang, total, v FROM read_parquet('{d}/tot.parquet')),
 norm AS (
   SELECT doc_id, lang,
     regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+      regexp_replace(regexp_replace(translate(text,
+        'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                     '[0-9]', '0', 'g'),
                      '[^a-zA-Z0-9_\\s'']', ' ', 'g'),
       '^\\s+', ''), '\\s+$', '') AS s
   FROM documents

@@ -38,6 +38,16 @@ from pyspark.sql import types as T
 # such whitespace (verified; see CLAUDE.md).
 _NORM_DIGIT = re.compile(r"\d", flags=re.ASCII)
 _NORM_PUNCT = re.compile(r"[^\w\s']", flags=re.ASCII)
+# ASCII-only casefold: python str.lower() expands some non-ASCII chars
+# INTO ascii (İ -> i+combining dot, K (Kelvin) -> k) while DuckDB's
+# utf8proc lower maps 1:1 — the only normalizer step where the engines
+# could disagree (found by the round-4 nasty-whitespace sweep). Non-ASCII
+# letters are stripped by _NORM_PUNCT either way, so an ASCII translate
+# keeps the CCNet-style Latin-centric behavior and is bit-identical to
+# the oracle's translate().
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
 
 LAMBDAS = (0.5, 0.3, 0.15, 0.05)  # trigram, bigram, unigram, uniform
 BOS = "<s>"
@@ -45,7 +55,7 @@ EOS = "</s>"
 
 
 def normalize_tokens(text: str) -> list[str]:
-    t = _NORM_DIGIT.sub("0", (text or "").lower())
+    t = _NORM_DIGIT.sub("0", (text or "").translate(_ASCII_LOWER))
     t = _NORM_PUNCT.sub(" ", t)
     return t.split()
 

@@ -107,6 +107,13 @@ def test_embedder_gate_survives_nasty_whitespace(spark, nasty_duck, nasty_sf_dir
         "fasttext_langid_mini",  # python split tokenizer vs oracle split
         "audio_manifest_metrics",  # word_rate = len(text.split())/duration
         "interleaved_ratio_filter",  # JVM word_count_col
+        "perplexity_bucketed",  # ASCII-translate casefold (round-4 find)
+        "simhash_near_dup_pairs",  # python lower().split() + fp artifact
+        "fuzzy_dedup_removal_ids",  # jaccard word grams oracle split
+        "heuristic_chain_native",  # 28-rule chain over d_words oracles
+        "heuristic_chain_full",  # chain + variant gate
+        "filter_word_count",
+        "filter_mean_word_length",
     ],
 )
 def test_tokenizing_gates_survive_nasty_whitespace(
