@@ -2644,15 +2644,32 @@ FROM hits
 """
 
 
+_NFC_ORACLE_DIR = "/dev/shm/ncs_nfc_oracle"
+
+
 def _unicode_nfc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UnicodeReformatter (reference unicode_reformatter.py:23-152) through
-    the ftfy_mini path (ftfy absent), NFC requested. On this ascii corpus
-    the mojibake/unescape fixers are identity, so the oracle reduces to
-    nfc_normalize + control-char strip; non-ascii behavior is pinned by
-    tests/test_modifiers_pii.py instead."""
+    the ftfy_mini path (ftfy absent), NFC requested. The mojibake/
+    unescape/c1 fixers are not SQL-expressible, so the write-then-read
+    protocol splits the pipeline at its one SQL-able seam: the artifact
+    is the fixer output WITHOUT normalization, the oracle applies
+    DuckDB's nfc_normalize to it, and the Spark output is the TRUE full
+    pipeline (fix + NFC) computed independently of the artifact — so the
+    gate checks both python-NFC == utf8proc-NFC and the
+    NFC-last == NFC-in-loop decomposition (both pinned by pytest; the
+    round-3 naive oracle silently assumed ascii and diverged on \x85 ->
+    ellipsis and the kept \f, found by the round-4 nasty sweep)."""
+    import shutil
+
     from nemo_curator_spark.operators import modifiers as M
 
     df = _docs(spark, sf_dir)
+    fixed_raw = df.select(
+        "doc_id",
+        M.unicode_reformat(F.col("text"), normalization=None).alias("fixed"),
+    )
+    shutil.rmtree(_NFC_ORACLE_DIR, ignore_errors=True)
+    fixed_raw.coalesce(1).write.parquet(_NFC_ORACLE_DIR)
     return df.select(
         "doc_id",
         M.unicode_reformat(F.col("text"), normalization="NFC").alias(
@@ -2662,10 +2679,9 @@ def _unicode_nfc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unicode_nfc_oracle() -> str:
-    ctrl = "".join(f"chr({i})||" for i in range(1, 32) if i not in (9, 10, 13))
     return (
-        f"SELECT doc_id, translate(nfc_normalize(text), {ctrl[:-2]}, '') "
-        f"AS text_fixed FROM documents"
+        "SELECT doc_id, nfc_normalize(fixed) AS text_fixed "
+        f"FROM read_parquet('{_NFC_ORACLE_DIR}/*.parquet')"
     )
 
 

@@ -194,3 +194,35 @@ def test_simhash_pure_function_of_tokens(text):
     b = udf_fn(pd.Series([shuffled]))[0]
     # same multiset of tokens -> same fingerprint
     assert a == b
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=1,
+            max_codepoint=0x2100,
+            exclude_categories=("Cs",),
+        ),
+        max_size=120,
+    )
+)
+def test_ftfy_nfc_last_equals_nfc_in_loop(text):
+    """The modifier_unicode_nfc gate splits the pipeline at NFC: the
+    artifact is fix_text WITHOUT normalization, the oracle applies NFC
+    last. That decomposition must equal running NFC inside the fixer's
+    convergence loop (the operator's real path) — pin it broadly."""
+    import unicodedata
+
+    from nemo_curator_spark.functions import ftfy_mini
+
+    full = ftfy_mini.fix_text(
+        text, config=ftfy_mini.TextFixerConfig(normalization="NFC")
+    )
+    split = unicodedata.normalize(
+        "NFC",
+        ftfy_mini.fix_text(
+            text, config=ftfy_mini.TextFixerConfig(normalization=None)
+        ),
+    )
+    assert full == split, repr(text)

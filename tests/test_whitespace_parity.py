@@ -114,6 +114,7 @@ def test_embedder_gate_survives_nasty_whitespace(spark, nasty_duck, nasty_sf_dir
         "heuristic_chain_full",  # chain + variant gate
         "filter_word_count",
         "filter_mean_word_length",
+        "modifier_unicode_nfc",  # \x85->ellipsis + kept \f (round-4 find)
     ],
 )
 def test_tokenizing_gates_survive_nasty_whitespace(
