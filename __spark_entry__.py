@@ -2779,6 +2779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["interleaved_ratio_filter"] = _interleaved_ratio_query  # oracle split
     out["filter_token_count_bpe"] = _token_bpe_query  # pretok class
     out["histogram_filter"] = _histogram_query  # strip class
+    out["modifier_unicode_nfc"] = _unicode_nfc_query  # artifact rebuild
+    out["filter_python_comment_ratio"] = _python_comment_query  # flipped
     out["score_filter_framework"] = _framework_query  # rule ctx splits
     # --- pull-back: last driver-proven in r01/r02 ---
     out["events_hourly_agg"] = _events_hourly_query
@@ -2827,11 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_line_quote"] = _line_quote_query
     out["modifier_slicer"] = _slicer_query
     out["modifier_boilerplate"] = _boilerplate_query
-    out["modifier_unicode_nfc"] = _unicode_nfc_query
     out["modifier_fasttext_label"] = _fasttext_label_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
-    out["filter_python_comment_ratio"] = _python_comment_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)

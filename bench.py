@@ -178,6 +178,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                # measurement-protocol marker: from round 4 on, "value"
+                # and per-query numbers are best-of-3 (warm) and
+                # curate_full_cold is the FIRST warm run, not a cold
+                # JIT run — r03-and-earlier lines sum single runs, so
+                # cross-round deltas must compare like with like.
+                # elapsed_total is the raw wall time of every run.
+                "protocol": "best-of-3-v2",
+                "elapsed_total": round(sum(sum(v) for v in runs.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec": docs_per_sec,
                 "heuristic_docs_per_sec": heuristic_docs_per_sec,

@@ -164,10 +164,18 @@ def write_megatron(
             if len(pdf) == 0:
                 continue
             # Shard identity = (partition, batch-in-partition) + a content
-            # digest over the actual text bytes. pdf.index is a RangeIndex
-            # (NOT doc ids) and equal-length batches are the norm under
-            # Arrow's 10k-row batching, so any length-derived name collides.
+            # digest over the actual text bytes AND the tokenizer config:
+            # the idempotent skip below assumes same-name => identical
+            # shard bytes, which only holds if the tokenization that
+            # produced them is part of the name (rewriting the same
+            # corpus with different merges/eod must NOT serve stale
+            # shards). pdf.index is a RangeIndex (NOT doc ids) and
+            # equal-length batches are the norm under Arrow's 10k-row
+            # batching, so any length-derived name collides.
             h = hashlib.md5()
+            h.update(
+                repr((merges, vocab_size, append_eod, eod_token_id)).encode()
+            )
             for t in pdf[text_col]:
                 h.update((t or "").encode("utf-8", "surrogatepass"))
                 h.update(b"\x00")

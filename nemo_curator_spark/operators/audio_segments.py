@@ -51,7 +51,14 @@ def segment_mappings(
     ``start + duration``, the reference's orig_end fix-up).
 
     Output: one row per segment with original_start_ms / original_end_ms
-    / concat_start_ms / concat_end_ms / segment_index."""
+    / concat_start_ms / concat_end_ms / segment_index.
+
+    PRECONDITION: the input rows must be exactly the segments that will
+    be (or were) spliced — this fast path does pure bookkeeping and
+    cannot know about decode failures or rate mismatches. When splicing
+    real WAV bytes, use the ``mappings`` column :func:`concat_wav_segments`
+    builds DURING the splice (reference behavior) so skipped segments
+    never occupy phantom concat-space."""
     w = Window.partitionBy(file_col).orderBy(segment_col, start_col)
     dur = F.col(duration_col)
     cum_prev = F.coalesce(
@@ -131,28 +138,41 @@ def concat_wav_segments(
     file_col: str = "file_id",
     segment_col: str = "segment_num",
     wav_col: str = "wav",
+    start_col: str = "start_ms",
+    end_col: str = "end_ms",
 ) -> DataFrame:
     """Waveform half of SegmentConcatenationStage over real binary WAV
     columns: per file, decode each segment with the stdlib codec, splice
     with ``silence_ms`` of zeros between consecutive segments (none
-    trailing), re-encode. Segments whose sample rate differs from the
-    file's first segment are skipped with a mapping gap, mirroring the
-    reference's skip-and-warn."""
+    trailing), re-encode. Segments that fail to decode or whose sample
+    rate differs from the file's first kept segment are skipped,
+    mirroring the reference's skip-and-warn — and, like the reference
+    (concatenation.py:146-236), the concat-space→original mapping is
+    built DURING the splice so skipped segments never occupy phantom
+    concat-space (pass this ``mappings`` column, exploded, to
+    :func:`translate_to_original`; the standalone
+    :func:`segment_mappings` is the bytes-free fast path for
+    pre-validated segments). Optional ``start_col``/``end_col`` carry
+    the original-file span; absent columns default to 0 (the reference's
+    ``end <= start -> start + duration`` fix-up applies)."""
     from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
 
     out_schema = (
         f"{file_col} long, wav binary, sample_rate int, num_segments int, "
-        "total_duration_sec double"
+        "total_duration_sec double, "
+        "mappings array<struct<original_start_ms:long, original_end_ms:long, "
+        "concat_start_ms:long, concat_end_ms:long, segment_index:long>>"
     )
 
     def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(segment_col)
         parts: list[np.ndarray] = []
+        mappings: list[dict] = []
+        pos_ms = 0
         sr = None
-        n_kept = 0
-        for raw in pdf[wav_col]:
+        for _, row in pdf.iterrows():
             try:
-                _, seg_sr, samples = decode_wav(bytes(raw))
+                _, seg_sr, samples = decode_wav(bytes(row[wav_col]))
             except Exception:
                 continue
             if sr is not None and seg_sr != sr:
@@ -162,13 +182,28 @@ def concat_wav_segments(
                 parts.append(
                     np.zeros(int(silence_ms * sr / 1000), dtype=samples.dtype)
                 )
+                pos_ms += silence_ms
+            dur_ms = int(1000 * len(samples) / sr)
+            orig_start = int(row[start_col]) if start_col in pdf.columns else 0
+            orig_end = int(row[end_col]) if end_col in pdf.columns else 0
+            if orig_end <= orig_start:
+                orig_end = orig_start + dur_ms
+            mappings.append(
+                {
+                    "original_start_ms": orig_start,
+                    "original_end_ms": orig_end,
+                    "concat_start_ms": pos_ms,
+                    "concat_end_ms": pos_ms + dur_ms,
+                    "segment_index": int(row[segment_col]),
+                }
+            )
             parts.append(samples)
-            n_kept += 1
+            pos_ms += dur_ms
         if sr is None or not parts:
             return pd.DataFrame(
                 columns=[
                     file_col, "wav", "sample_rate", "num_segments",
-                    "total_duration_sec",
+                    "total_duration_sec", "mappings",
                 ]
             )
         combined = np.concatenate(parts)
@@ -178,8 +213,9 @@ def concat_wav_segments(
                     file_col: pdf[file_col].iloc[0],
                     "wav": encode_wav(combined, sr),
                     "sample_rate": sr,
-                    "num_segments": n_kept,
+                    "num_segments": len(mappings),
                     "total_duration_sec": len(combined) / sr,
+                    "mappings": mappings,
                 }
             ]
         )

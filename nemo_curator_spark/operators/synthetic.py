@@ -24,7 +24,7 @@ endpoint, which the per-batch fan-out matches.
 from __future__ import annotations
 
 import random as _random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -231,9 +231,13 @@ class SyntheticStage:
     """One Nemotron-CC generation stage over a DataFrame column.
 
     ``client_factory`` is a picklable zero-arg callable returning a
-    client with ``generate_batch``; it is invoked once per python worker
-    (lazy, cached in the closure) so connection state never crosses the
-    driver/executor boundary."""
+    client with ``generate_batch``; it is invoked lazily once per Spark
+    TASK (the closure cache lives for the task's Arrow batch stream), so
+    connection state never crosses the driver/executor boundary. A
+    connection-heavy client should memoize its own expensive state
+    behind a module-level digest-keyed cache (the perplexity model
+    pattern, operators/perplexity.py:178-185) to get true per-worker
+    reuse."""
 
     prompt_template: str
     system_prompt: str | None = SYSTEM_PROMPT
@@ -241,7 +245,6 @@ class SyntheticStage:
     output_field: str = "generated"
     client_factory: object = None
     name: str = "SyntheticStage"
-    _client_cache: dict = field(default_factory=dict, repr=False)
 
     def build_prompt(self, document: str) -> str:
         return self.prompt_template.format(document=document)

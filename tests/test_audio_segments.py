@@ -105,8 +105,8 @@ def test_concat_wav_segments_real_bytes(spark):
     s2 = (np.cos(np.linspace(0, 10, 800)) * 15000).astype(np.int16)
     rows = [
         (7, 0, bytearray(encode_wav(s1, sr))),
-        (7, 1, bytearray(encode_wav(s2, sr))),
-        (7, 2, bytearray(encode_wav(s2, 16000))),  # rate mismatch -> skipped
+        (7, 1, bytearray(encode_wav(s2, 16000))),  # rate mismatch -> skipped
+        (7, 2, bytearray(encode_wav(s2, sr))),
     ]
     df = spark.createDataFrame(rows, "file_id long, segment_num int, wav binary")
     out = A.concat_wav_segments(df, silence_ms=250).collect()
@@ -119,3 +119,26 @@ def test_concat_wav_segments_real_bytes(spark):
     assert got_sr == sr
     assert np.array_equal(samples, expected)
     assert r["total_duration_sec"] == len(expected) / sr
+    # mappings are built DURING the splice: the skipped middle segment
+    # (rate mismatch) occupies NO phantom concat-space — segment 2 starts
+    # right after s1 + one silence gap, inside the real audio
+    maps = sorted((m["segment_index"], m) for m in r["mappings"])
+    assert [i for i, _ in maps] == [0, 2]
+    m0, m2 = maps[0][1], maps[1][1]
+    assert (m0["concat_start_ms"], m0["concat_end_ms"]) == (0, 200)
+    assert (m2["concat_start_ms"], m2["concat_end_ms"]) == (450, 550)
+    assert m2["concat_end_ms"] <= int(r["total_duration_sec"] * 1000)
+    # and translating a span inside segment 2 lands in segment 2, never
+    # in the skipped segment
+    from pyspark.sql import functions as F
+
+    mdf = (
+        spark.createDataFrame(out)
+        .select("file_id", F.explode("mappings").alias("m"))
+        .select("file_id", "m.*")
+    )
+    spans = spark.createDataFrame(
+        [(7, 460, 500)], "file_id long, concat_start_ms long, concat_end_ms long"
+    )
+    tr = A.translate_to_original(spans, mdf).collect()
+    assert len(tr) == 1 and tr[0]["segment_index"] == 2

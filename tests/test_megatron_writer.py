@@ -132,3 +132,18 @@ def test_shard_stats_from_idx_roundtrip(tmp_path):
     prefix = str(tmp_path / "s")
     stats = megatron.write_shard(TEXTS, prefix, tok, vocab_size=256 + 16)
     assert megatron.shard_stats_from_idx(prefix) == stats
+
+
+def test_write_megatron_different_tokenizer_writes_fresh_shards(spark, tmp_path):
+    # same corpus + same dir but a DIFFERENT tokenizer must not serve the
+    # old shards via the idempotent skip (the digest covers the config)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS * 2)], "doc_id long, text string"
+    ).coalesce(1)
+    out = str(tmp_path / "shards")
+    m_a = bpe.train_bpe(TEXTS, num_merges=8)
+    m_b = bpe.train_bpe(TEXTS, num_merges=40)
+    r1 = megatron.write_megatron(df, out, m_a).collect()
+    r2 = megatron.write_megatron(df, out, m_b).collect()
+    assert r1[0]["file_prefix"] != r2[0]["file_prefix"]
+    assert r1[0]["num_tokens"] != r2[0]["num_tokens"]
