@@ -2134,6 +2134,64 @@ WHERE least(sp.ce, m.concat_end_ms) - greatest(sp.cs, m.concat_start_ms) > 0
 """
 
 
+def _clip_frame_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClipFrameExtraction decode plan, model-free half (reference
+    clipping/clip_frame_extraction.py:74-146 + decoder_utils
+    sample_closest:400-467): per synthetic clip (framerate 24/30,
+    30-119 frames), which frame ids the [2, 6]-fps targets decode,
+    via the reference's LCM optimization (decode once at lcm=6 fps,
+    stride each target over the unique decoded ids). The gate domain is
+    integer-exact — framerate divisible by every fps — so the float32
+    sampling grid provably lands on frame centers and the oracle is pure
+    integer arithmetic: ids6 = least(j*(fr/6), n-1) over the
+    half-interval-extended grid, ids2 = every 3rd of ids6 by rank."""
+    from nemo_curator_spark.operators import video as video_mod
+
+    clips = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("clip_id"),
+        (F.lit(30) + F.col("doc_id") % 90).cast("int").alias("num_frames"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(24.0))
+        .otherwise(F.lit(30.0))
+        .alias("framerate"),
+    )
+    out = video_mod.clip_frame_sample_plan(clips, [2, 6])
+    return out.select(
+        "clip_id",
+        F.col("target_fps").cast("double").alias("target_fps"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+    )
+
+
+_CLIP_FRAME_PLAN_ORACLE = """
+WITH clips AS (
+  SELECT doc_id AS clip_id, CAST(30 + doc_id % 90 AS INT) AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 30 END AS fr
+  FROM documents
+),
+grid AS (
+  SELECT clip_id, n, fr, CAST(u.j AS INT) AS j
+  FROM clips,
+       UNNEST(generate_series(
+         0, CAST(ceil((n-1)*6.0/fr + 0.5) AS INT) - 1)) AS u(j)
+),
+ids6 AS (
+  SELECT DISTINCT clip_id, LEAST(j * (fr // 6), n - 1) AS frame_idx
+  FROM grid
+),
+ranked AS (
+  SELECT clip_id, frame_idx,
+         row_number() OVER (PARTITION BY clip_id ORDER BY frame_idx) - 1
+           AS rnk
+  FROM ids6
+)
+SELECT clip_id, 6.0 AS target_fps, CAST(frame_idx AS BIGINT) AS frame_idx
+FROM ids6
+UNION ALL
+SELECT clip_id, 2.0 AS target_fps, CAST(frame_idx AS BIGINT) AS frame_idx
+FROM ranked WHERE rnk % 3 = 0
+"""
+
+
 def _video_scene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransNetV2 scene-extraction pipeline, model-free half (reference
     clipping/transnetv2_extraction.py:197-326): deterministic synthetic
@@ -2772,6 +2830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["video_scene_clips"] = _video_scene_query  # new workflow
     out["audio_segment_remap"] = _audio_segment_remap_query  # new workflow
     out["translation_coarse_roundtrip"] = _translation_roundtrip_query  # new
+    out["clip_frame_plan"] = _clip_frame_plan_query  # new
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query  # pair cap
     out["classifier_stage"] = _classifier_stage_query  # oracle tokenizer
     out["fasttext_langid_mini"] = _fasttext_langid_query  # oracle split
@@ -2876,6 +2935,7 @@ def oracle_sql() -> dict[str, str]:
     out["video_scene_clips"] = _VIDEO_SCENE_ORACLE
     out["audio_segment_remap"] = _AUDIO_SEGMENT_REMAP_ORACLE
     out["translation_coarse_roundtrip"] = _translation_oracle()
+    out["clip_frame_plan"] = _CLIP_FRAME_PLAN_ORACLE
     out["token_chunking"] = _token_chunking_oracle()
     out["interleaved_ratio_filter"] = _INTERLEAVED_RATIO_ORACLE
     out["video_fixed_stride_clips"] = _VIDEO_CLIPS_ORACLE

@@ -263,3 +263,136 @@ def filter_scenes(
     if min_length is not None:
         df = df.where(e - s >= min_length)
     return df
+
+
+# --- ClipFrameExtraction decode plan, model-free half -----------------------
+# (reference clipping/clip_frame_extraction.py:34-146 +
+# utils/decoder_utils.py:400-467,685-745). The decoders (PyAV/decord) are
+# library-gated; the deterministic half is WHICH frames get decoded: the
+# closest-timestamp sampling grid, the middle-frame policy, and the
+# LCM-fps decode-once-stride-per-target optimization.
+
+
+def sample_closest_py(
+    src: "np.ndarray",
+    sample_rate: float,
+    start: float | None = None,
+    stop: float | None = None,
+    endpoint: bool = True,
+    dedup: bool = True,
+):
+    """Direct port of decoder_utils.sample_closest:400-467 (float32 grid,
+    half-interval endpoint epsilon, unique+counts dedup)."""
+    import numpy as np
+
+    if sample_rate <= 0:
+        raise ValueError(f"sample rate must be > 0, got {sample_rate}")
+    interval = 1.0 / sample_rate
+    _start = start if start is not None else src[0]
+    _stop = stop if stop is not None else src[-1]
+    if endpoint:
+        _stop += interval * 0.5
+    samples = np.arange(_start, _stop, interval, dtype=np.float32)
+    idx = np.searchsorted(src, samples)
+    idx = np.clip(idx, 1, len(src) - 1)
+    left = src[idx - 1]
+    right = src[idx]
+    indices = np.where(samples - left <= right - samples, idx - 1, idx).astype(
+        np.int32
+    )
+    if not endpoint and np.isclose(samples[-1], _stop):
+        indices = indices[:-1]
+    if dedup:
+        indices, counts = np.unique(indices, return_counts=True)
+    else:
+        counts = np.ones_like(indices)
+    return indices, counts
+
+
+def middle_frame_index(num_frames: int) -> int:
+    """FrameExtractionPolicy.middle (decoder_utils.py:718-721): the
+    lower-middle index for even counts."""
+    return num_frames // 2 - 1 if num_frames % 2 == 0 else num_frames // 2
+
+
+def frame_sample_plan_py(
+    num_frames: int,
+    framerate: float,
+    target_fps: list[float],
+    policy: str = "sequence",
+) -> dict[float, list[int]]:
+    """Per-clip decode plan: which frame ids each target fps needs,
+    assuming uniform timestamps k/framerate (constant-rate clips — the
+    plan half of ClipFrameExtractionStage.process:74-146). Applies the
+    reference's LCM optimization verbatim when every target fps is an
+    integer and there are several: decode once at lcm fps, then each
+    target takes every int(lcm/fps)-th of the UNIQUE decoded ids."""
+    import math
+
+    import numpy as np
+
+    ts = np.arange(num_frames, dtype=np.float64) / framerate
+    if policy == "middle":
+        mid = middle_frame_index(num_frames)
+        return {fps: [mid] for fps in target_fps}
+    if policy != "sequence":
+        raise NotImplementedError(policy)
+    use_lcm = len(target_fps) > 1 and all(
+        float(f).is_integer() for f in target_fps
+    )
+    if use_lcm:
+        lcm = math.lcm(*[int(f) for f in target_fps])
+        ids, _ = sample_closest_py(ts, lcm)
+        return {fps: ids[:: int(lcm / fps)].tolist() for fps in target_fps}
+    out = {}
+    for fps in target_fps:
+        ids, _ = sample_closest_py(ts, fps)
+        out[fps] = ids.tolist()
+    return out
+
+
+def clip_frame_sample_plan(
+    df: DataFrame,
+    target_fps: list[float],
+    policy: str = "sequence",
+    clip_col: str = "clip_id",
+    num_frames_col: str = "num_frames",
+    framerate_col: str = "framerate",
+) -> DataFrame:
+    """Row-multiplying decode-plan stage: (clip, num_frames, framerate)
+    → one row per (clip, target_fps, frame_idx) to hand the (gated)
+    decoder. One Arrow pass + posexplode; no shuffle."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("fps", T.DoubleType()),
+                    T.StructField("frame_idx", T.IntegerType()),
+                ]
+            )
+        )
+    )
+    def _plan(n, fr):
+        if n is None or fr is None or n <= 0 or fr <= 0:
+            return []
+        plan = frame_sample_plan_py(int(n), float(fr), target_fps, policy)
+        return [
+            (float(fps), int(i)) for fps, ids in plan.items() for i in ids
+        ]
+
+    return (
+        df.select(
+            F.col(clip_col),
+            F.explode(
+                _plan(F.col(num_frames_col), F.col(framerate_col))
+            ).alias("_p"),
+        )
+        .select(
+            clip_col,
+            F.col("_p.fps").alias("target_fps"),
+            F.col("_p.frame_idx").alias("frame_idx"),
+        )
+    )

@@ -150,3 +150,85 @@ def test_filter_scenes_spark_equals_python_port(spark):
                 (vid, s, e) for s, e in V.filter_scenes_py(vid_scenes, **kw)
             )
         assert got == sorted(exp), kw
+
+
+# --- ClipFrameExtraction decode plan (model-free half) ----------------------
+
+
+def test_middle_frame_index_reference_rule():
+    from nemo_curator_spark.operators import video as V
+
+    assert V.middle_frame_index(1) == 0
+    assert V.middle_frame_index(2) == 0  # even -> lower middle
+    assert V.middle_frame_index(3) == 1
+    assert V.middle_frame_index(10) == 4
+    assert V.middle_frame_index(11) == 5
+
+
+def _closest_ref(src, dst):
+    # independent transcription of decoder_utils.find_closest_indices
+    import numpy as np
+
+    right = np.clip(np.searchsorted(src, dst), 1, len(src) - 1)
+    closest = right - 1
+    right_closer = np.abs(dst - src[right]) < np.abs(dst - src[closest])
+    closest[right_closer] = right[right_closer]
+    return closest
+
+
+def test_sample_closest_matches_reference_transcription():
+    import numpy as np
+
+    from nemo_curator_spark.operators import video as V
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        n = rng.randint(2, 200)
+        src = np.sort(rng.uniform(0, 30, size=n)).astype(np.float32)
+        rate = float(rng.choice([0.5, 1, 2, 3, 6.5]))
+        for endpoint in (True, False):
+            ids, counts = V.sample_closest_py(src, rate, endpoint=endpoint)
+            # reference formula, transcribed independently
+            interval = 1.0 / rate
+            stop = src[-1] + (interval * 0.5 if endpoint else 0)
+            samples = np.arange(src[0], stop, interval, dtype=np.float32)
+            exp = _closest_ref(src, samples)
+            if not endpoint and np.isclose(samples[-1], stop):
+                exp = exp[:-1]
+            exp_ids, exp_counts = np.unique(exp, return_counts=True)
+            assert np.array_equal(ids, exp_ids)
+            assert np.array_equal(counts, exp_counts)
+
+
+def test_frame_sample_plan_lcm_semantics():
+    from nemo_curator_spark.operators import video as V
+
+    plan = V.frame_sample_plan_py(48, 24.0, [2, 6])
+    # lcm(2,6)=6: the 6-fps ids are every 4th frame incl. clamped tail;
+    # the 2-fps ids are every 3rd of THAT list (reference stride rule)
+    assert plan[6] == plan[6]  # present
+    assert plan[2] == plan[6][::3]
+    # non-integer fps disables the LCM path (per-fps sampling)
+    plan2 = V.frame_sample_plan_py(48, 24.0, [1.5, 6])
+    assert set(plan2) == {1.5, 6}
+    # middle policy: one frame for every fps
+    planm = V.frame_sample_plan_py(10, 24.0, [2, 6], policy="middle")
+    assert planm == {2: [4], 6: [4]}
+
+
+def test_clip_frame_sample_plan_spark_equals_python(spark):
+    from nemo_curator_spark.operators import video as V
+
+    rows = [(i, 30 + i % 90, 24.0 if i % 2 == 0 else 30.0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "clip_id long, num_frames int, framerate double"
+    ).repartition(5)
+    got = sorted(
+        (r["clip_id"], r["target_fps"], r["frame_idx"])
+        for r in V.clip_frame_sample_plan(df, [2, 6]).collect()
+    )
+    exp = []
+    for cid, n, fr in rows:
+        for fps, ids in V.frame_sample_plan_py(n, fr, [2, 6]).items():
+            exp.extend((cid, float(fps), i) for i in ids)
+    assert got == sorted(exp)
