@@ -157,15 +157,21 @@ def concat_wav_segments(
     ``end <= start -> start + duration`` fix-up applies)."""
     from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
 
+    id_type = dict(df.dtypes)[file_col]  # string paths / UUIDs work too
     out_schema = (
-        f"{file_col} long, wav binary, sample_rate int, num_segments int, "
+        f"{file_col} {id_type}, wav binary, sample_rate int, num_segments int, "
         "total_duration_sec double, "
         "mappings array<struct<original_start_ms:long, original_end_ms:long, "
         "concat_start_ms:long, concat_end_ms:long, segment_index:long>>"
     )
+    sort_cols = [segment_col] + (
+        [start_col] if start_col in df.columns else []
+    )
 
     def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(segment_col)
+        # same order as segment_mappings (tie-break on start_ms) so the
+        # two documented paths agree on duplicate segment numbers
+        pdf = pdf.sort_values(sort_cols)
         parts: list[np.ndarray] = []
         mappings: list[dict] = []
         pos_ms = 0
@@ -183,9 +189,19 @@ def concat_wav_segments(
                     np.zeros(int(silence_ms * sr / 1000), dtype=samples.dtype)
                 )
                 pos_ms += silence_ms
+            # ms truncation mirrors the reference exactly
+            # (concatenation.py:186) — sub-ms drift between bookkeeping
+            # and waveform is inherited reference behavior
             dur_ms = int(1000 * len(samples) / sr)
-            orig_start = int(row[start_col]) if start_col in pdf.columns else 0
-            orig_end = int(row[end_col]) if end_col in pdf.columns else 0
+
+            def _ms(col):
+                if col not in pdf.columns:
+                    return 0
+                val = row[col]
+                return int(val) if pd.notna(val) else 0  # NULL span -> 0
+
+            orig_start = _ms(start_col)
+            orig_end = _ms(end_col)
             if orig_end <= orig_start:
                 orig_end = orig_start + dur_ms
             mappings.append(

@@ -18,6 +18,7 @@ rounding at all.
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf hint resolution needs it
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -331,12 +332,18 @@ def frame_sample_plan_py(
 
     import numpy as np
 
-    ts = np.arange(num_frames, dtype=np.float64) / framerate
     if policy == "middle":
         mid = middle_frame_index(num_frames)
         return {fps: [mid] for fps in target_fps}
     if policy != "sequence":
         raise NotImplementedError(policy)
+    if num_frames == 1:
+        # documented deviation: the reference's closest-index arithmetic
+        # degenerates to index -1 on single-frame clips (np.clip(0,1,0)
+        # with min>max); a decode plan must never request frame -1, so a
+        # 1-frame clip plans its only frame for every target.
+        return {fps: [0] for fps in target_fps}
+    ts = np.arange(num_frames, dtype=np.float64) / framerate
     use_lcm = len(target_fps) > 1 and all(
         float(f).is_integer() for f in target_fps
     )
@@ -362,10 +369,9 @@ def clip_frame_sample_plan(
     """Row-multiplying decode-plan stage: (clip, num_frames, framerate)
     → one row per (clip, target_fps, frame_idx) to hand the (gated)
     decoder. One Arrow pass + posexplode; no shuffle."""
-    import pandas as pd
     from pyspark.sql import types as T
 
-    @F.udf(
+    @F.pandas_udf(
         T.ArrayType(
             T.StructType(
                 [
@@ -375,13 +381,21 @@ def clip_frame_sample_plan(
             )
         )
     )
-    def _plan(n, fr):
-        if n is None or fr is None or n <= 0 or fr <= 0:
-            return []
-        plan = frame_sample_plan_py(int(n), float(fr), target_fps, policy)
-        return [
-            (float(fps), int(i)) for fps, ids in plan.items() for i in ids
-        ]
+    def _plan(ns: pd.Series, frs: pd.Series) -> pd.Series:
+        out = []
+        for n, fr in zip(ns, frs):
+            if n is None or fr is None or n <= 0 or fr <= 0:
+                out.append([])
+                continue
+            plan = frame_sample_plan_py(int(n), float(fr), target_fps, policy)
+            out.append(
+                [
+                    (float(fps), int(i))
+                    for fps, ids in plan.items()
+                    for i in ids
+                ]
+            )
+        return pd.Series(out)
 
     return (
         df.select(

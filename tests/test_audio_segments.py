@@ -142,3 +142,23 @@ def test_concat_wav_segments_real_bytes(spark):
     )
     tr = A.translate_to_original(spans, mdf).collect()
     assert len(tr) == 1 and tr[0]["segment_index"] == 2
+
+
+def test_concat_wav_string_ids_and_null_spans(spark):
+    sr = 8000
+    s1 = (np.sin(np.linspace(0, 5, 800)) * 9000).astype(np.int16)
+    rows = [
+        ("a/b.wav", 0, bytearray(encode_wav(s1, sr)), None, None),
+        ("a/b.wav", 1, bytearray(encode_wav(s1, sr)), 5000, 5100),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file_id string, segment_num int, wav binary, start_ms long, end_ms long",
+    )
+    out = A.concat_wav_segments(df, silence_ms=100).collect()
+    assert len(out) == 1 and out[0]["file_id"] == "a/b.wav"
+    m = sorted(out[0]["mappings"], key=lambda x: x["segment_index"])
+    # NULL span -> 0 fallback (then end<=start fix-up applies)
+    assert m[0]["original_start_ms"] == 0
+    assert m[0]["original_end_ms"] == 100  # 0 + dur(800 samples @ 8k = 100ms)
+    assert m[1]["original_start_ms"] == 5000

@@ -232,3 +232,12 @@ def test_clip_frame_sample_plan_spark_equals_python(spark):
         for fps, ids in V.frame_sample_plan_py(n, fr, [2, 6]).items():
             exp.extend((cid, float(fps), i) for i in ids)
     assert got == sorted(exp)
+
+
+def test_frame_plan_single_frame_clip_never_negative():
+    # reference closest-index arithmetic degenerates to -1 on 1-frame
+    # clips; the plan must request frame 0 instead (documented deviation)
+    from nemo_curator_spark.operators import video as V
+
+    assert V.frame_sample_plan_py(1, 24.0, [2, 6]) == {2: [0], 6: [0]}
+    assert V.frame_sample_plan_py(1, 24.0, [1.5]) == {1.5: [0]}
