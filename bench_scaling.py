@@ -103,7 +103,12 @@ def main() -> None:
     # contention (ceiling below); data scaling is not — a linear plan
     # shape holds throughput constant as input grows, which is the
     # property that actually transfers to a 1000-executor cluster.
-    DATA_POINTS = [20_000, 100_000, 200_000]
+    DATA_POINTS = [
+        int(x)
+        for x in os.environ.get(
+            "SCALE_DATA_POINTS", "20000,100000,200000"
+        ).split(",")
+    ]
     data_corpora = {}
     for nd in DATA_POINTS:
         c = os.path.join(REPO, "data", f"web_pages_{nd}.parquet")
