@@ -39,6 +39,10 @@ NASTY_TEXTS = [
     "",
     "   ",
     "\xa0\x85 ",  # whitespace-only (python: zero words)
+    # non-BMP: all three engines count codepoints (verified); a
+    # UTF-16-unit regression in any new expression surfaces here
+    "emoji 😀 doc 🎉🎉 end",
+    "astral 𝔸𝔹ℂ math and 👨‍👩‍👧 zwj family",
 ]
 
 
