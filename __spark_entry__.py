@@ -333,25 +333,9 @@ def _fasttext_langid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-lang counts) instead of a row_number window — the window
     # form sorts the whole corpus per language (see perplexity
     # train_per_language for the same fix); deterministic truncation to 50
-    # per lang happens driver-side on (lang, doc_id) order
-    counts = {r[0]: r[1] for r in df.groupBy("lang").count().collect()}
-    mods = {lg: max(1, -(-n // 50)) for lg, n in counts.items()}
-    mod_expr = F.create_map(
-        *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
-    )
-    rows = (
-        df.select("lang", "text", "doc_id")
-        .where(F.pmod(F.xxhash64(F.col("doc_id")), mod_expr[F.col("lang")]) == 0)
-        .collect()
-    )
-    rows.sort(key=lambda r: (r["lang"], r["doc_id"]))
-    by_lang: dict = {}
-    sample = []
-    for r in rows:
-        k = by_lang.get(r["lang"], 0)
-        if k < 50:
-            by_lang[r["lang"]] = k + 1
-            sample.append(r)
+    # per lang happens driver-side on (lang, doc_id) order (_lang_sample,
+    # shared with the MiniTransformer queries)
+    sample = _lang_sample(df)
     model = FT.train(
         [(r["text"], r["lang"]) for r in sample], dim=8, epochs=30, seed=42
     )
@@ -1602,9 +1586,10 @@ SELECT id AS vec_id FROM scores WHERE s >= 0.99
 
 class _TokenCountModel:
     """Deterministic classifier model (predict_batch/prob_batch contract,
-    classifiers.py:36): label by token count — the plumbing is the real
-    tokenize->infer composite; only the model is synthetic, and its output
-    is SQL-expressible so the whole stage gets a value-hash oracle."""
+    classifiers.py:36): label by token count. Superseded in the gate by
+    the MiniTransformer real-inference path below; kept as the minimal
+    mock for unit tests (the reference's own classifier tests mock the
+    model the same way)."""
 
     def predict_batch(self, tokens):
         return ["long" if len(t) >= 50 else "short" for t in tokens]
@@ -1613,26 +1598,228 @@ class _TokenCountModel:
         return [min(len(t) / 512.0, 1.0) for t in tokens]
 
 
+_MINITX_DIM = 16
+_MINITX_MAX_LEN = 64
+_MINITX_CLF_ORACLE_DIR = "/dev/shm/ncs_minitx_clf_oracle"
+_MINITX_EMB_ORACLE_DIR = "/dev/shm/ncs_minitx_emb_oracle"
+
+
+def _lang_sample(df: DataFrame, per_lang: int = 50) -> list:
+    """Seed-pinned per-language sample rows (lang, text, doc_id) — the
+    bounded hash-FILTER protocol from _fasttext_langid_query (pmod with a
+    per-lang modulus, deterministic driver-side truncation)."""
+    counts = {r[0]: r[1] for r in df.groupBy("lang").count().collect()}
+    mods = {lg: max(1, -(-n // per_lang)) for lg, n in counts.items()}
+    mod_expr = F.create_map(
+        *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
+    )
+    rows = (
+        df.select("lang", "text", "doc_id")
+        .where(F.pmod(F.xxhash64(F.col("doc_id")), mod_expr[F.col("lang")]) == 0)
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["lang"], r["doc_id"]))
+    by_lang: dict = {}
+    sample = []
+    for r in rows:
+        k = by_lang.get(r["lang"], 0)
+        if k < per_lang:
+            by_lang[r["lang"]] = k + 1
+            sample.append(r)
+    return sample
+
+
+def _train_minitx(df: DataFrame, with_head: bool) -> str:
+    """Deterministic MiniTransformer artifact: frozen seeded body
+    (vocab 512, dim 16, 2 attention blocks, 2 heads) + — when
+    ``with_head`` — a linear-probe head trained on the seed-pinned
+    per-language sample (operators/mini_transformer.py). Returns the
+    saved artifact path the executors lazy-load from."""
+    import os
+    import tempfile
+
+    from nemo_curator_spark.operators import mini_transformer as MX
+    from nemo_curator_spark.operators.classifiers import regex_tokenizer
+
+    model = MX.MiniTransformer.init(
+        vocab_size=512, dim=_MINITX_DIM, n_layers=2, n_heads=2,
+        max_len=_MINITX_MAX_LEN, seed=42,
+    )
+    if with_head:
+        sample = _lang_sample(df)
+        ids = regex_tokenizer(
+            pd.Series([r["text"] for r in sample]), _MINITX_MAX_LEN
+        ).tolist()
+        MX.train_head(model, list(zip(ids, [r["lang"] for r in sample])))
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="minitx_"), "model.minitx.json"
+    )
+    model.save(path)
+    return path
+
+
+def _write_minitx_hidden(df: DataFrame, model_path: str, out_dir: str) -> None:
+    """Write the per-token final-hidden-state artifact (doc_id, pos,
+    h0..h15 float64) — the last SQL-able seam: everything upstream
+    (tokenize → embed → attention blocks → final LayerNorm) is the
+    non-SQL forward, bit-identical between this pass and the inference
+    pass because forward_tokens is batching-invariant (length-grouped)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def _hidden(texts: pd.Series) -> pd.Series:
+        from nemo_curator_spark.operators.classifiers import regex_tokenizer
+        from nemo_curator_spark.operators.mini_transformer import load_cached
+
+        m = load_cached(model_path)
+        ids = regex_tokenizer(texts, _MINITX_MAX_LEN).tolist()
+        return pd.Series([h.tolist() for h in m.forward_tokens(ids)])
+
+    hid = df.select(
+        "doc_id", F.posexplode(_hidden(F.col("text"))).alias("pos", "h")
+    ).select(
+        "doc_id",
+        "pos",
+        *[F.col("h")[i].alias(f"h{i}") for i in range(_MINITX_DIM)],
+    )
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    hid.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    import os
+
+    os.replace(tmp, out_dir)
+
+
+_MINITX_POOL = ", ".join(f"avg(h{i}) AS a{i}" for i in range(_MINITX_DIM))
+
+
 def _classifier_stage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributedDataClassifier composite with REAL (non-mock) inference:
+    the tokenize stage feeds a deterministic numpy transformer encoder
+    (MiniTransformer — frozen random-feature body + trained linear-probe
+    head, the fasttext_mini recipe at transformer scale) loaded per worker
+    from a weight artifact. Reference: stages/text/classifiers/base.py:
+    48-65 (softmax head) + 163-261 (tokenize→infer composite); the HF
+    model id on each named classifier remains the plug point for trained
+    full-size models. Value-hash gate via the write-then-read protocol:
+    the per-token final hidden states are exported as parquet and DuckDB
+    replays mean-pool → head matmul → stable softmax → argmax."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from nemo_curator_spark.operators.classifiers import ClassifierStage
+    from nemo_curator_spark.operators.mini_transformer import (
+        MiniTransformer,
+        MiniTransformerClassifier,
+    )
 
     df = _docs(spark, sf_dir)
-    out = ClassifierStage(model=_TokenCountModel()).apply(df, "text")
+    model_path = _train_minitx(df, with_head=True)
+    _write_minitx_hidden(df, model_path, _MINITX_CLF_ORACLE_DIR)
+
+    # head weights for the SQL replay
+    model = MiniTransformer.load(model_path)
+    w, b = model.p["head_w"], model.p["head_b"]
+    cols: dict = {
+        "idx": list(range(len(model.labels))),
+        "label": model.labels,
+        "b": [float(x) for x in b],
+    }
+    for i in range(_MINITX_DIM):
+        cols[f"w{i}"] = [float(w[j, i]) for j in range(len(model.labels))]
+    pq.write_table(
+        pa.table(cols), os.path.join(_MINITX_CLF_ORACLE_DIR, "head.parquet")
+    )
+
+    out = ClassifierStage(
+        model=MiniTransformerClassifier(model_path), max_len=_MINITX_MAX_LEN
+    ).apply(df, "text")
     return out.select(
-        "doc_id", "pred_label", F.round("pred_prob", 8).alias("pred_prob")
+        "doc_id", "pred_label", F.round("pred_prob", 6).alias("pred_prob")
     )
 
 
-_CLASSIFIER_STAGE_ORACLE = f"""
-SELECT doc_id,
-  CASE WHEN n >= 50 THEN 'long' ELSE 'short' END AS pred_label,
-  round(least(n / 512.0, 1.0), 8) AS pred_prob
-FROM (
-  SELECT doc_id,
-    least(len(list_filter(regexp_split_to_array(text, '{CN.SPLIT_PATTERN}'),
-                          w -> w <> '')), 512) AS n
-  FROM documents
+def _classifier_stage_oracle() -> str:
+    d = _MINITX_CLF_ORACLE_DIR
+    dot = " + ".join(f"hd.w{i} * p.a{i}" for i in range(_MINITX_DIM))
+    return f"""
+WITH hid AS (SELECT * FROM read_parquet('{d}/part*.parquet')),
+pool AS (SELECT doc_id, {_MINITX_POOL} FROM hid GROUP BY doc_id),
+head AS (SELECT * FROM read_parquet('{d}/head.parquet')),
+lg AS (
+  SELECT p.doc_id, hd.idx, hd.label, ({dot} + hd.b) AS logit
+  FROM pool p CROSS JOIN head hd
+),
+sm AS (
+  SELECT doc_id, idx, label,
+         exp(logit - max(logit) OVER (PARTITION BY doc_id)) AS e
+  FROM lg
+),
+pr AS (
+  SELECT doc_id, idx, label,
+         e / sum(e) OVER (PARTITION BY doc_id) AS prob
+  FROM sm
 )
+SELECT doc_id, label AS pred_label, round(prob, 6) AS pred_prob FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY prob DESC, idx ASC
+  ) AS rn FROM pr
+) WHERE rn = 1
+"""
+
+
+def _embedder_minitx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EmbeddingModelStage with REAL transformer inference: same frozen
+    MiniTransformer body (no head), masked mean-pool + L2 normalize —
+    the reference _mean_pooling semantics (embedders/base.py:101-107).
+    Gate seam: per-token hiddens artifact → DuckDB replays pool →
+    normalize; output exploded to (doc_id, idx, val) rounded at 6."""
+    from pyspark.sql import types as T
+
+    df = _docs(spark, sf_dir)
+    model_path = _train_minitx(df, with_head=False)
+    _write_minitx_hidden(df, model_path, _MINITX_EMB_ORACLE_DIR)
+
+    from nemo_curator_spark.operators.mini_transformer import (
+        MiniTransformerEmbedder,
+    )
+
+    emb_model = MiniTransformerEmbedder(model_path, max_len=_MINITX_MAX_LEN)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [v.tolist() for v in emb_model.embed_batch(texts.tolist())]
+        )
+
+    return (
+        df.select("doc_id", F.posexplode(_embed(F.col("text"))).alias("idx", "_v"))
+        .select("doc_id", "idx", F.round("_v", 6).alias("val"))
+    )
+
+
+def _embedder_minitx_oracle() -> str:
+    d = _MINITX_EMB_ORACLE_DIR
+    sq = " + ".join(f"a{i} * a{i}" for i in range(_MINITX_DIM))
+    lst = ", ".join(f"a{i}" for i in range(_MINITX_DIM))
+    return f"""
+WITH hid AS (SELECT * FROM read_parquet('{d}/part*.parquet')),
+pool AS (SELECT doc_id, {_MINITX_POOL} FROM hid GROUP BY doc_id),
+n AS (SELECT *, sqrt({sq}) AS nrm FROM pool),
+sel AS (
+  SELECT doc_id, nrm,
+         UNNEST([{lst}]) AS v,
+         UNNEST(generate_series(0, {_MINITX_DIM - 1})) AS idx
+  FROM n
+)
+SELECT doc_id, idx,
+       round(CASE WHEN nrm = 0 THEN 0.0 ELSE v / nrm END, 6) AS val
+FROM sel
 """
 
 
@@ -2798,15 +2985,15 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the ~15-query always-on core first, then every query
-    whose implementation or oracle CHANGED this round (the whitespace
-    harmonization touched most word/line-splitting oracles, the embedder
-    artifact protocol was rebuilt, the semantic cap landed, image dedup
-    is new), then a pull-back of queries last driver-proven in r01/r02
-    (hourly/topk/tpch_q1/comment-ratio/non-english chain + 13 per-rule
-    filters whose d_words/d_lines oracles changed). Queries green in r03
-    with untouched logic rotate past 50; scripts/gate_check.py still
-    validates all of them every round (GATE_r4.txt)."""
+    per round — the ~15-query always-on core first, then the two queries
+    that changed this round (classifier_stage now runs REAL
+    MiniTransformer inference; embedder_mini_transformer is new), then a
+    pull-back of the set the r04 window rotated out (modifiers, tpch_q3/
+    q5, as-of/cube/set-ops/range-join, joiner roundtrip, the knn/ann/ivf
+    trio, video/image/token queries, 3 filters, the 7 remaining
+    repeating-ngram variants). Queries driver-green in r03/r04 with
+    untouched logic rotate past 50; scripts/gate_check.py still validates
+    all of them every round (GATE_r5.txt)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- core (always in the window) ---
     out["heuristic_chain_full"] = _chain_full_query
@@ -2825,72 +3012,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash_near_dup_pairs"] = _simhash_query
     out["heuristic_chain_native"] = _chain_native_query
     # --- changed or new this round (must re-prove driver-side) ---
-    out["embedder_hash_dim"] = _embedder_query  # r03's red row, fixed
-    out["image_dedup_removal_ids"] = _image_dedup_query  # new workflow
-    out["video_scene_clips"] = _video_scene_query  # new workflow
-    out["audio_segment_remap"] = _audio_segment_remap_query  # new workflow
-    out["translation_coarse_roundtrip"] = _translation_roundtrip_query  # new
-    out["clip_frame_plan"] = _clip_frame_plan_query  # new
-    out["semantic_dedup_removal_ids"] = _semantic_dedup_query  # pair cap
-    out["classifier_stage"] = _classifier_stage_query  # oracle tokenizer
-    out["fasttext_langid_mini"] = _fasttext_langid_query  # oracle split
-    out["audio_manifest_metrics"] = _audio_metrics_query  # oracle split
-    out["interleaved_ratio_filter"] = _interleaved_ratio_query  # oracle split
-    out["filter_token_count_bpe"] = _token_bpe_query  # pretok class
-    out["histogram_filter"] = _histogram_query  # strip class
-    out["modifier_unicode_nfc"] = _unicode_nfc_query  # artifact rebuild
-    out["filter_python_comment_ratio"] = _python_comment_query  # flipped
-    out["score_filter_framework"] = _framework_query  # rule ctx splits
-    # --- pull-back: last driver-proven in r01/r02 ---
-    out["events_hourly_agg"] = _events_hourly_query
-    out["events_topk_per_user"] = _topk_per_user_query
-    out["tpch_q1"] = _tpch_q1_query
-    out["filter_general_comment_ratio"] = _general_comment_query
-    out["heuristic_chain_non_english"] = (
-        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
-    )
-    for name in (
-        "word_count",
-        "mean_word_length",
-        "max_word_length",
-        "common_english_words",
-        "words_without_alphabets",
-        "symbol_to_word",
-        "ellipsis",
-        "bullet_ratio",
-        "repeated_lines",
-        "repeated_paragraphs",
-        "repeating_top_2grams",
-        "repeating_dup_5gram",
-    ):
-        out[f"filter_{name}"] = _rule_query(name)
-    out["filter_num_lines"] = _rule_query("num_lines")
-    out["doc_splitter"] = _splitter_query
-    out["doc_joiner_roundtrip"] = _joiner_query
-    # --- past the 50-entry window: r03-green, logic untouched ---
-    out["knn_cosine_topk"] = _knn_query
-    out["ann_hyperplane_topk"] = _ann_query
-    out["ivf_topk"] = _ivf_query
-    out["embedding_neardup_pairs"] = _embedding_neardup_query
-    out["token_chunking"] = _token_chunking_query
-    out["image_resize_stats"] = _image_resize_query
-    out["video_fixed_stride_clips"] = _video_clips_query
-    out["lineitem_rollup"] = _rollup_query
+    out["classifier_stage"] = _classifier_stage_query  # MiniTransformer
+    out["embedder_mini_transformer"] = _embedder_minitx_query  # new
+    # --- pull-back: rotated past the window in r04, re-proving now ---
+    out["modifier_url_newline"] = _modifier_urls_query
+    out["modifier_markdown"] = _markdown_query
+    out["modifier_line_quote"] = _line_quote_query
+    out["modifier_slicer"] = _slicer_query
+    out["modifier_boilerplate"] = _boilerplate_query
+    out["modifier_fasttext_label"] = _fasttext_label_query
     out["tpch_q3"] = _tpch_q3_query
     out["tpch_q5"] = _tpch_q5_query
     out["events_asof_join"] = _asof_join_query
     out["events_cube"] = _events_cube_query
     out["doc_set_ops"] = _set_ops_query
     out["events_range_join"] = _range_join_query
-    out["modifier_url_newline"] = _modifier_urls_query
-    out["filter_substring_any"] = _substring_query
-    out["modifier_markdown"] = _markdown_query
-    out["modifier_line_quote"] = _line_quote_query
-    out["modifier_slicer"] = _slicer_query
-    out["modifier_boilerplate"] = _boilerplate_query
-    out["modifier_fasttext_label"] = _fasttext_label_query
+    out["doc_joiner_roundtrip"] = _joiner_query
+    out["knn_cosine_topk"] = _knn_query
+    out["ann_hyperplane_topk"] = _ann_query
+    out["ivf_topk"] = _ivf_query
+    out["embedding_neardup_pairs"] = _embedding_neardup_query
+    out["video_fixed_stride_clips"] = _video_clips_query
+    out["image_resize_stats"] = _image_resize_query
+    out["token_chunking"] = _token_chunking_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
+    out["filter_substring_any"] = _substring_query
+    out["lineitem_rollup"] = _rollup_query
+    for name in (
+        "repeating_top_3grams",
+        "repeating_top_4grams",
+        "repeating_dup_6gram",
+        "repeating_dup_7gram",
+        "repeating_dup_8gram",
+        "repeating_dup_9gram",
+        "repeating_dup_10gram",
+    ):
+        out[f"filter_{name}"] = _rule_query(name)
+    # --- r04-window holdovers filling the 50 (cheap, still re-proving) ---
+    out["tpch_q1"] = _tpch_q1_query
+    out["events_hourly_agg"] = _events_hourly_query
+    # --- past the 50-entry window: driver-green r03/r04, logic untouched ---
+    out["embedder_hash_dim"] = _embedder_query
+    out["image_dedup_removal_ids"] = _image_dedup_query
+    out["video_scene_clips"] = _video_scene_query
+    out["audio_segment_remap"] = _audio_segment_remap_query
+    out["translation_coarse_roundtrip"] = _translation_roundtrip_query
+    out["clip_frame_plan"] = _clip_frame_plan_query
+    out["semantic_dedup_removal_ids"] = _semantic_dedup_query
+    out["fasttext_langid_mini"] = _fasttext_langid_query
+    out["audio_manifest_metrics"] = _audio_metrics_query
+    out["interleaved_ratio_filter"] = _interleaved_ratio_query
+    out["filter_token_count_bpe"] = _token_bpe_query
+    out["histogram_filter"] = _histogram_query
+    out["modifier_unicode_nfc"] = _unicode_nfc_query
+    out["filter_python_comment_ratio"] = _python_comment_query
+    out["score_filter_framework"] = _framework_query
+    out["events_topk_per_user"] = _topk_per_user_query
+    out["filter_general_comment_ratio"] = _general_comment_query
+    out["heuristic_chain_non_english"] = (
+        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
+    )
+    out["filter_num_lines"] = _rule_query("num_lines")
+    out["doc_splitter"] = _splitter_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
@@ -2957,7 +3141,8 @@ def oracle_sql() -> dict[str, str]:
     out["histogram_filter"] = _histogram_oracle()
     out["semantic_dedup_removal_ids"] = _semantic_dedup_oracle()
     out["embedder_hash_dim"] = _embedder_oracle()
-    out["classifier_stage"] = _CLASSIFIER_STAGE_ORACLE
+    out["classifier_stage"] = _classifier_stage_oracle()
+    out["embedder_mini_transformer"] = _embedder_minitx_oracle()
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
     out["modifier_slicer"] = _SLICER_ORACLE

@@ -3,10 +3,15 @@ DistributedDataClassifier family, stages/text/classifiers/base.py:68-261 —
 GPU DeBERTa there; here the Spark-side shape with pluggable models).
 
 The composite is tokenizer-stage + model-stage, both Arrow-vectorized
-pandas UDFs with per-worker lazy model caches. No transformer runtime
-ships in this environment, so the default model hook raises
-``NotImplementedError`` (the marked integration point); tests inject
-deterministic mock models exactly like the reference's tests do.
+pandas UDFs with per-worker lazy model caches. Real inference in this
+sandbox runs through ``operators/mini_transformer.py`` — a deterministic
+numpy transformer encoder (MiniTransformerClassifier /
+MiniTransformerEmbedder satisfy the model contracts below and load their
+weight artifact lazily per worker). The HF model id carried by each
+named classifier remains the documented plug point for full-size
+torch/DeBERTa models (absent from this environment); with no model
+injected the hook raises ``NotImplementedError``, and tests may inject
+deterministic mocks exactly like the reference's tests do.
 """
 
 from __future__ import annotations

@@ -103,7 +103,8 @@ def test_embedder_gate_survives_nasty_whitespace(spark, nasty_duck, nasty_sf_dir
 @pytest.mark.parametrize(
     "name",
     [
-        "classifier_stage",  # python split() vs oracle class split
+        "classifier_stage",  # MiniTransformer: artifact oracle, no re-tok
+        "embedder_mini_transformer",  # same artifact protocol
         "token_count_fingerprint",  # JVM split + fingerprint normalize
         "langid",  # JVM stopword-hit word split
         "quality_pareto",  # lexical-quality word/line split
