@@ -1773,6 +1773,225 @@ SELECT doc_id, label AS pred_label, round(prob, 6) AS pred_prob FROM (
 """
 
 
+def _data_designer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataDesignerStage deterministic scaffold (reference
+    stages/synthetic/nemo_data_designer/data_designer.py:31-143 + the
+    tutorial config surface): UUID / weighted-category / uniform /
+    datetime / timedelta / person samplers and expression columns, all
+    pure JVM md5-keyed Column expressions (operators/data_designer.py).
+    The oracle replays every draw from the shared md5->uniform primitive
+    (quality.py:33 protocol). Dates emitted as ISO strings so both
+    engines hash the same representation."""
+    from nemo_curator_spark.operators import data_designer as DD
+
+    b = DD.DataDesignerConfigBuilder(
+        [DD.ModelConfig(alias="m", model="test/model")]
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "patient_sampler", DD.SamplerType.PERSON_FROM_FAKER,
+            DD.PersonFromFakerSamplerParams(),
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "patient_id", DD.SamplerType.UUID,
+            DD.UUIDSamplerParams(prefix="PT-", short_form=True, uppercase=True),
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "case_id", DD.SamplerType.UUID, DD.UUIDSamplerParams()
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "tier", DD.SamplerType.CATEGORY,
+            DD.CategorySamplerParams(
+                values=["hi", "mid", "lo"], weights=[0.1, 0.2, 0.7]
+            ),
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "severity", DD.SamplerType.UNIFORM,
+            DD.UniformSamplerParams(low=1.0, high=5.0),
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "symptom_onset_date", DD.SamplerType.DATETIME,
+            DD.DatetimeSamplerParams(start="2024-01-01", end="2024-12-31"),
+        )
+    )
+    b.add_column(
+        DD.SamplerColumnConfig(
+            "date_of_visit", DD.SamplerType.TIMEDELTA,
+            DD.TimeDeltaSamplerParams(
+                dt_min=1, dt_max=30,
+                reference_column_name="symptom_onset_date",
+            ),
+        )
+    )
+    b.add_column(
+        DD.ExpressionColumnConfig(
+            "physician", "Dr. {{ patient_sampler.last_name }}"
+        )
+    )
+    df = _docs(spark, sf_dir).select("doc_id")
+    out = DD.DataDesignerStage(config_builder=b).apply(df, "doc_id")
+    return out.select(
+        "doc_id",
+        "patient_id",
+        "case_id",
+        "tier",
+        "severity",
+        F.col("symptom_onset_date").cast("string").alias("onset"),
+        F.col("date_of_visit").cast("string").alias("visit"),
+        F.col("patient_sampler.first_name").alias("first_name"),
+        "physician",
+    )
+
+
+def _data_designer_oracle() -> str:
+    from nemo_curator_spark.operators import data_designer as DD
+
+    def u(salt: str) -> str:
+        return (
+            f"((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+            f"1, 8))::BIGINT) / {float(2**32)})"
+        )
+
+    def idx(salt: str, n: int) -> str:
+        return (
+            f"((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+            f"1, 8))::BIGINT) % {n})"
+        )
+
+    # cumulative weighted-category bounds: identical float literals to the
+    # Spark plan's python-accumulated cutoffs
+    acc1 = repr(0.1 / 1.0)
+    acc2 = repr(0.1 / 1.0 + 0.2 / 1.0)
+    h_case = "md5(CAST(doc_id AS VARCHAR) || ':case_id:42')"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    'PT-' || upper(substring(md5(CAST(doc_id AS VARCHAR) || ':patient_id:42'), 1, 8)) AS patient_id,
+    substring({h_case}, 1, 8) || '-' || substring({h_case}, 9, 4) || '-' ||
+      substring({h_case}, 13, 4) || '-' || substring({h_case}, 17, 4) || '-' ||
+      substring({h_case}, 21, 12) AS case_id,
+    CASE WHEN {u('tier:42')} < {acc1} THEN 'hi'
+         WHEN {u('tier:42')} < {acc2} THEN 'mid' ELSE 'lo' END AS tier,
+    1.0 + {u('severity:42')} * 4.0 AS severity,
+    DATE '2024-01-01' + CAST(floor({u('symptom_onset_date:42')} * 366) AS INT) AS onset_d,
+    (['{"','".join(DD.FIRST_NAMES)}'])[{idx('patient_sampler:42:first', 20)} + 1] AS first_name,
+    (['{"','".join(DD.LAST_NAMES)}'])[{idx('patient_sampler:42:last', 20)} + 1] AS last_name,
+    CAST(floor({u('date_of_visit:42')} * 30) AS INT) + 1 AS visit_off
+  FROM documents
+)
+SELECT doc_id, patient_id, case_id, tier, severity,
+  CAST(onset_d AS VARCHAR) AS onset,
+  CAST(onset_d + visit_off AS VARCHAR) AS visit,
+  first_name,
+  'Dr. ' || last_name AS physician
+FROM base
+"""
+
+
+def _caption_prep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CaptionPreparationStage, model-free half (reference caption_preparation.py:
+    78-160 + windowing_utils.py:41-247): windows, smart_nframes, the
+    linspace frame grid (half-to-even rounding on both engines), and the
+    chat-formatted prompt, over clips manufactured deterministically from
+    documents (n_frames 0..709 exercises the no-window, single-window,
+    extend-last and remainder-window branches). Pure JVM Column plan —
+    the oracle replays every step in SQL."""
+    from nemo_curator_spark.operators import caption_prep as CP
+
+    df = _docs(spark, sf_dir)
+    clips = df.select(
+        F.col("doc_id").alias("clip_id"),
+        (F.col("doc_id") % 710).cast("int").alias("n_frames"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(24.0))
+        .when(F.col("doc_id") % 3 == 1, F.lit(25.0))
+        .otherwise(F.lit(30.0))
+        .alias("framerate"),
+    )
+    out = CP.caption_preparation(
+        clips, window_size=64, remainder_threshold=32, sampling_fps=2.0,
+        prompt_variant="av",
+    )
+    return out.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.col("w_start").cast("long").alias("w_start"),
+        F.col("w_end").cast("long").alias("w_end"),
+        F.col("nframes").cast("long").alias("nframes"),
+        F.col("frame_pos").cast("long").alias("frame_pos"),
+        F.col("frame_id").cast("long").alias("frame_id"),
+        "llm_prompt",
+    )
+
+
+def _caption_prep_oracle() -> str:
+    from nemo_curator_spark.operators import caption_prep as CP
+
+    prompt = CP.format_llm_prompt(CP.get_prompt("av"))
+    b_nf = CP.duck_bankers_sql("least(greatest(total / fr * 2.0, 4.0), "
+                               "CAST(least(768, total) // 2 * 2 AS DOUBLE)) / 2")
+    # parenthesization matches the Spark plan exactly: step is computed
+    # first, then scaled by frame_pos (float order matters for the hash)
+    b_id = CP.duck_bankers_sql(
+        "w_start + frame_pos * ((w_end - w_start) / (nframes - 1.0))"
+    )
+    return f"""
+WITH clips AS (
+  SELECT doc_id AS clip_id, CAST(doc_id % 710 AS BIGINT) AS n,
+         CASE WHEN doc_id % 3 = 0 THEN 24.0
+              WHEN doc_id % 3 = 1 THEN 25.0 ELSE 30.0 END AS fr
+  FROM documents
+),
+base AS (
+  SELECT clip_id, n, fr, n // 64 AS nfull, n % 64 AS rem,
+         CASE WHEN n < 4 THEN 0
+              WHEN n <= 64 THEN 1
+              ELSE n // 64 + CASE WHEN n % 64 >= 32 THEN 1 ELSE 0 END
+         END AS nw
+  FROM clips
+),
+wins AS (
+  SELECT clip_id, n, fr, nfull, rem, CAST(u.i AS BIGINT) AS win_idx
+  FROM base, UNNEST(generate_series(0, nw - 1)) AS u(i)
+),
+bounds AS (
+  SELECT clip_id, fr, win_idx,
+    CASE WHEN n <= 64 THEN 0
+         WHEN win_idx = nfull THEN n - rem
+         ELSE win_idx * 64 END AS w_start,
+    CASE WHEN n <= 64 THEN n - 1
+         WHEN win_idx = nfull THEN n - 1
+         WHEN win_idx = nfull - 1 AND rem > 0 AND rem < 32 THEN n - 1
+         ELSE win_idx * 64 + 63 END AS w_end
+  FROM wins
+),
+nfc AS (
+  SELECT clip_id, win_idx, w_start, w_end,
+         CAST({b_nf} * 2 AS BIGINT) AS nframes
+  FROM (SELECT *, w_end - w_start + 1 AS total FROM bounds)
+),
+frames AS (
+  SELECT clip_id, win_idx, w_start, w_end, nframes,
+         CAST(u.j AS BIGINT) AS frame_pos
+  FROM nfc, UNNEST(generate_series(0, nframes - 1)) AS u(j)
+)
+SELECT clip_id, win_idx, w_start, w_end, nframes, frame_pos,
+  CAST(CASE WHEN frame_pos = nframes - 1 THEN w_end
+            ELSE {b_id} END AS BIGINT) AS frame_id,
+  $${prompt}$$ AS llm_prompt
+FROM frames
+"""
+
+
 def _embedder_minitx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EmbeddingModelStage with REAL transformer inference: same frozen
     MiniTransformer body (no head), masked mean-pool + L2 normalize —
@@ -2985,9 +3204,10 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the ~15-query always-on core first, then the two queries
-    that changed this round (classifier_stage now runs REAL
-    MiniTransformer inference; embedder_mini_transformer is new), then a
+    per round — the ~15-query always-on core first, then the four queries
+    new or changed this round (classifier_stage now runs REAL
+    MiniTransformer inference; embedder_mini_transformer,
+    caption_window_plan and data_designer_columns are new), then a
     pull-back of the set the r04 window rotated out (modifiers, tpch_q3/
     q5, as-of/cube/set-ops/range-join, joiner roundtrip, the knn/ann/ivf
     trio, video/image/token queries, 3 filters, the 7 remaining
@@ -3014,6 +3234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- changed or new this round (must re-prove driver-side) ---
     out["classifier_stage"] = _classifier_stage_query  # MiniTransformer
     out["embedder_mini_transformer"] = _embedder_minitx_query  # new
+    out["caption_window_plan"] = _caption_prep_query  # new
+    out["data_designer_columns"] = _data_designer_query  # new
     # --- pull-back: rotated past the window in r04, re-proving now ---
     out["modifier_url_newline"] = _modifier_urls_query
     out["modifier_markdown"] = _markdown_query
@@ -3143,6 +3365,8 @@ def oracle_sql() -> dict[str, str]:
     out["embedder_hash_dim"] = _embedder_oracle()
     out["classifier_stage"] = _classifier_stage_oracle()
     out["embedder_mini_transformer"] = _embedder_minitx_oracle()
+    out["caption_window_plan"] = _caption_prep_oracle()
+    out["data_designer_columns"] = _data_designer_oracle()
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
     out["modifier_slicer"] = _SLICER_ORACLE
