@@ -172,56 +172,67 @@ def concat_wav_segments(
         # same order as segment_mappings (tie-break on start_ms) so the
         # two documented paths agree on duplicate segment numbers
         pdf = pdf.sort_values(sort_cols)
-        parts: list[np.ndarray] = []
-        mappings: list[dict] = []
-        pos_ms = 0
-        sr = None
-        for _, row in pdf.iterrows():
+        # decode-then-vectorize (round-5 item: no iterrows in the splice):
+        # 1) decode every segment once; 2) the keep mask and all mapping
+        # arithmetic are array ops; only the final interleave walks a list
+        decoded: list = []
+        for blob in pdf[wav_col]:
             try:
-                _, seg_sr, samples = decode_wav(bytes(row[wav_col]))
+                decoded.append(decode_wav(bytes(blob)))
             except Exception:
-                continue
-            if sr is not None and seg_sr != sr:
-                continue
-            sr = seg_sr
-            if parts:
-                parts.append(
-                    np.zeros(int(silence_ms * sr / 1000), dtype=samples.dtype)
-                )
-                pos_ms += silence_ms
-            # ms truncation mirrors the reference exactly
-            # (concatenation.py:186) — sub-ms drift between bookkeeping
-            # and waveform is inherited reference behavior
-            dur_ms = int(1000 * len(samples) / sr)
-
-            def _ms(col):
-                if col not in pdf.columns:
-                    return 0
-                val = row[col]
-                return int(val) if pd.notna(val) else 0  # NULL span -> 0
-
-            orig_start = _ms(start_col)
-            orig_end = _ms(end_col)
-            if orig_end <= orig_start:
-                orig_end = orig_start + dur_ms
-            mappings.append(
-                {
-                    "original_start_ms": orig_start,
-                    "original_end_ms": orig_end,
-                    "concat_start_ms": pos_ms,
-                    "concat_end_ms": pos_ms + dur_ms,
-                    "segment_index": int(row[segment_col]),
-                }
-            )
-            parts.append(samples)
-            pos_ms += dur_ms
-        if sr is None or not parts:
+                decoded.append(None)
+        sr = next((d[1] for d in decoded if d is not None), None)
+        keep = np.array(
+            [d is not None and d[1] == sr for d in decoded], dtype=bool
+        )
+        if sr is None or not keep.any():
             return pd.DataFrame(
                 columns=[
                     file_col, "wav", "sample_rate", "num_segments",
                     "total_duration_sec", "mappings",
                 ]
             )
+        samples = [decoded[i][2] for i in np.flatnonzero(keep)]
+        kept = pdf.loc[keep]
+        # ms truncation mirrors the reference exactly
+        # (concatenation.py:186) — sub-ms drift between bookkeeping and
+        # waveform is inherited reference behavior
+        dur_ms = np.array(
+            [int(1000 * len(s) / sr) for s in samples], dtype=np.int64
+        )
+        # concat-space spans: cumulative (duration + silence), no silence
+        # before the first segment
+        starts = np.zeros(len(dur_ms), dtype=np.int64)
+        if len(dur_ms) > 1:
+            starts[1:] = np.cumsum(dur_ms[:-1] + silence_ms)
+
+        def _ms_arr(col):
+            if col not in kept.columns:
+                return np.zeros(len(kept), dtype=np.int64)
+            v = pd.to_numeric(kept[col], errors="coerce").fillna(0)
+            return v.to_numpy(dtype=np.int64)  # NULL span -> 0
+
+        orig_start = _ms_arr(start_col)
+        orig_end = _ms_arr(end_col)
+        fix = orig_end <= orig_start  # reference end<=start fix-up
+        orig_end = np.where(fix, orig_start + dur_ms, orig_end)
+        seg_idx = kept[segment_col].to_numpy(dtype=np.int64)
+        mappings = [
+            {
+                "original_start_ms": int(orig_start[i]),
+                "original_end_ms": int(orig_end[i]),
+                "concat_start_ms": int(starts[i]),
+                "concat_end_ms": int(starts[i] + dur_ms[i]),
+                "segment_index": int(seg_idx[i]),
+            }
+            for i in range(len(samples))
+        ]
+        silence = np.zeros(int(silence_ms * sr / 1000), dtype=samples[0].dtype)
+        parts: list[np.ndarray] = []
+        for i, s in enumerate(samples):
+            if i:
+                parts.append(silence)
+            parts.append(s)
         combined = np.concatenate(parts)
         return pd.DataFrame(
             [

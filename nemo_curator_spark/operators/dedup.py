@@ -239,7 +239,10 @@ def jaccard_ngram(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, strict: bool = True
+    edges: DataFrame,
+    max_iter: int = 25,
+    strict: bool = True,
+    metrics: dict | None = None,
 ) -> DataFrame:
     """Min-label propagation + pointer-doubling over undirected edges
     (a,b) → (id, component).
@@ -254,7 +257,12 @@ def connected_components(
 
     If the loop exits without converging, raises (``strict=True``, default)
     or logs a warning — silently returning partial labels would leave
-    duplicates unremoved.
+    duplicates unremoved. Pass a ``metrics`` dict to receive
+    ``{"rounds", "converged", "unconverged_labels"}`` — in warn mode a
+    100-TB operator needs the degradation recorded, not just a stderr
+    line (``cc_metrics_df`` turns it into a lineage/metrics row). The
+    unconverged-label count is one extra bounded self-join, run only on
+    the non-converged path.
     """
     sym = (
         edges.select("a", "b")
@@ -269,7 +277,9 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(sym.a.alias("id"))
@@ -308,7 +318,23 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if metrics is not None:
+        metrics["rounds"] = rounds
+        metrics["converged"] = converged
+        metrics["unconverged_labels"] = 0
     if not converged:
+        if metrics is not None:
+            # labels that another round would still lower: comp is not a
+            # root (comp's own label is smaller) — a bounded self-join on
+            # the label frame, not the corpus
+            parent = labels.select(
+                F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
+            )
+            metrics["unconverged_labels"] = (
+                labels.join(parent, labels.comp == parent._pid)
+                .where(F.col("_pcomp") < F.col("comp"))
+                .count()
+            )
         msg = (
             f"connected_components did not converge in {max_iter} iterations; "
             "labels may be partial (duplicates could survive removal)"
@@ -321,6 +347,25 @@ def connected_components(
     return labels
 
 
+def cc_metrics_df(spark, metrics: dict, run_id: str = "") -> DataFrame:
+    """One metrics row for the lineage table from a ``metrics`` dict
+    populated by :func:`connected_components` — how a long-running
+    dedup job records that warn-mode degraded to partial labels."""
+    return spark.createDataFrame(
+        [
+            (
+                run_id,
+                "connected_components",
+                int(metrics.get("rounds", 0)),
+                bool(metrics.get("converged", False)),
+                int(metrics.get("unconverged_labels", 0)),
+            )
+        ],
+        "run_id string, stage string, rounds int, converged boolean, "
+        "unconverged_labels int",
+    )
+
+
 def fuzzy_duplicate_ids(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -330,8 +375,12 @@ def fuzzy_duplicate_ids(
     shingle_width: int = 24,
     jaccard_threshold: float | None = 0.8,
     seed: int = 42,
+    cc_metrics: dict | None = None,
 ) -> DataFrame:
-    """Full fuzzy-dedup workflow → removal ids (keep min id per component)."""
+    """Full fuzzy-dedup workflow → removal ids (keep min id per component).
+    Pass ``cc_metrics`` to capture the connected-components convergence
+    record (see :func:`cc_metrics_df`) — warn-mode degradation is
+    otherwise invisible to the job's metrics table."""
     sigs = add_minhash(df, text_col, num_perms, shingle_width, seed)
     pairs = lsh_candidate_pairs(sigs, id_col, "minhash", num_bands, num_perms)
     if jaccard_threshold is not None:
@@ -346,7 +395,7 @@ def fuzzy_duplicate_ids(
     # safe direction, no data loss) rather than kill a long job at its
     # final stage; the strict raise stays the default for the low-level
     # API and the correctness gates.
-    comps = connected_components(edges, strict=False)
+    comps = connected_components(edges, strict=False, metrics=cc_metrics)
     return comps.where(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
     )

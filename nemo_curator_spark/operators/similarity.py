@@ -114,12 +114,19 @@ def hyperplane_buckets(
     n_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Multi-table hyperplane LSH keys in ONE Arrow pass: returns
     ``(vecs, buckets)`` where vecs = (id, vec) and buckets = (id, t, key).
     Splitting the stages lets the correctness gate materialize the seeded
-    bucket assignment (the non-SQL half) as a parquet artifact."""
-    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    bucket assignment (the non-SQL half) as a parquet artifact.
+
+    Pass ``dim`` when the caller knows the embedding width — it skips
+    the ``limit(1)`` probe job (the LSH ``num_perms`` fix applied here;
+    one tiny job per call still matters when a pipeline builds many
+    bucketings)."""
+    if dim is None:
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
     vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     planes = np.stack(
         [
@@ -215,10 +222,12 @@ def ann_topk_hyperplane(
     seed: int = 42,
     max_bucket_size: int = 2000,
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: LSH bucket candidates, exact cosine re-rank."""
+    """Approximate top-k: LSH bucket candidates, exact cosine re-rank.
+    ``dim`` (when known) skips the per-call width probe job."""
     vecs, buckets = hyperplane_buckets(
-        df, id_col, vec_col, n_planes, num_tables, seed
+        df, id_col, vec_col, n_planes, num_tables, seed, dim
     )
     return ann_rerank_from_buckets(vecs, buckets, k, max_bucket_size, round_to)
 

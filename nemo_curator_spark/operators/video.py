@@ -38,7 +38,17 @@ def fixed_stride_clips(
     metadata yield no clips (the stage skips them)."""
     duration = F.col(num_frames_col) / F.col(framerate_col)
     n_starts = F.ceil(duration / F.lit(clip_stride_s)).cast("int")
-    ks = F.sequence(F.lit(0), F.greatest(n_starts - 1, F.lit(0)))
+    last_k = F.greatest(n_starts - 1, F.lit(0))
+    if limit_clips > 0:
+        # limit pushdown into the generator: both post-explode filters
+        # (start < dur; clip length >= min) are non-increasing in k, so
+        # survivors are always a PREFIX of 0..n_starts-1 and "first
+        # limit_clips by clip_idx" == "k < limit_clips". Clamping the
+        # sequence never generates the excess rows (a 10-hour video at
+        # 2.5 s stride is 14k clips; limit 6 generates 6) and removes the
+        # row_number window — one exchange+sort — this used to cost.
+        last_k = F.least(last_k, F.lit(limit_clips - 1))
+    ks = F.sequence(F.lit(0), last_k)
     base = (
         df.where(
             F.col(framerate_col) > 0
@@ -60,15 +70,6 @@ def fixed_stride_clips(
         (F.col("_start") * F.col(framerate_col)).cast("int").alias("start_frame"),
         (F.col("_end") * F.col(framerate_col)).cast("int").alias("end_frame"),
     )
-    if limit_clips > 0:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(video_col).orderBy("clip_idx")
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= limit_clips)
-            .drop("_rn")
-        )
     return out
 
 

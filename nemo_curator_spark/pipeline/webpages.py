@@ -224,18 +224,42 @@ def stage_lineage(labeled: DataFrame, run_id: str) -> DataFrame:
         "_dropped_at", stage_of
     )
     stages = ["langid", "heuristic", "perplexity", "quality_pareto"]
-    out = None
-    for i, stage in enumerate(stages):
-        per = (
-            base.where(F.col("_dropped_at") >= i)
-            .groupBy("partition_id", "source_id")
-            .agg(
-                F.count("*").alias("input_count"),
-                F.sum((F.col("_dropped_at") > i).cast("long")).alias("kept_count"),
-            )
-            .withColumn("stage", F.lit(stage))
+    # ONE conditional-aggregation pass (map-side combinable) instead of a
+    # filtered groupBy per stage — 4 scans of the labeled frame collapse
+    # to 1 at 100 TB. The per-stage rows are then exploded from the
+    # aggregated (partition, source) rows, which are tiny.
+    aggs = []
+    for i in range(len(stages)):
+        aggs.append(
+            F.sum((F.col("_dropped_at") >= i).cast("long")).alias(f"_in{i}")
         )
-        out = per if out is None else out.unionByName(per)
+        aggs.append(
+            F.sum((F.col("_dropped_at") > i).cast("long")).alias(f"_kept{i}")
+        )
+    agg = base.groupBy("partition_id", "source_id").agg(*aggs)
+    per_stage = F.array(
+        *[
+            F.struct(
+                F.col(f"_in{i}").alias("input_count"),
+                F.col(f"_kept{i}").alias("kept_count"),
+                F.lit(stage).alias("stage"),
+            )
+            for i, stage in enumerate(stages)
+        ]
+    )
+    out = (
+        agg.select("partition_id", "source_id", F.explode(per_stage).alias("_s"))
+        .select(
+            "partition_id",
+            "source_id",
+            "_s.input_count",
+            "_s.kept_count",
+            "_s.stage",
+        )
+        # a stage with zero inputs in this (partition, source) group never
+        # produced a row in the per-stage-filter form — preserve that
+        .where(F.col("input_count") > 0)
+    )
     return out.withColumn("run_id", F.lit(run_id)).withColumn(
         "committed_at", F.current_timestamp()
     )

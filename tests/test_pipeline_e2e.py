@@ -83,6 +83,44 @@ def test_stage_lineage(spark, web_df):
     ).count()
 
 
+def test_stage_lineage_single_pass(spark, web_df):
+    """The single conditional-aggregation form emits exactly the rows the
+    old 4×(filter+groupBy)+union form did, from ONE scan of the labeled
+    frame (round-5 item: 4 scans where 1 suffices at 100 TB)."""
+    labeled = _curate(spark, web_df)
+    lin = webpages.stage_lineage(labeled, run_id="s1")
+
+    # row parity vs the per-stage-filter semantics, recomputed in pandas
+    pdf = labeled.select("source_id", "drop_reason").toPandas()
+    stage_of = {"langid": 0, "perplexity": 2, "quality_pareto": 3}
+    pdf["_d"] = [
+        stage_of.get(r, 1 if str(r).startswith("heuristic:") else 99)
+        for r in pdf.drop_reason
+    ]
+    got = (
+        lin.toPandas()
+        .groupby(["stage", "source_id"])[["input_count", "kept_count"]]
+        .sum()
+    )
+    for i, stage in enumerate(
+        ["langid", "heuristic", "perplexity", "quality_pareto"]
+    ):
+        sub = pdf[pdf._d >= i]
+        want_in = sub.groupby("source_id").size()
+        want_kept = sub[sub._d > i].groupby("source_id").size()
+        for sid, n in want_in.items():
+            assert got.loc[(stage, sid), "input_count"] == n
+            assert got.loc[(stage, sid), "kept_count"] == want_kept.get(sid, 0)
+        # zero-input groups must not appear (old-form parity)
+        assert set(got.loc[stage].index) == set(want_in.index)
+
+    # plan shape: the lineage aggregate reads its input ONCE
+    plan = lin._jdf.queryExecution().optimizedPlan().toString()
+    n_aggs = plan.count("Aggregate")
+    assert n_aggs == 1, plan
+    assert "Union" not in plan, plan
+
+
 def test_checkpoint_resume_half_then_full(spark, web_df, tmp_path):
     """F8: commit half the source buckets, resume, final output == clean run."""
     labeled = _curate(spark, web_df)

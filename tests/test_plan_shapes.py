@@ -149,3 +149,40 @@ def test_scene_boundaries_single_exchange(spark):
     # the union shape produced
     assert plan.count("Exchange") <= 1, plan
     assert plan.count("Union") == 0, plan
+
+
+def test_fixed_stride_limit_clips_no_window(spark):
+    """limit_clips is pushed into the clip-index generator (survivors are
+    always a prefix of k, see fixed_stride_clips) — no row_number window,
+    no exchange, and never more than limit rows generated per video."""
+    from pyspark.sql import functions as F
+
+    from nemo_curator_spark.operators import video as V
+
+    videos = spark.range(20).select(
+        F.col("id").alias("video_id"),
+        (F.lit(100) + F.col("id") % 400).cast("int").alias("num_frames"),
+        F.lit(24.0).alias("framerate"),
+    )
+    out = V.fixed_stride_clips(
+        videos, clip_len_s=4.0, clip_stride_s=2.5, min_clip_length_s=1.0,
+        limit_clips=3,
+    )
+    plan = _formatted_plan(out)
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+    counts = out.groupBy("video_id").count().collect()
+    assert all(r["count"] <= 3 for r in counts)
+    # parity with the unlimited form truncated per video
+    full = V.fixed_stride_clips(
+        videos, clip_len_s=4.0, clip_stride_s=2.5, min_clip_length_s=1.0
+    ).toPandas()
+    lim = out.toPandas()
+    want = (
+        full.sort_values(["video_id", "clip_idx"])
+        .groupby("video_id")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    got = lim.sort_values(["video_id", "clip_idx"]).reset_index(drop=True)
+    assert got.equals(want)

@@ -68,9 +68,48 @@ def test_connected_components_long_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
-    labels = dedup.connected_components(edges, max_iter=25, strict=True)
+    metrics: dict = {}
+    labels = dedup.connected_components(
+        edges, max_iter=25, strict=True, metrics=metrics
+    )
     comps = {r["comp"] for r in labels.collect()}
     assert comps == {0}
+    assert metrics["converged"] is True
+    assert metrics["unconverged_labels"] == 0
+    assert 1 <= metrics["rounds"] <= 25
+
+
+def test_connected_components_unconverged_metric_row(spark):
+    """Round-5 item: warn-mode degradation must be visible as a metrics
+    row, not only a warning — a pathological chain with max_iter too
+    small leaves partial labels; the metric counts them."""
+    import warnings
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    metrics: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.connected_components(
+            edges, max_iter=2, strict=False, metrics=metrics
+        ).collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert metrics["converged"] is False
+    assert metrics["rounds"] == 2
+    assert metrics["unconverged_labels"] > 0
+
+    row = dedup.cc_metrics_df(spark, metrics, run_id="r5").collect()[0]
+    assert row["stage"] == "connected_components"
+    assert row["converged"] is False
+    assert row["rounds"] == 2
+    assert row["unconverged_labels"] == metrics["unconverged_labels"]
+    # strict mode still raises on the same corpus
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2, strict=True)
 
 
 def test_semantic_hot_cluster_star_fallback(spark):
