@@ -104,6 +104,58 @@ def get_prompt(prompt_variant: str, prompt_text: str | None = None) -> str:
     return PROMPTS[prompt_variant]
 
 
+def get_enhance_prompt(prompt_variant: str, prompt_text: str | None = None) -> str:
+    """caption_enhancement.py:171-180 (_get_enhance_prompt) — same
+    selection contract over the enhancement prompt table."""
+    if prompt_text is not None:
+        return prompt_text
+    if prompt_variant not in ENHANCE_PROMPTS:
+        raise ValueError(f"Invalid prompt variant: {prompt_variant}")
+    return ENHANCE_PROMPTS[prompt_variant]
+
+
+def caption_enhancement(
+    df: DataFrame,
+    caption_col: str = "caption",
+    out_col: str = "enhanced_caption",
+    prompt_variant: str = "default",
+    prompt_text: str | None = None,
+    llm_client: object | None = None,
+) -> DataFrame:
+    """CaptionEnhancementStage, model-free half (reference
+    caption_enhancement.py:39-163): rows with a NULL caption are skipped
+    (the reference logs and drops them from the model batch), every other
+    row becomes the two-message chat input ``[system: enhance-prompt,
+    user: caption]`` handed to the LLM. The Qwen/vLLM model is the plug
+    point: inject ``llm_client.generate_batch(list[(system, user)]) ->
+    list[str]``; without one this raises (same contract as
+    synthetic.SyntheticStage / data_designer)."""
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    prompt = get_enhance_prompt(prompt_variant, prompt_text)
+    valid = df.where(F.col(caption_col).isNotNull())
+    if llm_client is None:
+        raise NotImplementedError(
+            "caption_enhancement needs an injected llm_client with "
+            "generate_batch (QwenLM/vLLM absent from this environment)"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(valid.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    client = llm_client
+
+    def gen(it):
+        for pdf in it:
+            pdf[out_col] = client.generate_batch(
+                [(prompt, c) for c in pdf[caption_col]]
+            )
+            yield pdf
+
+    return valid.mapInPandas(gen, schema)
+
+
 def format_llm_prompt(prompt: str, template: str = QWEN_CHAT_TEMPLATE) -> str:
     """PromptFormatter.generate_inputs text half (prompt_formatter.py:
     96-125): chat template applied around the user prompt."""

@@ -119,3 +119,36 @@ def test_window_frame_ids_match_float64_linspace():
         v = np.linspace(s, e, nf)
         want = [int(x) for x in np.rint(v)]  # numpy rint = half-to-even
         assert CP.window_frame_ids_py(s, e, nf) == want
+
+
+def test_enhance_prompt_contract():
+    assert "enhances video caption inputs" in CP.get_enhance_prompt("default")
+    assert CP.get_enhance_prompt("x", "mine") == "mine"
+    with pytest.raises(ValueError):
+        CP.get_enhance_prompt("av")  # av has no enhancement variant
+
+
+def test_caption_enhancement_stage(spark):
+    df = spark.createDataFrame(
+        [(1, "a cat"), (2, None), (3, "a dog")],
+        "clip_id long, caption string",
+    )
+    with pytest.raises(NotImplementedError, match="llm_client"):
+        CP.caption_enhancement(df)
+
+    class EchoClient:
+        def generate_batch(self, messages):
+            # messages are (system_prompt, user_caption) pairs
+            return [f"ENH[{sys_p.strip()[:11]}]:{cap}" for sys_p, cap in messages]
+
+    out = (
+        CP.caption_enhancement(df, llm_client=EchoClient())
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    # NULL-caption rows are skipped like the reference's model batch
+    assert out.clip_id.tolist() == [1, 3]
+    assert out.enhanced_caption.tolist() == [
+        "ENH[You are a c]:a cat",
+        "ENH[You are a c]:a dog",
+    ]
