@@ -2444,6 +2444,90 @@ FROM filled GROUP BY doc_id
 """
 
 
+_TRANSLATION_FINE_ORACLE_DIR = "/dev/shm/ncs_translation_fine_oracle"
+
+
+def _translation_fine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fine (sentence-level) translation segmentation -> per-segment
+    ASCII-uppercase "translation" (the LLM plug point) -> reassembly
+    (reference segmentation.py:131-224,557-581 + reassembly.py:458-480;
+    the spaCy sentence model is the one non-ported piece — the default
+    deterministic sentencizer stands in, injectable). Same write-then-
+    read protocol as the coarse gate: the unit structure (python
+    sentencizer + strip/separator bookkeeping — not SQL-derivable) is
+    the artifact; DuckDB independently replays translation + unit fill +
+    concatenation from it."""
+    import os
+    import shutil
+
+    from nemo_curator_spark.operators import translation as tr
+
+    df = _docs(spark, sf_dir)
+    segments, meta = tr.segment_documents_fine(df)
+    shutil.rmtree(_TRANSLATION_FINE_ORACLE_DIR, ignore_errors=True)
+    segments.coalesce(1).write.parquet(
+        os.path.join(_TRANSLATION_FINE_ORACLE_DIR, "segments")
+    )
+    meta.coalesce(1).write.parquet(
+        os.path.join(_TRANSLATION_FINE_ORACLE_DIR, "meta")
+    )
+    seg_r = spark.read.parquet(
+        os.path.join(_TRANSLATION_FINE_ORACLE_DIR, "segments")
+    )
+    meta_r = spark.read.parquet(
+        os.path.join(_TRANSLATION_FINE_ORACLE_DIR, "meta")
+    )
+    upper = seg_r.withColumn(
+        "segment",
+        F.translate(
+            F.col("segment"),
+            "abcdefghijklmnopqrstuvwxyz",
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        ),
+    )
+    return tr.reassemble_documents_fine(meta_r, upper).select(
+        "doc_id", "text_out"
+    )
+
+
+def _translation_fine_oracle() -> str:
+    d = _TRANSLATION_FINE_ORACLE_DIR
+    return f"""
+WITH meta AS (
+  SELECT doc_id,
+    json_transform(metadata,
+      '{{"units": [{{"translatable": "BOOLEAN", "original": "VARCHAR",
+                     "separator": "VARCHAR"}}]}}') AS m
+  FROM read_parquet('{d}/meta/*.parquet')
+),
+units AS (
+  SELECT doc_id, CAST(p.i AS INT) AS pos,
+    m.units[p.i].translatable AS tr,
+    m.units[p.i].original AS orig,
+    m.units[p.i].separator AS sep,
+    sum(CASE WHEN m.units[p.i].translatable THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY p.i) AS nseen
+  FROM meta, UNNEST(generate_series(1, len(m.units))) AS p(i)
+),
+filled AS (
+  SELECT u.doc_id, u.pos,
+    (CASE WHEN u.tr THEN
+       translate(s.segment, 'abcdefghijklmnopqrstuvwxyz',
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
+     ELSE u.orig END) || u.sep AS part
+  FROM units u
+  LEFT JOIN read_parquet('{d}/segments/*.parquet') s
+    ON s.doc_id = u.doc_id AND s.seg_idx = u.nseen - 1 AND u.tr
+),
+agg AS (
+  SELECT doc_id, string_agg(part, '' ORDER BY pos) AS txt
+  FROM filled GROUP BY doc_id
+)
+SELECT m.doc_id, COALESCE(a.txt, '') AS text_out
+FROM meta m LEFT JOIN agg a ON a.doc_id = m.doc_id
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -3236,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["embedder_mini_transformer"] = _embedder_minitx_query  # new
     out["caption_window_plan"] = _caption_prep_query  # new
     out["data_designer_columns"] = _data_designer_query  # new
+    out["translation_fine_roundtrip"] = _translation_fine_query  # new
     # --- pull-back: rotated past the window in r04, re-proving now ---
     out["modifier_url_newline"] = _modifier_urls_query
     out["modifier_markdown"] = _markdown_query
@@ -3367,6 +3452,7 @@ def oracle_sql() -> dict[str, str]:
     out["embedder_mini_transformer"] = _embedder_minitx_oracle()
     out["caption_window_plan"] = _caption_prep_oracle()
     out["data_designer_columns"] = _data_designer_oracle()
+    out["translation_fine_roundtrip"] = _translation_fine_oracle()
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
     out["modifier_slicer"] = _SLICER_ORACLE

@@ -171,3 +171,219 @@ def reassemble_documents_coarse(
     return joined.select(
         id_col, _fill(F.col("metadata"), F.col("_translated")).alias(out_col)
     )
+
+
+# --- fine (sentence-level) mode ---------------------------------------------
+# (reference segmentation.py:131-224 + _segment_fine:557-581 +
+# reassembly.py:_reassemble_fine:458-480). The ONLY spaCy-specific piece
+# is the sentence-boundary model (doc.sents); every structure-preserving
+# step around it is exact positional logic, ported here over generic
+# (start, end) spans with an injectable sentencizer. The default
+# sentencizer is a deterministic rule-based stand-in (documented
+# deviation — spaCy models are absent); pass a spaCy-backed callable to
+# match a specific model's boundaries.
+
+# verbatim from segmentation.py:198-201 — the custom separator pattern IS
+# the observable contract (valid in python re and RE2; no lookaround)
+SPECIAL_SEPARATOR_PATTERN = (
+    r"(\#{2,}|\_{2,}|\…{2,}|\%{2,}|\+{2,}|\.{2,}|\-{3,}|\*{2,}|\~{2,}|\={2,}|\!{2,}"
+    r"|\n|\t|\‣|⁃|\⁌|\⁍|\●|\○|\•|\·|\◘|\◦|\⦾|\⦿|\|)"
+)
+
+_SENT_ENDERS = ".!?…"
+_SENT_CLOSERS = "\"')]}»’”"
+
+
+def append_stripped_unit(
+    units: list, text_unit: str, separator: str
+) -> None:
+    """Port of _append_stripped_unit (segmentation.py:131-140): strip the
+    unit, move leading whitespace into its own empty-text unit and
+    trailing whitespace into the separator."""
+    stripped = text_unit.strip()
+    leading = text_unit[: len(text_unit) - len(text_unit.lstrip())]
+    trailing = text_unit[len(text_unit.rstrip()):]
+    if leading and stripped:
+        units.append(("", leading))
+    units.append((stripped, trailing + separator))
+
+
+def units_with_separators(text: str, spans: list) -> list:
+    """Port of _spacy_units_with_separators (segmentation.py:143-154)
+    over (start_char, end_char) spans."""
+    units: list = []
+    if spans and spans[0][0] > 0:
+        units.append(("", text[: spans[0][0]]))
+    for idx, (s, e) in enumerate(spans):
+        nxt = spans[idx + 1][0] if idx < len(spans) - 1 else len(text)
+        units.append((text[s:e], text[e:nxt]))
+    return units
+
+
+def split_unit_on_special_separators(
+    sent_text: str, sent_separator: str
+) -> list:
+    """Port of _split_unit_on_special_separators (segmentation.py:158-180)."""
+    import re as _re
+
+    matches = list(_re.finditer(SPECIAL_SEPARATOR_PATTERN, sent_text))
+    if not matches:
+        units: list = []
+        append_stripped_unit(units, sent_text, sent_separator)
+        return units
+    units = []
+    last_end = 0
+    for m in matches:
+        append_stripped_unit(
+            units, sent_text[last_end : m.start()], sent_text[m.start() : m.end()]
+        )
+        last_end = m.end()
+    if last_end < len(sent_text):
+        append_stripped_unit(units, sent_text[last_end:], sent_separator)
+    elif sent_separator:
+        units.append(("", sent_separator))
+    return units
+
+
+def default_sentence_spans(text: str) -> list:
+    """Deterministic rule-based sentencizer stand-in: a sentence ends at
+    a run of .!?… plus trailing quote/bracket closers; the whitespace to
+    the next non-space starts the following sentence. Returns
+    (start_char, end_char) spans — the spaCy model plug point."""
+    spans: list = []
+    n = len(text)
+    i = 0
+    while i < n and text[i].isspace():
+        i += 1
+    start = i
+    while i < n:
+        if text[i] in _SENT_ENDERS:
+            j = i + 1
+            while j < n and text[j] in _SENT_ENDERS:
+                j += 1
+            while j < n and text[j] in _SENT_CLOSERS:
+                j += 1
+            spans.append((start, j))
+            i = j
+            while i < n and text[i].isspace():
+                i += 1
+            start = i
+        else:
+            i += 1
+    if start < n:
+        spans.append((start, n))
+    return spans
+
+
+def split_into_sentences_with_structure(
+    text: str, sentencizer=None
+) -> list:
+    """Port of split_into_sentences_with_structure (segmentation.py:
+    182-224): sentencize, attach exact separators, split on the special
+    pattern, verify byte-exact reconstruction (fallback: one unit)."""
+    spans = (sentencizer or default_sentence_spans)(text)
+    all_units: list = []
+    for sent_text, sep in units_with_separators(text, spans):
+        all_units.extend(split_unit_on_special_separators(sent_text, sep))
+    if text != "".join(t + s for t, s in all_units):
+        return [(text, "")]
+    return all_units
+
+
+def segment_fine(text: str, sentencizer=None) -> tuple[list, dict]:
+    """Port of SegmentationStage._segment_fine (segmentation.py:557-581):
+    translatable units (non-blank + is_line_translatable) become
+    segments; everything is recorded in order with its separator."""
+    units_meta: list = []
+    segments: list = []
+    for text_unit, sep in split_into_sentences_with_structure(
+        text, sentencizer
+    ):
+        translatable = bool(text_unit.strip()) and is_line_translatable(
+            text_unit
+        )
+        units_meta.append(
+            {
+                "translatable": translatable,
+                "original": text_unit,
+                "separator": sep,
+            }
+        )
+        if translatable:
+            segments.append(text_unit)
+    return segments, {"mode": "fine", "units": units_meta}
+
+
+def reassemble_fine(metadata: dict, translated: list) -> str:
+    """Port of _reassemble_fine (reassembly.py:458-480): translatable
+    units take the next translation; running out falls back to the
+    original unit (the reference logs and degrades the same way)."""
+    k = 0
+    parts: list = []
+    for unit in metadata["units"]:
+        if unit["translatable"]:
+            if k < len(translated):
+                parts.append(translated[k] + unit["separator"])
+                k += 1
+            else:
+                parts.append(unit["original"] + unit["separator"])
+        else:
+            parts.append(unit["original"] + unit["separator"])
+    return "".join(parts)
+
+
+def segment_documents_fine(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sentencizer=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fine-mode Spark form, same shape as segment_documents_coarse:
+    one Arrow pass, (id, seg_idx, segment) rows + a per-document
+    metadata frame; only the small triples cross any later exchange."""
+
+    @F.pandas_udf(_SEG_STRUCT)
+    def _seg(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            segs, meta = segment_fine(t or "", sentencizer)
+            rows.append((segs, json.dumps(meta, ensure_ascii=False)))
+        return pd.DataFrame(rows, columns=["segments", "metadata"])
+
+    base = df.select(F.col(id_col), _seg(F.col(text_col)).alias("_s"))
+    segments = base.select(
+        id_col, F.posexplode("_s.segments").alias("seg_idx", "segment")
+    )
+    meta = base.select(id_col, F.col("_s.metadata").alias("metadata"))
+    return segments, meta
+
+
+def reassemble_documents_fine(
+    meta: DataFrame,
+    translated: DataFrame,
+    id_col: str = "doc_id",
+    segment_col: str = "segment",
+    out_col: str = "text_out",
+) -> DataFrame:
+    """Fine-mode reassembly, same plan shape as the coarse form (one
+    groupBy, array_sort order-from-data, left join onto metadata)."""
+    agg = translated.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seg_idx", segment_col))),
+            lambda s: s[segment_col],
+        ).alias("_translated")
+    )
+    joined = meta.join(agg, id_col, "left")
+
+    @F.pandas_udf(T.StringType())
+    def _fill(metas: pd.Series, segs: pd.Series) -> pd.Series:
+        out = []
+        for m, s in zip(metas, segs):
+            out.append(
+                reassemble_fine(
+                    json.loads(m), list(s) if s is not None else []
+                )
+            )
+        return pd.Series(out)
+
+    return joined.select(
+        id_col, _fill(F.col("metadata"), F.col("_translated")).alias(out_col)
+    )

@@ -97,3 +97,77 @@ def test_spark_roundtrip_identity_and_upper(spark):
     assert "code line stays verbatim" in got[1]  # fenced content untouched
     assert "HELLO WORLD, TRANSLATE ME." in got[1]
     assert got[4] == "<a>\n<b>\n123"  # template-only document survives
+
+
+# --- fine mode (round 5) -----------------------------------------------------
+
+
+def test_fine_structure_roundtrip_property():
+    """The load-bearing invariant (segmentation.py:215-222): units always
+    reconstruct the text byte-exactly, whatever the sentencizer says —
+    checked over nasty structural inputs."""
+    texts = [
+        "",
+        "One. Two! Three?",
+        "  leading spaces. And trailing   ",
+        "Bullets:\n• first\n• second\n\nDone...",
+        "a|b|c ## d -- e --- f ___ g",
+        "No enders at all just words",
+        "Ends mid ⁃ bullet ⁌ and ⁍ marks",
+        "Tabs\there\tand\nnewlines\n\n\n",
+        "Quote endings. \"Really?\" Yes.",
+        "…… leading ellipsis run",
+        "<tag>line</tag>\n{\"a\": 1}\nplain words.",
+    ]
+    for t in texts:
+        units = TR.split_into_sentences_with_structure(t)
+        assert "".join(u + s for u, s in units) == t, repr(t)
+
+
+def test_fine_segment_and_reassemble_identity():
+    t = "First sentence. Second one!\n• bullet item\n{\"k\": 2}\nlast words"
+    segs, meta = TR.segment_fine(t)
+    assert meta["mode"] == "fine"
+    # identity translation restores byte-exactly
+    assert TR.reassemble_fine(meta, segs) == t
+    # non-translatable units (the JSON blob, bullets) are not segments
+    assert all(TR.is_line_translatable(s) for s in segs)
+    # short translation tail falls back to originals (reassembly.py:468-476)
+    assert TR.reassemble_fine(meta, segs[:1]) == t
+
+
+def test_fine_upper_translation_touches_only_translatable():
+    t = "Hello there. <b>\n123\nworld again!"
+    segs, meta = TR.segment_fine(t)
+    out = TR.reassemble_fine(meta, [s.upper() for s in segs])
+    assert "HELLO THERE." in out
+    assert "<b>" in out and "123" in out  # untouched
+    # structure preserved
+    assert out.count("\n") == t.count("\n")
+
+
+def test_fine_injectable_sentencizer():
+    # a sentencizer that treats the whole text as one sentence
+    whole = lambda text: [(0, len(text))] if text else []  # noqa: E731
+    t = "A. B. C."
+    units = TR.split_into_sentences_with_structure(t, sentencizer=whole)
+    assert "".join(u + s for u, s in units) == t
+    default_units = TR.split_into_sentences_with_structure(t)
+    assert len(default_units) >= 3  # default splits on enders
+
+
+def test_fine_spark_roundtrip(spark):
+    rows = [
+        (1, "One. Two! Three?"),
+        (2, "• a\n• b\nplain tail."),
+        (3, ""),
+        (4, "<x>\n{\"j\": true}\nwords here. More words!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    segments, meta = TR.segment_documents_fine(df)
+    out = (
+        TR.reassemble_documents_fine(meta, segments)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out.text_out.tolist() == [t for _, t in rows]

@@ -105,6 +105,8 @@ def test_embedder_gate_survives_nasty_whitespace(spark, nasty_duck, nasty_sf_dir
     [
         "classifier_stage",  # MiniTransformer: artifact oracle, no re-tok
         "embedder_mini_transformer",  # same artifact protocol
+        "translation_coarse_roundtrip",  # strip/lead-ws template replay
+        "translation_fine_roundtrip",  # python strip + sentencizer units
         "token_count_fingerprint",  # JVM split + fingerprint normalize
         "langid",  # JVM stopword-hit word split
         "quality_pareto",  # lexical-quality word/line split
