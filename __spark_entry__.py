@@ -3288,10 +3288,11 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the ~15-query always-on core first, then the four queries
+    per round — the ~15-query always-on core first, then the five queries
     new or changed this round (classifier_stage now runs REAL
     MiniTransformer inference; embedder_mini_transformer,
-    caption_window_plan and data_designer_columns are new), then a
+    caption_window_plan, data_designer_columns and
+    translation_fine_roundtrip are new), then a
     pull-back of the set the r04 window rotated out (modifiers, tpch_q3/
     q5, as-of/cube/set-ops/range-join, joiner roundtrip, the knn/ann/ivf
     trio, video/image/token queries, 3 filters, the 7 remaining

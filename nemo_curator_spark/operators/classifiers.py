@@ -180,6 +180,27 @@ def aegis_classifier(**kw) -> CategoricalClassifier:
     )
 
 
+def prompt_task_complexity_classifier(**kw) -> CategoricalClassifier:
+    """Reference PromptTaskComplexityClassifier
+    (prompt_task_complexity.py:281-326): multi-headed task-type +
+    complexity model. Mirrors the reference contract that ``filter_by``
+    is unsupported for this classifier (raises NotImplementedError);
+    the multi-head output surfaces through the injected model's label
+    (the HF id is the plug point, as for the rest of the family)."""
+    if kw.get("filter_by"):
+        raise NotImplementedError(
+            "filter_by not supported with PromptTaskComplexityClassifier"
+        )
+    kw.pop("filter_by", None)
+    return CategoricalClassifier(
+        model_name="nvidia/prompt-task-and-complexity-classifier",
+        label_field=kw.pop("label_field", "task_type_1"),
+        score_field=kw.pop("score_field", "prompt_complexity_score"),
+        max_chars=kw.pop("max_chars", -1),
+        **kw,
+    )
+
+
 @dataclass
 class EmbedderStage:
     """Text -> array<float> embedding stage (reference embedders/base.py

@@ -102,3 +102,24 @@ def test_named_classifiers_config_surface(spark):
     out = CL.CategoricalClassifier(model=LenModel(), max_chars=100).apply(long_df)
     # 100 chars of "ab " -> 34 words, not 2500
     assert out.collect()[0]["pred"] == "34"
+
+
+def test_prompt_task_complexity_classifier_contract(spark):
+    from nemo_curator_spark.operators import classifiers as CL
+    import pytest as _pytest
+
+    clf = CL.prompt_task_complexity_classifier(model=_MockModel())
+    assert clf.model_name == "nvidia/prompt-task-and-complexity-classifier"
+    assert clf.label_field == "task_type_1"
+    assert clf.score_field == "prompt_complexity_score"
+    # reference prompt_task_complexity.py:324-326: filter_by unsupported
+    with _pytest.raises(NotImplementedError, match="filter_by not supported"):
+        CL.prompt_task_complexity_classifier(filter_by=["News"])
+
+    df = spark.createDataFrame(
+        [(1, "a long news article with many words present here")],
+        "doc_id long, text string",
+    )
+    row = clf.apply(df).collect()[0]
+    assert row["task_type_1"] == "News"
+    assert row["prompt_complexity_score"] == 0.9
