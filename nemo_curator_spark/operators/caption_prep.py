@@ -283,10 +283,15 @@ def caption_windows(
     frames_col: str = "n_frames",
     window_size: int = 256,
     remainder_threshold: int = 128,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """compute_windows as a generated-column plan: emits one row per
     (clip, window) with ``win_idx, w_start, w_end``. Clips with fewer
-    than WINDOW_MIN_FRAMES frames emit nothing (reference returns [])."""
+    than WINDOW_MIN_FRAMES frames emit nothing (reference returns []).
+    ``carry_cols`` are passed through to the output — callers needing
+    per-clip metadata downstream (framerate, uri) carry it here instead
+    of re-joining on clip_col (a join is an exchange this plan doesn't
+    otherwise have)."""
     n = F.col(frames_col).cast("long")
     w = F.lit(int(window_size))
     t = F.lit(int(remainder_threshold))
@@ -297,8 +302,10 @@ def caption_windows(
             num_full + F.when(rem >= t, 1).otherwise(0)
         )
     )
+    carry = list(carry_cols or [])
     out = df.select(
         F.col(clip_col),
+        *[F.col(c) for c in carry],
         n.alias("_n"),
         num_full.alias("_nf"),
         rem.alias("_rem"),
@@ -320,6 +327,7 @@ def caption_windows(
     )
     return out.select(
         clip_col,
+        *carry,
         "win_idx",
         w_start.cast("long").alias("w_start"),
         w_end.cast("long").alias("w_end"),
@@ -367,9 +375,13 @@ def caption_preparation(
     prompt = get_prompt(prompt_variant, prompt_text)
     llm_prompt = format_llm_prompt(prompt, chat_template)
 
+    # framerate rides through the generator (carry_cols) — re-joining on
+    # clip_col would add a broadcast exchange to an otherwise
+    # scan→generate→project plan
     wins = caption_windows(
-        df, clip_col, frames_col, window_size, remainder_threshold
-    ).join(df.select(clip_col, framerate_col), on=clip_col)
+        df, clip_col, frames_col, window_size, remainder_threshold,
+        carry_cols=[framerate_col],
+    )
     total = F.col("w_end") - F.col("w_start") + 1
     nf = smart_nframes_col(sampling_fps, total, F.col(framerate_col))
     wins = wins.select(
