@@ -307,3 +307,81 @@ def preserve_by_value(
         "gt": col > t,
     }
     return df.where(exprs[op])
+
+
+def mono_conversion(
+    df: DataFrame,
+    wav_col: str = "wav",
+    output_sample_rate: int = 48000,
+    strict_sample_rate: bool = True,
+) -> DataFrame:
+    """MonoConversionStage (reference audio/preprocessing/
+    mono_conversion.py:40-115): average channels to mono, verify sample
+    rate; rows that fail to decode or (in strict mode) carry the wrong
+    sample rate are DROPPED, matching the stage's ``return []``.
+
+    Over binary WAV columns (the repo's audio-pipeline convention):
+    decode interleaved int16 PCM, de-interleave to (frames, channels),
+    mean across channels (the reference's ``torch.mean(dim=0)``) with
+    half-even rounding back to int16 for the mono WAV bytes — the
+    reference keeps a float32 waveform in task memory; a binary column
+    needs re-encoding, and the k-channel mean is a multiple of 1/k so
+    np.rint is the deterministic choice. Adds the stage's output fields:
+    ``sample_rate, is_mono, duration, num_samples``.
+    """
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    out_schema = T.StructType(
+        [
+            T.StructField("wav_mono", T.BinaryType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("is_mono", T.BooleanType()),
+            T.StructField("duration", T.DoubleType()),
+            T.StructField("num_samples", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def _mono(wavs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for raw in wavs:
+            try:
+                ch, rate, samples = decode_wav(bytes(raw))
+            except Exception:
+                rows.append((None, None, None, None, None))
+                continue
+            if rate <= 0 or (strict_sample_rate and rate != output_sample_rate):
+                rows.append((None, None, None, None, None))
+                continue
+            if ch > 1:
+                frames = samples.reshape(-1, ch)
+                mono = np.rint(frames.mean(axis=1)).astype(np.int16)
+            else:
+                mono = samples
+            rows.append(
+                (
+                    encode_wav(mono, rate),
+                    rate,
+                    True,
+                    len(mono) / rate,
+                    len(mono),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["wav_mono", "sample_rate", "is_mono", "duration",
+                     "num_samples"],
+        )
+
+    out = df.withColumn("_m", _mono(F.col(wav_col)))
+    return (
+        out.where(F.col("_m.sample_rate").isNotNull())
+        .select(
+            *[c for c in df.columns],
+            F.col("_m.wav_mono").alias("wav_mono"),
+            F.col("_m.sample_rate").alias("sample_rate"),
+            F.col("_m.is_mono").alias("is_mono"),
+            F.col("_m.duration").alias("duration"),
+            F.col("_m.num_samples").alias("num_samples"),
+        )
+    )

@@ -195,16 +195,19 @@ AUDIO_META_SCHEMA = T.StructType(
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Mono 16-bit PCM WAV from an int16 array (test/fixture helper)."""
+    """16-bit PCM WAV from an int16 array (test/fixture helper).
+    1-D input -> mono; 2-D ``(n_frames, channels)`` input -> interleaved
+    multi-channel."""
     import io
     import wave
 
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(samples.astype("<i2").tobytes())
+        w.writeframes(samples.astype("<i2").reshape(-1).tobytes())
     return buf.getvalue()
 
 

@@ -387,3 +387,122 @@ def reassemble_documents_fine(
     return joined.select(
         id_col, _fill(F.col("metadata"), F.col("_translated")).alias(out_col)
     )
+
+
+# --- wildcard dot-path field access -----------------------------------------
+# (reference translation/utils/field_paths.py:22-141 + the stage's
+# _extract_texts, segmentation.py:467-505) — multi-field support:
+# translating nested structures like ``messages.*.content`` without
+# manual flattening. Pure-python ports; the Spark caller applies them
+# inside the existing one-Arrow-pass segmentation UDFs.
+
+
+def _find_nested(obj, remaining, collected):
+    if not remaining:
+        return
+    key, rest = remaining[0], remaining[1:]
+    if key == "*":
+        if isinstance(obj, list):
+            for item in obj:
+                if rest:
+                    _find_nested(item, rest, collected)
+                elif isinstance(item, str):
+                    collected.append(item)
+        return
+    if isinstance(obj, dict) and key in obj:
+        if rest:
+            _find_nested(obj[key], rest, collected)
+        elif isinstance(obj[key], str):
+            collected.append(obj[key])
+
+
+def extract_nested_fields(record, path: str) -> list:
+    """Strings matching a wildcard dot-path, in traversal order
+    (field_paths.py:51-55)."""
+    found: list = []
+    _find_nested(record, path.split("."), found)
+    return found
+
+
+def _set_nested(obj, remaining, values, idx):
+    if not remaining:
+        return
+    key, rest = remaining[0], remaining[1:]
+    if key == "*":
+        if isinstance(obj, list):
+            for i, item in enumerate(obj):
+                if rest:
+                    _set_nested(item, rest, values, idx)
+                elif isinstance(item, str) and idx[0] < len(values):
+                    obj[i] = values[idx[0]]
+                    idx[0] += 1
+        return
+    if isinstance(obj, dict) and key in obj:
+        if rest:
+            _set_nested(obj[key], rest, values, idx)
+        elif isinstance(obj[key], str) and idx[0] < len(values):
+            obj[key] = values[idx[0]]
+            idx[0] += 1
+
+
+def set_nested_fields(record, path: str, values: list):
+    """Write values back along the same traversal order; surplus target
+    slots keep their originals, surplus values are dropped with the
+    reference's warning semantics (field_paths.py:104-124)."""
+    import copy
+
+    result = copy.deepcopy(record)
+    idx = [0]
+    _set_nested(result, path.split("."), values, idx)
+    if idx[0] != len(values):
+        import warnings
+
+        warnings.warn(
+            f"set_nested_fields: expected to set {len(values)} values for "
+            f"path '{path}', but only set {idx[0]}",
+            stacklevel=2,
+        )
+    return result
+
+
+def is_wildcard_path(path: str) -> bool:
+    return "*" in path
+
+
+def normalize_text_field(text_field) -> list:
+    """str | list[str] -> list of field paths (field_paths.py:132-136)."""
+    if isinstance(text_field, str):
+        return [text_field]
+    return list(text_field)
+
+
+def parse_structured_value(value):
+    """dict/list (possibly JSON-encoded) or None (field_paths.py:139-151)."""
+    if isinstance(value, (dict, list)):
+        return value
+    if isinstance(value, str):
+        try:
+            parsed = json.loads(value)
+        except (ValueError, TypeError):
+            return None
+        if isinstance(parsed, (dict, list)):
+            return parsed
+    return None
+
+
+def extract_texts_py(value, field_path: str) -> list:
+    """SegmentationStage._extract_texts (segmentation.py:467-505): a
+    plain column name returns the string itself; a wildcard/dot path
+    parses the root value as structured data and pulls matching strings;
+    unparseable structured roots fall back to the raw string."""
+    if not is_wildcard_path(field_path) and "." not in field_path:
+        if isinstance(value, str):
+            return [value] if value else []
+        return [str(value)] if value else []
+    record = parse_structured_value(value)
+    if record is None:
+        if isinstance(value, str) and value:
+            return [value]
+        return []
+    root_key = field_path.split(".")[0]
+    return extract_nested_fields({root_key: record}, field_path)

