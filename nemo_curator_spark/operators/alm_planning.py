@@ -1,0 +1,286 @@
+"""ALM pretrain segment planning — reference
+stages/audio/alm/pretrain/planning.py (overlap drop, greedy snippet
+packing, repetition filter): the pure in-memory half that runs BEFORE
+any audio is decoded, re-expressed Spark-first over a segments table.
+
+Behavioral ports (cited per function): empty-segment drop, the
+sweep-line overlap detector (planning.py:74-127 — end-keyed min-heap of
+active intervals, overlap >= min_overlap_sec OR containment flags both
+sides), greedy contiguous packing with duration + gap constraints
+(planning.py:129-205, incl. the too_long / too_short / no_text drop
+accounting), snippet-relative timestamp shift with jitter clamping
+(planning.py:206-252), and the token-ngram repetition counters
+(planning.py:253-300). The HF/Whisper tokenizer of
+SnippetRepetitionFilterStage is the plug point — inject any
+``tokenize(text) -> list[int]`` (the vendored MiniBPE works); loguru
+red-highlight formatting is display-only and not ported.
+
+Spark shape: segments for one audio file are independent of every other
+file, so the whole plan is ONE ``applyInPandas`` keyed by file id — a
+single hash shuffle on the (tiny) bookkeeping rows, never audio bytes,
+then the extractor stage decodes only planned snippets (the reference's
+stated reason for planning first: filtered snippets never incur
+decode/resample cost).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def segment_text(seg: dict) -> str:
+    """utils.py:108-118: the ``text`` field, stripped (text_ITN is
+    carried through but never consulted)."""
+    return (seg.get("text") or "").strip()
+
+
+def filter_empty_segments(segments: list[dict]) -> tuple[list[dict], int]:
+    """planning.py:59-72: drop segments with no text and no words."""
+    kept = [s for s in segments if segment_text(s) or s.get("words")]
+    return kept, len(segments) - len(kept)
+
+
+def find_overlapping_indices(
+    segments: list[dict], min_overlap_sec: float
+) -> set[int]:
+    """planning.py:74-127: indices overlapping any other segment
+    (>= min_overlap_sec intersection OR containment), via a sweep over
+    (start, end)-sorted segments with an end-keyed active heap."""
+    n = len(segments)
+    if n < 2:
+        return set()
+    order = sorted(
+        range(n), key=lambda i: (segments[i]["start"], segments[i]["end"])
+    )
+    bad: set[int] = set()
+    active: list[tuple[float, float, int]] = []  # (end, start, idx)
+    for k in order:
+        si, ei = segments[k]["start"], segments[k]["end"]
+        while active and active[0][0] <= si:
+            heapq.heappop(active)
+        for ej, sj, j in active:
+            if sj >= ei:
+                continue
+            overlap = min(ei, ej) - max(si, sj)
+            contains = (si <= sj and ei >= ej) or (sj <= si and ej >= ei)
+            if overlap >= min_overlap_sec or contains:
+                bad.add(k)
+                bad.add(j)
+        heapq.heappush(active, (ei, si, k))
+    return bad
+
+
+def plan_snippets(
+    segments: list[dict],
+    max_duration_sec: float,
+    min_duration_sec: float,
+    max_segment_gap_in_snippet: float,
+) -> tuple[list[dict], dict[str, int]]:
+    """planning.py:129-205: greedy contiguous packing — grow the current
+    snippet while span <= max_duration and inter-segment gap <= max_gap;
+    then drop candidates that are too long / too short / text-free.
+    Precondition (guaranteed by the overlap stage): segments sorted,
+    non-overlapping."""
+    drops = {"too_long": 0, "too_short": 0, "no_text": 0}
+    if not segments:
+        return [], drops
+    candidates: list[dict] = []
+    cur: dict | None = None
+    for seg in segments:
+        if cur is None:
+            cur = {"start": seg["start"], "end": seg["end"], "segments": [seg]}
+            continue
+        gap = seg["start"] - cur["end"]
+        if (
+            seg["end"] - cur["start"] <= max_duration_sec
+            and gap <= max_segment_gap_in_snippet
+        ):
+            cur["end"] = seg["end"]
+            cur["segments"].append(seg)
+        else:
+            candidates.append(cur)
+            cur = {"start": seg["start"], "end": seg["end"], "segments": [seg]}
+    if cur is not None:
+        candidates.append(cur)
+
+    snippets: list[dict] = []
+    for cand in candidates:
+        duration = cand["end"] - cand["start"]
+        if duration > max_duration_sec:
+            drops["too_long"] += 1
+            continue
+        if duration < min_duration_sec:
+            drops["too_short"] += 1
+            continue
+        if not " ".join(segment_text(s) for s in cand["segments"]).strip():
+            drops["no_text"] += 1
+            continue
+        snippets.append(cand)
+    return snippets, drops
+
+
+def relativize_segments(
+    segments: list[dict], snippet_start: float, snippet_end: float
+) -> list[dict]:
+    """planning.py:206-252: shift segment and word timestamps to
+    snippet-relative, clamped into [0, duration] (real diarization data
+    has ~10 ms jitter past the boundaries)."""
+    duration = max(0.0, snippet_end - snippet_start)
+
+    def clamp(t: float) -> float:
+        return min(duration, max(0.0, t - snippet_start))
+
+    out = []
+    for seg in segments:
+        new_seg = dict(seg)
+        new_seg["start"] = clamp(seg["start"])
+        new_seg["end"] = clamp(seg["end"])
+        if seg.get("words"):
+            new_seg["words"] = [
+                {
+                    **w,
+                    **({"start": clamp(w["start"])} if "start" in w else {}),
+                    **({"end": clamp(w["end"])} if "end" in w else {}),
+                }
+                for w in seg["words"]
+            ]
+        out.append(new_seg)
+    return out
+
+
+def count_ngrams(token_ids: list[int], n: int) -> Counter:
+    """planning.py:253-258."""
+    if n <= 0 or len(token_ids) < n:
+        return Counter()
+    return Counter(
+        tuple(token_ids[i : i + n]) for i in range(len(token_ids) - n + 1)
+    )
+
+
+def find_offending_ngrams(counts: Counter, max_count: int) -> set:
+    """planning.py:260-264: frequency strictly above max_count."""
+    return {ng for ng, c in counts.items() if c > max_count}
+
+
+def merge_char_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """planning.py:287-300: merge overlapping/touching ranges."""
+    if not ranges:
+        return []
+    ordered = sorted(ranges)
+    merged = [ordered[0]]
+    for start, end in ordered[1:]:
+        ls, le = merged[-1]
+        if start <= le:
+            merged[-1] = (ls, max(le, end))
+        else:
+            merged.append((start, end))
+    return merged
+
+
+def snippet_is_repetitive(
+    text: str, tokenize, ngram_n: int = 10, ngram_max_count: int = 3
+) -> bool:
+    """SnippetRepetitionFilterStage core (planning.py:481-560): tokenize
+    the snippet text, drop iff any token n-gram repeats strictly more
+    than ``ngram_max_count`` times; shorter-than-n token sequences are
+    kept. Validation mirrors __post_init__."""
+    if ngram_n < 1:
+        raise ValueError("ngram_n must be >= 1")
+    if ngram_max_count < 1:
+        raise ValueError("ngram_max_count must be >= 1")
+    ids = tokenize(text)
+    if len(ids) < ngram_n:
+        return False
+    return bool(
+        find_offending_ngrams(count_ngrams(ids, ngram_n), ngram_max_count)
+    )
+
+
+_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType()),
+        T.StructField("snippet_idx", T.IntegerType()),
+        T.StructField("snip_start", T.DoubleType()),
+        T.StructField("snip_end", T.DoubleType()),
+        T.StructField("seg_pos", T.IntegerType()),
+        T.StructField("seg_start_rel", T.DoubleType()),
+        T.StructField("seg_end_rel", T.DoubleType()),
+        T.StructField("seg_text", T.StringType()),
+    ]
+)
+
+
+def alm_snippet_plan(
+    df: DataFrame,
+    file_col: str = "file_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    text_col: str = "text",
+    max_duration_sec: float = 30.0,
+    min_duration_sec: float = 5.0,
+    max_segment_gap_in_snippet: float = 2.0,
+    min_overlap_sec: float = 0.1,
+    tokenize=None,
+    ngram_n: int = 10,
+    ngram_max_count: int = 3,
+) -> DataFrame:
+    """The three planning stages fused into one per-file pass: empty
+    drop -> overlap drop -> greedy packing -> (optional) repetition
+    filter -> snippet-relative segments. One hash shuffle on the
+    bookkeeping rows keyed by file id; audio bytes are never touched."""
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([start_col, end_col])
+        segments = [
+            {"start": float(r[start_col]), "end": float(r[end_col]),
+             "text": r[text_col]}
+            for _, r in pdf.iterrows()
+        ]
+        segments, _ = filter_empty_segments(segments)
+        bad = find_overlapping_indices(segments, min_overlap_sec)
+        segments = [s for i, s in enumerate(segments) if i not in bad]
+        snippets, _ = plan_snippets(
+            segments, max_duration_sec, min_duration_sec,
+            max_segment_gap_in_snippet,
+        )
+        rows = []
+        fid = pdf[file_col].iloc[0] if len(pdf) else None
+        out_idx = 0
+        for snip in snippets:
+            text = " ".join(segment_text(s) for s in snip["segments"]).strip()
+            if tokenize is not None and snippet_is_repetitive(
+                text, tokenize, ngram_n, ngram_max_count
+            ):
+                continue
+            rel = relativize_segments(
+                snip["segments"], snip["start"], snip["end"]
+            )
+            for pos, seg in enumerate(rel):
+                rows.append(
+                    (
+                        fid,
+                        out_idx,
+                        snip["start"],
+                        snip["end"],
+                        pos,
+                        seg["start"],
+                        seg["end"],
+                        seg["text"],
+                    )
+                )
+            out_idx += 1
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "file_id", "snippet_idx", "snip_start", "snip_end",
+                "seg_pos", "seg_start_rel", "seg_end_rel", "seg_text",
+            ],
+        )
+
+    return df.groupBy(file_col).applyInPandas(per_file, schema=_PLAN_SCHEMA)

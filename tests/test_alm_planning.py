@@ -1,0 +1,130 @@
+"""ALM pretrain planning pins (reference planning.py pure helpers +
+the fused Spark per-file plan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nemo_curator_spark.operators import alm_planning as P
+
+
+def _seg(start, end, text="x", words=None):
+    d = {"start": start, "end": end, "text": text}
+    if words is not None:
+        d["words"] = words
+    return d
+
+
+def test_filter_empty_segments():
+    segs = [
+        _seg(0, 1, "hello"),
+        _seg(1, 2, "  "),  # blank text, no words -> dropped
+        _seg(2, 3, "", words=[{"start": 2, "end": 3}]),  # words keep it
+        _seg(3, 4, None),
+    ]
+    kept, dropped = P.filter_empty_segments(segs)
+    assert dropped == 2
+    assert [s["start"] for s in kept] == [0, 2]
+
+
+def test_find_overlapping_indices_semantics():
+    segs = [
+        _seg(0.0, 1.0),    # overlaps 1 by 0.5
+        _seg(0.5, 1.5),
+        _seg(2.0, 4.0),    # contains 3
+        _seg(2.5, 3.0),
+        _seg(5.0, 6.0),    # clean
+        _seg(5.95, 7.0),   # 0.05 touch-up < min_overlap, no containment
+    ]
+    bad = P.find_overlapping_indices(segs, min_overlap_sec=0.1)
+    assert bad == {0, 1, 2, 3}
+    # containment flags both even when the intersection is tiny
+    segs2 = [_seg(0.0, 10.0), _seg(4.0, 4.01)]
+    assert P.find_overlapping_indices(segs2, min_overlap_sec=1.0) == {0, 1}
+    assert P.find_overlapping_indices([_seg(0, 1)], 0.1) == set()
+
+
+def test_plan_snippets_constraints_and_drops():
+    segs = [
+        _seg(0, 4, "a"), _seg(5, 9, "b"),       # gap 1 -> same snippet (0-9)
+        _seg(20, 24, "c"),                      # gap 11 -> new snippet, 4s -> too_short
+        _seg(30, 70, "d"),                      # single 40s -> too_long
+        _seg(80, 86, "  "),                     # 6s but blank -> no_text
+        _seg(100, 107, "e"),
+    ]
+    snippets, drops = P.plan_snippets(
+        segs, max_duration_sec=30.0, min_duration_sec=5.0,
+        max_segment_gap_in_snippet=2.0,
+    )
+    assert drops == {"too_long": 1, "too_short": 1, "no_text": 1}
+    assert [(s["start"], s["end"]) for s in snippets] == [(0, 9), (100, 107)]
+    assert len(snippets[0]["segments"]) == 2
+
+
+def test_plan_snippets_duration_closes_snippet():
+    # span constraint: third segment would stretch span past max
+    segs = [_seg(0, 10, "a"), _seg(11, 20, "b"), _seg(21, 32, "c")]
+    snippets, drops = P.plan_snippets(segs, 30.0, 5.0, 5.0)
+    assert [(s["start"], s["end"]) for s in snippets] == [(0, 20), (21, 32)]
+
+
+def test_relativize_clamps_jitter():
+    segs = [
+        _seg(9.99, 12.0, "a", words=[{"start": 9.98, "end": 12.02, "w": "a"}]),
+        _seg(12.0, 20.01, "b"),
+    ]
+    rel = P.relativize_segments(segs, 10.0, 20.0)
+    assert rel[0]["start"] == 0.0  # clamped up
+    assert rel[0]["words"][0]["start"] == 0.0
+    assert rel[0]["words"][0]["end"] == pytest.approx(2.02)
+    assert rel[0]["words"][0]["w"] == "a"
+    assert rel[1]["end"] == 10.0  # clamped down to duration
+    # input untouched (copies)
+    assert segs[0]["start"] == 9.99
+
+
+def test_repetition_filter():
+    tok = lambda t: [ord(c) for c in t]  # noqa: E731
+    assert P.snippet_is_repetitive("ababababab", tok, ngram_n=2, ngram_max_count=3)
+    assert not P.snippet_is_repetitive("abcdefgh", tok, ngram_n=2, ngram_max_count=3)
+    assert not P.snippet_is_repetitive("ab", tok, ngram_n=10)  # too short: kept
+    with pytest.raises(ValueError):
+        P.snippet_is_repetitive("x", tok, ngram_n=0)
+    with pytest.raises(ValueError):
+        P.snippet_is_repetitive("x", tok, ngram_max_count=0)
+    assert P.merge_char_ranges([(5, 8), (0, 3), (2, 6)]) == [(0, 8)]
+    assert P.merge_char_ranges([(0, 1), (2, 3)]) == [(0, 1), (2, 3)]
+
+
+def test_spark_plan_end_to_end(spark):
+    rows = []
+    # file 1: two packable segments + an overlapping pair + a repetitive tail
+    rows += [
+        (1, 0.0, 4.0, "clean one"),
+        (1, 5.0, 9.0, "clean two"),
+        (1, 20.0, 25.0, "overlap a"),
+        (1, 22.0, 27.0, "overlap b"),
+        (1, 40.0, 47.0, "spam " * 20),
+    ]
+    # file 2: one good snippet
+    rows += [(2, 0.0, 3.0, "hello"), (2, 3.5, 7.0, "world")]
+    df = spark.createDataFrame(rows, "file_id long, start double, end double, text string")
+    tok = lambda t: [ord(c) for c in t]  # noqa: E731
+    out = (
+        P.alm_snippet_plan(
+            df, min_duration_sec=5.0, max_segment_gap_in_snippet=2.0,
+            tokenize=tok, ngram_n=4, ngram_max_count=3,
+        )
+        .orderBy("file_id", "snippet_idx", "seg_pos")
+        .toPandas()
+    )
+    f1 = out[out.file_id == 1]
+    # the overlapping pair is gone, the repetitive snippet filtered:
+    # only the packed (0, 9) snippet survives for file 1
+    assert f1.snippet_idx.nunique() == 1
+    assert f1.seg_text.tolist() == ["clean one", "clean two"]
+    assert f1.seg_start_rel.tolist() == [0.0, 5.0]
+    f2 = out[out.file_id == 2]
+    assert f2.snip_start.tolist() == [0.0, 0.0]
+    assert f2.snip_end.tolist() == [7.0, 7.0]
+    assert f2.seg_end_rel.tolist() == [3.0, 7.0]
