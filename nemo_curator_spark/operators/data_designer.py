@@ -114,6 +114,7 @@ class LLMTextColumnConfig:
     name: str
     prompt: str = ""
     model_alias: str | None = None
+    system_prompt: str | None = None
 
 
 @dataclass
@@ -344,13 +345,19 @@ class DataDesignerStage:
             + [T.StructField(cfg.name, T.StringType())]
         )
 
+        system_prompt = cfg.system_prompt
+
         def gen(it):
             import pandas as pd  # noqa: F401  (mapInPandas batches)
 
             for pdf in it:
-                pdf[cfg.name] = client.generate_batch(
-                    pdf["_ndd_prompt"].tolist()
-                )
+                prompts = pdf["_ndd_prompt"].tolist()
+                if system_prompt is not None:
+                    pdf[cfg.name] = client.generate_batch(
+                        prompts, system_prompt
+                    )
+                else:
+                    pdf[cfg.name] = client.generate_batch(prompts)
                 yield pdf
 
         return rendered.mapInPandas(gen, schema).drop("_ndd_prompt")
