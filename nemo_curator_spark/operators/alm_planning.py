@@ -284,3 +284,95 @@ def alm_snippet_plan(
         )
 
     return df.groupBy(file_col).applyInPandas(per_file, schema=_PLAN_SCHEMA)
+
+
+# --- ALM window overlap filter ----------------------------------------------
+# (reference audio/alm/alm_data_overlap.py:61-145): after windows are
+# built, drop near-duplicate windows whose span overlap exceeds a
+# threshold, preferring the window whose duration is closest to the
+# target (ties keep the longer; equal-everything keeps the earlier).
+
+
+def overlap_ratio(seg1: tuple, seg2: tuple) -> float:
+    """alm_data_overlap.py:61-69 — segments stored (end, start); ratio =
+    intersection / smaller duration."""
+    start1, end1 = seg1[1], seg1[0]
+    start2, end2 = seg2[1], seg2[0]
+    overlap = max(0, min(end1, end2) - max(start1, start2))
+    smaller = min(end1 - start1, end2 - start2)
+    return overlap / smaller if smaller else 0
+
+
+def filter_overlapping_windows(
+    segments: list[tuple], threshold: float, target_duration: float
+) -> list[tuple]:
+    """alm_data_overlap.py:72-112 (_filter_segments) — (end, start)
+    tuples; sorted by (start, end); the early-break on start_j >= end_i
+    bounds the scan to genuinely overlapping neighbors."""
+    sorted_segs = sorted(segments, key=lambda x: (x[1], x[0]))
+    removed: set[int] = set()
+    for i in range(len(sorted_segs)):
+        if i in removed:
+            continue
+        end_i, start_i = sorted_segs[i]
+        dur_i = end_i - start_i
+        for j in range(i + 1, len(sorted_segs)):
+            if j in removed:
+                continue
+            end_j, start_j = sorted_segs[j]
+            dur_j = end_j - start_j
+            if start_j >= end_i:
+                break
+            if overlap_ratio(sorted_segs[i], sorted_segs[j]) >= threshold:
+                diff_i = abs(dur_i - target_duration)
+                diff_j = abs(dur_j - target_duration)
+                if diff_i < diff_j:
+                    removed.add(j)
+                elif diff_j < diff_i:
+                    removed.add(i)
+                    break
+                elif dur_i >= dur_j:
+                    removed.add(j)
+                else:
+                    removed.add(i)
+                    break
+    return [s for k, s in enumerate(sorted_segs) if k not in removed]
+
+
+def alm_window_overlap_filter(
+    df: DataFrame,
+    file_col: str = "file_id",
+    start_col: str = "win_start",
+    end_col: str = "win_end",
+    threshold: float = 0.5,
+    target_duration: float = 30.0,
+) -> DataFrame:
+    """ALMDataOverlapStage over a windows table: per file, keep the
+    windows surviving :func:`filter_overlapping_windows` (semi-join on
+    the reference's round-6 timestamp identity,
+    alm_data_overlap.py:125-145). One applyInPandas over bookkeeping
+    rows keyed by file."""
+    schema = T.StructType(
+        [
+            T.StructField("file_id", T.LongType()),
+            T.StructField("win_start", T.DoubleType()),
+            T.StructField("win_end", T.DoubleType()),
+        ]
+    )
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = [
+            (float(r[end_col]), float(r[start_col])) for _, r in pdf.iterrows()
+        ]
+        kept = filter_overlapping_windows(segs, threshold, target_duration)
+        kept_set = {(round(e, 6), round(s, 6)) for e, s in kept}
+        mask = [
+            (round(float(r[end_col]), 6), round(float(r[start_col]), 6))
+            in kept_set
+            for _, r in pdf.iterrows()
+        ]
+        out = pdf.loc[mask, [file_col, start_col, end_col]]
+        out.columns = ["file_id", "win_start", "win_end"]
+        return out
+
+    return df.groupBy(file_col).applyInPandas(per_file, schema=schema)

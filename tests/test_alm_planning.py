@@ -128,3 +128,43 @@ def test_spark_plan_end_to_end(spark):
     assert f2.snip_start.tolist() == [0.0, 0.0]
     assert f2.snip_end.tolist() == [7.0, 7.0]
     assert f2.seg_end_rel.tolist() == [3.0, 7.0]
+
+
+def test_overlap_ratio_and_window_filter():
+    # (end, start) tuples; 50% overlap of the smaller window
+    a = (10.0, 0.0)
+    b = (15.0, 5.0)
+    assert P.overlap_ratio(a, b) == pytest.approx(0.5)
+    assert P.overlap_ratio((1.0, 0.0), (5.0, 3.0)) == 0.0
+
+    # target-duration preference: keep the window closer to target
+    wins = [(10.0, 0.0), (9.0, 1.0)]  # durations 10 and 8, heavy overlap
+    kept = P.filter_overlapping_windows(wins, threshold=0.5, target_duration=8.0)
+    assert kept == [(9.0, 1.0)]
+    kept = P.filter_overlapping_windows(wins, threshold=0.5, target_duration=10.0)
+    assert kept == [(10.0, 0.0)]
+    # equal diff -> longer wins
+    wins = [(10.0, 0.0), (9.0, 1.0)]
+    kept = P.filter_overlapping_windows(wins, threshold=0.5, target_duration=9.0)
+    assert kept == [(10.0, 0.0)]
+    # disjoint windows untouched
+    wins = [(5.0, 0.0), (12.0, 6.0)]
+    assert sorted(P.filter_overlapping_windows(wins, 0.1, 30.0)) == sorted(wins)
+
+
+def test_alm_window_overlap_filter_spark(spark):
+    rows = [
+        (1, 0.0, 10.0),   # overlaps the next heavily
+        (1, 1.0, 9.0),    # duration 8, closer to target 8 -> kept
+        (1, 20.0, 28.0),  # clean
+        (2, 0.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "file_id long, win_start double, win_end double")
+    out = (
+        P.alm_window_overlap_filter(df, threshold=0.5, target_duration=8.0)
+        .orderBy("file_id", "win_start")
+        .toPandas()
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, 1.0, 9.0), (1, 20.0, 28.0), (2, 0.0, 5.0),
+    ]
