@@ -28,6 +28,7 @@ from __future__ import annotations
 import heapq
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -376,3 +377,147 @@ def alm_window_overlap_filter(
         return out
 
     return df.groupBy(file_col).applyInPandas(per_file, schema=schema)
+
+
+# --- snippet extraction (the decode half) ------------------------------------
+# (reference alm/pretrain/extraction.py:152-260 + utils.py:172-228):
+# cut the planned snippets out of the source waveform. soundfile/
+# torchaudio there; the repo's stdlib WAV codec here — REAL byte-exact
+# cuts; RESAMPLING is the one gated piece (torchaudio.functional.
+# resample — a polyphase filter) and is an injectable plug point.
+
+_SNIPPET_ID_RESERVED_CHARS = (".", "/", "\\")
+_HISTOGRAM_BIN_WIDTH_SEC = 30.0
+
+
+def make_snippet_id(original_id: str, start_sec: float, end_sec: float) -> str:
+    """utils.py:175-205: ``<id>-<st>_<ms>-<en>_<ms>`` with ``.``/path
+    separators sanitized so ``<snippet_id>.<ext>`` survives
+    WebDataset-style first-dot key grouping."""
+    safe_id = original_id
+    for ch in _SNIPPET_ID_RESERVED_CHARS:
+        safe_id = safe_id.replace(ch, "_")
+    start_str = f"{start_sec:.3f}".replace(".", "_")
+    end_str = f"{end_sec:.3f}".replace(".", "_")
+    return f"{safe_id}-{start_str}-{end_str}"
+
+
+def histogram_30s(durations: list) -> dict:
+    """utils.py:209-228: dense 30-s duration histogram from bin 0."""
+    if not durations:
+        return {}
+    max_idx = max(int(d // _HISTOGRAM_BIN_WIDTH_SEC) for d in durations)
+    counts = [0] * (max_idx + 1)
+    for d in durations:
+        counts[int(d // _HISTOGRAM_BIN_WIDTH_SEC)] += 1
+    w = int(_HISTOGRAM_BIN_WIDTH_SEC)
+    return {f"{i * w}-{(i + 1) * w}": counts[i] for i in range(max_idx + 1)}
+
+
+def extract_snippet_wav(
+    wav: bytes,
+    start_sec: float,
+    end_sec: float,
+    target_sample_rate: int | None = None,
+    resample=None,
+):
+    """One snippet cut (extraction.py:233-260 frame math): frame range
+    ``[floor(start*sr), ceil(end*sr))`` clamped to the file, mono mean,
+    optional resample via the injected callable
+    ``resample(samples, src_sr, dst_sr) -> samples``. Returns
+    ``(wav_bytes, duration_sec)`` or None for an empty range."""
+    import math as _math
+
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    ch, sr, samples = decode_wav(bytes(wav))
+    if ch > 1:
+        frames = samples.reshape(-1, ch)
+        samples = np.rint(frames.mean(axis=1)).astype(np.int16)
+    n = len(samples)
+    start_frame = max(0, _math.floor(start_sec * sr))
+    end_frame = min(n, _math.ceil(end_sec * sr))
+    if end_frame <= start_frame:
+        return None
+    cut = samples[start_frame:end_frame]
+    out_sr = sr
+    if target_sample_rate is not None and target_sample_rate != sr:
+        if resample is None:
+            raise NotImplementedError(
+                "resampling needs an injected resample(samples, src, dst) "
+                "(torchaudio polyphase resample is the reference path)"
+            )
+        cut = resample(cut, sr, target_sample_rate)
+        out_sr = target_sample_rate
+    return encode_wav(np.asarray(cut, dtype=np.int16), out_sr), len(cut) / out_sr
+
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType()),
+        T.StructField("snippet_idx", T.IntegerType()),
+        T.StructField("snippet_id", T.StringType()),
+        T.StructField("wav", T.BinaryType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def alm_extract_snippets(
+    audio_df: DataFrame,
+    plan_df: DataFrame,
+    file_col: str = "file_id",
+    wav_col: str = "wav",
+) -> DataFrame:
+    """Cut every planned snippet out of its source waveform. The PLAN
+    side (tiny bookkeeping rows) is broadcast onto the audio scan, so
+    waveform bytes never shuffle; one row out per (file, snippet)."""
+    plan = (
+        plan_df.select(file_col, "snippet_idx", "snip_start", "snip_end")
+        .dropDuplicates([file_col, "snippet_idx"])
+        .groupBy(file_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("snippet_idx", "snip_start", "snip_end")
+                )
+            ).alias("_plan")
+        )
+    )
+    joined = audio_df.select(file_col, wav_col).join(
+        F.broadcast(plan), on=file_col
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                for p in r["_plan"]:
+                    res = extract_snippet_wav(
+                        r[wav_col], float(p["snip_start"]), float(p["snip_end"])
+                    )
+                    if res is None:
+                        continue
+                    blob, dur = res
+                    rows.append(
+                        (
+                            int(r[file_col]),
+                            int(p["snippet_idx"]),
+                            make_snippet_id(
+                                str(r[file_col]),
+                                float(p["snip_start"]),
+                                float(p["snip_end"]),
+                            ),
+                            blob,
+                            dur,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "snippet_idx", "snippet_id", "wav",
+                    "duration_sec",
+                ],
+            )
+
+    return joined.mapInPandas(gen, _EXTRACT_SCHEMA)

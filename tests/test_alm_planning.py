@@ -168,3 +168,78 @@ def test_alm_window_overlap_filter_spark(spark):
     assert list(map(tuple, out.itertuples(index=False))) == [
         (1, 1.0, 9.0), (1, 20.0, 28.0), (2, 0.0, 5.0),
     ]
+
+
+def test_make_snippet_id_sanitization():
+    assert P.make_snippet_id("utt1", 11.708, 13.97) == "utt1-11_708-13_970"
+    # dots and path separators sanitized (WebDataset first-dot grouping)
+    assert P.make_snippet_id("shard1/meeting.wav", 0.0, 1.5) == (
+        "shard1_meeting_wav-0_000-1_500"
+    )
+    assert "." not in P.make_snippet_id("a.b\\c/d", 0.123, 4.567)
+
+
+def test_histogram_30s_dense_bins():
+    assert P.histogram_30s([]) == {}
+    assert P.histogram_30s([30.0]) == {"0-30": 0, "30-60": 1}
+    assert P.histogram_30s([5.0, 29.9, 65.0]) == {
+        "0-30": 2, "30-60": 0, "60-90": 1,
+    }
+
+
+def test_extract_snippet_wav_frame_math():
+    import numpy as np
+
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    sr = 1000
+    samples = np.arange(10_000, dtype=np.int16)
+    wav = encode_wav(samples, sr)
+    out = P.extract_snippet_wav(wav, 1.25, 2.5)
+    assert out is not None
+    blob, dur = out
+    _, _, cut = decode_wav(blob)
+    assert np.array_equal(cut, samples[1250:2500])  # floor/ceil exact
+    assert dur == 1.25
+    # clamped at file end, empty range skipped
+    assert P.extract_snippet_wav(wav, 9.9995, 60.0) is not None
+    assert P.extract_snippet_wav(wav, 5.0, 5.0) is None
+    with pytest.raises(NotImplementedError, match="resample"):
+        P.extract_snippet_wav(wav, 0.0, 1.0, target_sample_rate=16000)
+    # injected resampler is honored (here: 2x decimation)
+    blob, dur = P.extract_snippet_wav(
+        wav, 0.0, 2.0, target_sample_rate=500,
+        resample=lambda s, a, b: s[:: a // b],
+    )
+    _, out_sr, cut = decode_wav(blob)
+    assert out_sr == 500 and len(cut) == 1000 and dur == 2.0
+
+
+def test_alm_plan_then_extract_spark(spark):
+    import numpy as np
+
+    from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
+
+    sr = 1000
+    wav = encode_wav(np.arange(40_000, dtype=np.int16), sr)
+    segs = [
+        (1, 0.0, 4.0, "one"), (1, 5.0, 9.0, "two"),
+        (1, 20.0, 27.0, "three"),
+    ]
+    seg_df = spark.createDataFrame(
+        segs, "file_id long, start double, end double, text string"
+    )
+    audio_df = spark.createDataFrame([(1, wav)], "file_id long, wav binary")
+    plan = P.alm_snippet_plan(
+        seg_df, min_duration_sec=5.0, max_segment_gap_in_snippet=2.0
+    )
+    out = (
+        P.alm_extract_snippets(audio_df, plan)
+        .orderBy("snippet_idx")
+        .toPandas()
+    )
+    # two snippets: (0, 9) and (20, 27)
+    assert out.snippet_id.tolist() == ["1-0_000-9_000", "1-20_000-27_000"]
+    assert out.duration_sec.tolist() == [9.0, 7.0]
+    _, _, cut = decode_wav(bytes(out.wav[1]))
+    assert len(cut) == 7000 and cut[0] == 20_000
