@@ -1767,7 +1767,7 @@ pr AS (
 )
 SELECT doc_id, label AS pred_label, round(prob, 6) AS pred_prob FROM (
   SELECT *, row_number() OVER (
-    PARTITION BY doc_id ORDER BY prob DESC, idx ASC
+    PARTITION BY doc_id ORDER BY round(prob, 6) DESC, idx ASC
   ) AS rn FROM pr
 ) WHERE rn = 1
 """

@@ -72,8 +72,11 @@ RESERVED = (
 
 def escape_key(sample_id: str) -> str:
     """writers/webdataset.py:46-48: percent-encode so any sample id is a
-    safe tar member stem."""
-    return urllib.parse.quote(sample_id, safe="")
+    safe tar member stem. ``quote`` leaves ``.`` alone (it is an
+    unreserved character), but a dot in the stem breaks WebDataset's
+    first-dot key grouping AND this reader's sample detection — so it is
+    escaped explicitly (``unquote`` still round-trips %2E)."""
+    return urllib.parse.quote(sample_id, safe="").replace(".", "%2E")
 
 
 def ext_from_content_type(content_type: str | None) -> str:
@@ -126,8 +129,13 @@ def _rows_from_tar(
     rows: list[dict] = []
     with tarfile.open(tar_path) as tf:
         members = {m.name: m for m in tf.getmembers() if m.isfile()}
+        # sample JSONs are '<escaped-key>.json' where the escaped key
+        # contains no dots — the one-dot rule keeps binary members that
+        # happen to carry a .json extension (e.g. an image row with
+        # content_type application/json names '<key>.0000.json') from
+        # being misparsed as samples
         sample_names = sorted(
-            n for n in members if n.endswith(".json")
+            n for n in members if n.endswith(".json") and n.count(".") == 1
         )
         for json_name in sample_names:
             key = json_name[: -len(".json")]

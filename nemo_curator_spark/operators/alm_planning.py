@@ -366,12 +366,18 @@ def alm_window_overlap_filter(
             (float(r[end_col]), float(r[start_col])) for _, r in pdf.iterrows()
         ]
         kept = filter_overlapping_windows(segs, threshold, target_duration)
-        kept_set = {(round(e, 6), round(s, 6)) for e, s in kept}
-        mask = [
-            (round(float(r[end_col]), 6), round(float(r[start_col]), 6))
-            in kept_set
-            for _, r in pdf.iterrows()
-        ]
+        # MULTISET membership, not a set: exact-duplicate windows are
+        # deduplicated by the filter (containment => one removed), and a
+        # set mask would resurrect both copies
+        budget = Counter((round(e, 6), round(s, 6)) for e, s in kept)
+        mask = []
+        for _, r in pdf.iterrows():
+            key = (round(float(r[end_col]), 6), round(float(r[start_col]), 6))
+            if budget[key] > 0:
+                budget[key] -= 1
+                mask.append(True)
+            else:
+                mask.append(False)
         out = pdf.loc[mask, [file_col, start_col, end_col]]
         out.columns = ["file_id", "win_start", "win_end"]
         return out

@@ -108,16 +108,21 @@ def split_long_wav(
     sample boundaries (``ceil(split*sr)``), keep pieces longer than
     ``min_len``, emit the remainder last; zero kept pieces falls back to
     the whole file at offset 0 (the reference's fallback warning path).
-    Returns ``(pieces, offsets_sec, durations_sec, split_timestamps)``."""
+    Output pieces are always mono (the reference loads mono upstream);
+    an already-mono short file passes through byte-identical. Returns
+    ``(pieces, offsets_sec, durations_sec, split_timestamps)``."""
     from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
 
     ch, sr, samples = decode_wav(bytes(wav))
     if ch != 1:
         frames = samples.reshape(-1, ch)
         samples = np.rint(frames.mean(axis=1)).astype(np.int16)
+    # channel layout must not depend on duration: the passthrough and
+    # fallback paths re-encode to mono when the source was multi-channel
+    whole = bytes(wav) if ch == 1 else encode_wav(samples, sr)
     duration = len(samples) / sr
     if duration < suggested_max_len:
-        return [bytes(wav)], [0.0], [duration], []
+        return [whole], [0.0], [duration], []
 
     splits = get_split_points(segments, suggested_max_len)
     pieces: list[bytes] = []
@@ -137,7 +142,7 @@ def split_long_wav(
         offsets.append(start / sr)
         durations.append(remaining / sr)
     if not pieces:
-        return [bytes(wav)], [0.0], [duration], splits
+        return [whole], [0.0], [duration], splits
     return pieces, offsets, durations, splits
 
 

@@ -210,7 +210,9 @@ def sampler_column(
             out = F.upper(out)
         return F.concat(F.lit(p.prefix), out) if p.prefix else out
     if t == SamplerType.CATEGORY:
-        if p.weights:
+        if not p or not p.values:
+            raise ValueError(f"CATEGORY sampler {cfg.name!r} needs values")
+        if p.weights and len(p.values) > 1:
             u = _uniform(key, salt)
             total = float(sum(p.weights))
             acc, out = 0.0, None
@@ -223,6 +225,8 @@ def sampler_column(
                     else out.when(cond, F.lit(v))
                 )
             return out.otherwise(F.lit(p.values[-1]))
+        if len(p.values) == 1:
+            return F.lit(p.values[0])
         return _pick(key, salt, p.values)
     if t == SamplerType.UNIFORM:
         p = p or UniformSamplerParams()
@@ -239,6 +243,11 @@ def sampler_column(
         off = F.floor(_uniform(key, salt) * ndays).cast("int")
         return F.date_add(F.to_date(F.lit(p.start)), off)
     if t == SamplerType.TIMEDELTA:
+        p = p or TimeDeltaSamplerParams()
+        if not p.reference_column_name:
+            raise ValueError(
+                f"TIMEDELTA sampler {cfg.name!r} needs reference_column_name"
+            )
         span = int(p.dt_max) - int(p.dt_min) + 1
         off = (
             F.floor(_uniform(key, salt) * span).cast("int") + int(p.dt_min)

@@ -265,8 +265,9 @@ def load_cached(path: str) -> MiniTransformer:
     key = f"{path}:{os.path.getmtime(path)}:{os.path.getsize(path)}"
     m = _CACHE.get(key)
     if m is None:
+        if len(_CACHE) >= 4:  # bound memory without thrashing when a
+            _CACHE.clear()    # classifier + embedder share a worker
         m = MiniTransformer.load(path)
-        _CACHE.clear()  # one live model per worker — bound memory
         _CACHE[key] = m
     return m
 
@@ -274,23 +275,42 @@ def load_cached(path: str) -> MiniTransformer:
 class MiniTransformerClassifier:
     """predict_batch/prob_batch adapter so a MiniTransformer artifact
     plugs straight into ClassifierStage / CategoricalClassifier (the
-    object the reference mocks in its own classifier tests)."""
+    object the reference mocks in its own classifier tests).
+
+    Label selection ranks on probs ROUNDED at 6 decimals with the lowest
+    label index breaking ties — the repo-wide cross-engine determinism
+    guard (CLAUDE.md rounding-parity rule): numpy's matmul sums in
+    SIMD/pairwise order while the DuckDB oracle's dot is sequential, so
+    an unrounded argmax could flip on a ~1-ulp near-tie between labels.
+
+    ClassifierStage calls predict_batch then prob_batch on the SAME
+    token batch; the forward is memoized per batch so inference runs
+    once, not twice."""
 
     def __init__(self, model_path: str):
         self.model_path = model_path
+        self._memo: tuple | None = None  # (ids_key, probs)
 
     def _model(self) -> MiniTransformer:
         return load_cached(self.model_path)
 
+    def _probs(self, token_ids: list[list[int]]) -> np.ndarray:
+        key = hash(tuple(tuple(ids) for ids in token_ids))
+        if self._memo is not None and self._memo[0] == key:
+            return self._memo[1]
+        probs = self._model().predict_proba(token_ids)
+        self._memo = (key, probs)
+        return probs
+
     def predict_batch(self, token_ids: list[list[int]]) -> list[str]:
         m = self._model()
-        probs = m.predict_proba(token_ids)
-        # stable argmax (lowest label idx wins ties), like fasttext_mini
-        order = np.argmax(probs, axis=-1)
+        order = np.argmax(np.round(self._probs(token_ids), 6), axis=-1)
         return [m.labels[i] for i in order]
 
     def prob_batch(self, token_ids: list[list[int]]) -> list[float]:
-        return [float(p) for p in self._model().predict_proba(token_ids).max(axis=-1)]
+        probs = self._probs(token_ids)
+        order = np.argmax(np.round(probs, 6), axis=-1)
+        return [float(probs[r, i]) for r, i in enumerate(order)]
 
 
 class MiniTransformerEmbedder:

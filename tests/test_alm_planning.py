@@ -243,3 +243,16 @@ def test_alm_plan_then_extract_spark(spark):
     assert out.duration_sec.tolist() == [9.0, 7.0]
     _, _, cut = decode_wav(bytes(out.wav[1]))
     assert len(cut) == 7000 and cut[0] == 20_000
+
+
+def test_window_overlap_filter_exact_duplicates(spark):
+    # review finding: exact duplicates must not both survive via the
+    # set-membership mask
+    wins = [(10.0, 0.0), (10.0, 0.0)]
+    assert P.filter_overlapping_windows(wins, 0.5, 30.0) == [(10.0, 0.0)]
+    df = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 0.0, 10.0)],
+        "file_id long, win_start double, win_end double",
+    )
+    out = P.alm_window_overlap_filter(df, threshold=0.5).toPandas()
+    assert len(out) == 1

@@ -127,3 +127,22 @@ def test_spark_merge_and_split(spark):
     assert out.n_splits.tolist() == [2, 2]
     _, _, p0 = decode_wav(bytes(out.wav[0]))
     assert len(p0) == 25_000
+
+
+def test_split_long_wav_stereo_paths_are_mono():
+    # review finding: channel layout must not depend on duration
+    sr = 1000
+    stereo = np.stack(
+        [np.arange(5_000, dtype=np.int16),
+         np.arange(5_000, dtype=np.int16) * 2]
+    ).T
+    short = encode_wav(stereo, sr)
+    pieces, offsets, durations, _ = AT.split_long_wav(short, [], 30.0)
+    ch, _, mono = decode_wav(pieces[0])
+    assert ch == 1
+    want = np.rint(stereo.astype(np.float64).mean(axis=1)).astype(np.int16)
+    assert np.array_equal(mono, want)
+    # mono short input still passes through byte-identical
+    mono_wav = encode_wav(np.arange(5_000, dtype=np.int16), sr)
+    pieces, _, _, _ = AT.split_long_wav(mono_wav, [], 30.0)
+    assert pieces == [mono_wav]

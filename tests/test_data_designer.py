@@ -167,3 +167,26 @@ def test_config_file_roundtrip(spark, tmp_path):
     out = st.apply(df, "id").toPandas()
     assert 0.0 <= out.u[0] < 1.0
     assert out.msg[0].startswith("u=0.")
+
+
+def test_sampler_guards(spark):
+    # review findings: single-value weighted category; timedelta params
+    df = spark.createDataFrame([(1,)], ["id"])
+    b = _builder().add_column(
+        DD.SamplerColumnConfig(
+            "only", DD.SamplerType.CATEGORY,
+            DD.CategorySamplerParams(values=["x"], weights=[1.0]),
+        )
+    )
+    out = DD.DataDesignerStage(config_builder=b).apply(df, "id").toPandas()
+    assert out.only[0] == "x"
+    with pytest.raises(ValueError, match="reference_column_name"):
+        DD.sampler_column(
+            DD.SamplerColumnConfig("d", DD.SamplerType.TIMEDELTA, None),
+            DD.F.col("id"),
+        )
+    with pytest.raises(ValueError, match="needs values"):
+        DD.sampler_column(
+            DD.SamplerColumnConfig("c", DD.SamplerType.CATEGORY, None),
+            DD.F.col("id"),
+        )

@@ -109,14 +109,20 @@ def test_classifier_stage_integration(spark, tmp_path):
         .toPandas()
     )
     expect_probs = m.predict_proba(ids[:10])
-    expect = [m.labels[i] for i in np.argmax(expect_probs, axis=-1)]
+    # the adapter ranks on round(probs, 6) with lowest-idx ties (the
+    # cross-engine determinism guard)
+    expect = [
+        m.labels[i] for i in np.argmax(np.round(expect_probs, 6), axis=-1)
+    ]
     assert out.pred_label.tolist() == expect
     # driver process vs spark worker process can differ by an
     # environment-dependent ulp (~5e-16, BLAS kernel selection); the gate
     # never compares across that boundary — see
     # test_spark_passes_bit_identical for the property the gate relies on
+    sel = np.argmax(np.round(expect_probs, 6), axis=-1)
+    want_probs = expect_probs[np.arange(len(sel)), sel]
     assert np.allclose(
-        out.pred_prob.to_numpy(), expect_probs.max(axis=-1), rtol=0, atol=5e-15
+        out.pred_prob.to_numpy(), want_probs, rtol=0, atol=5e-15
     )
 
 

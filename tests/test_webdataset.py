@@ -131,3 +131,29 @@ def test_per_modality_passthrough(spark, tmp_path):
         per_image_fields=["img_score"],
     ).orderBy("position").toPandas()
     assert back.img_score.tolist() == [None, "0.9", None, "0.1"]
+
+
+def test_dotted_sample_ids_and_json_binary_members(spark, tmp_path):
+    """Review findings: a '.' in sample_id must not break first-dot key
+    grouping (escaped to %2E), and a binary member whose content type
+    maps to a .json extension must not be misparsed as a sample."""
+    rows = [
+        ("a.b", -1, "metadata", "application/json", None, None, None, None, None),
+        ("a.b", 0, "text", "text/plain", "dotted id", None, None, None, None),
+        ("a.b", 1, "image", "application/json", None, b'{"not": "a sample"}',
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = str(tmp_path / "wds5")
+    WD.write_webdataset(df, out, num_shards=1).collect()
+    shard = os.path.join(out, "shard-00000.tar")
+    with tarfile.open(shard) as tf:
+        names = sorted(m.name for m in tf.getmembers())
+    # escaped stem has no dots; exactly one sample json (one-dot rule)
+    assert [n for n in names if n.count(".") == 1 and n.endswith(".json")] == [
+        "a%2Eb.json"
+    ]
+    back = WD.read_webdataset(spark, [shard]).orderBy("position").toPandas()
+    assert back.sample_id.tolist() == ["a.b", "a.b", "a.b"]
+    assert back.modality.tolist() == ["metadata", "text", "image"]
+    assert bytes(back.binary_content[2]) == b'{"not": "a sample"}'
