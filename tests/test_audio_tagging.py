@@ -146,3 +146,121 @@ def test_split_long_wav_stereo_paths_are_mono():
     mono_wav = encode_wav(np.arange(5_000, dtype=np.int16), sr)
     pieces, _, _, _ = AT.split_long_wav(mono_wav, [], 30.0)
     assert pieces == [mono_wav]
+
+
+# --- prepare module segments -------------------------------------------------
+
+
+def _word_run(words, t0=0.0, dt=0.5, speaker="spk1", gap=0.0):
+    out = []
+    t = t0
+    for w in words:
+        out.append({"word": w, "start": t, "end": t + dt, "speaker": speaker})
+        t += dt + gap
+    return out
+
+
+def test_prepare_module_validation():
+    with pytest.raises(ValueError, match="tts.*asr|asr|tts"):
+        AT.PrepareModuleSegments(module="nope")
+
+
+def test_prepare_tts_segments_speaker_runs_and_punct():
+    prep = AT.PrepareModuleSegments(
+        module="tts", min_duration=1.0, max_duration=10.0
+    )
+    meta = {
+        "duration": 20.0,
+        "segments": [
+            {"speaker": "A", "start": 0.0, "end": 6.0},
+            {"speaker": "B", "start": 6.0, "end": 12.0},
+        ],
+        "alignment": (
+            _word_run(["one", "two", "three."], 0.0)
+            + _word_run(["four", "five."], 2.0)
+            + _word_run(["bee", "says", "hi."], 6.5)
+        ),
+    }
+    out = prep.process_entry(meta, "entry1")
+    segs = out["segments"]
+    # single-speaker segments; punctuation splits inside A's run
+    assert [s["speaker"] for s in segs] == ["A", "A", "B"]
+    assert segs[0]["text"] == "one two three."
+    assert segs[1]["text"] == "four five."
+    assert segs[2]["text"] == "bee says hi."
+    # words carry only word/start/end; metrics lists align with words
+    assert set(segs[0]["words"][0]) == {"word", "start", "end"}
+    assert len(segs[0]["metrics"]["bandwidth"]) == 3
+
+
+def test_prepare_asr_segments_multi_speaker_and_determinism():
+    prep = AT.PrepareModuleSegments(
+        module="asr", min_duration=1.0, max_duration=5.0
+    )
+    meta_fn = lambda: {  # noqa: E731
+        "duration": 30.0,
+        "segments": [
+            {"speaker": "A", "start": 0.0, "end": 10.0},
+            {"speaker": "B", "start": 10.0, "end": 20.0},
+        ],
+        "alignment": _word_run(
+            [f"w{i}" for i in range(18)] + ["end."], 0.0, dt=1.0, speaker="A"
+        ),
+    }
+    a = prep.process_entry(meta_fn(), "e1")
+    b = prep.process_entry(meta_fn(), "e1")
+    assert a == b  # md5-seeded RNG: reruns identical
+    c = AT.PrepareModuleSegments(
+        module="asr", min_duration=1.0, max_duration=5.0
+    ).process_entry(meta_fn(), "e1")
+    assert a == c  # fresh instance too
+    # ASR allows multi-speaker labels (comma-joined uniques)
+    for s in a["segments"]:
+        assert s["speaker"]  # non-empty
+
+
+def test_punctuation_short_group_merges_forward():
+    prep = AT.PrepareModuleSegments(
+        module="tts", min_duration=3.0, max_duration=10.0,
+        punctuation_split_only=True,
+    )
+    seg = {
+        "speaker": "A", "start": 0.0, "end": 6.0,
+        "words": _word_run(["a.", "b", "c.", "d", "e."], 0.0, dt=1.0),
+    }
+    out = prep.split_segment_by_punctuation(seg)
+    # 'a.' group alone is 1s < min 3s -> the reference merges forward to
+    # the FARTHEST punctuation point still within max_duration ('e.')
+    assert len(out) == 1
+    assert out[0]["words"][0]["word"] == "a."
+    assert out[0]["words"][-1]["word"] == "e."
+    # with a tight max_duration the merge stops at 'c.'
+    tight = AT.PrepareModuleSegments(
+        module="tts", min_duration=2.5, max_duration=3.0,
+        punctuation_split_only=True,
+    )
+    out = tight.split_segment_by_punctuation(dict(seg))
+    assert out[0]["words"][-1]["word"] == "c."
+
+
+def test_prepare_module_segments_spark(spark):
+    meta = {
+        "duration": 10.0,
+        "segments": [{"speaker": "A", "start": 0.0, "end": 5.0}],
+        "alignment": _word_run(["hello", "world."], 0.0),
+    }
+    df = spark.createDataFrame(
+        [(1, json.dumps(meta)), (2, json.dumps(meta))],
+        "file_id long, metadata string",
+    )
+    out = AT.prepare_module_segments(
+        df, module="tts", min_duration=0.5, max_duration=10.0
+    ).orderBy("file_id").toPandas()
+    m1 = json.loads(out.metadata[0])
+    assert m1["segments"][0]["text"] == "hello world."
+    # repartition determinism (per-entry seeding)
+    out2 = AT.prepare_module_segments(
+        df.repartition(2, "file_id"), module="tts",
+        min_duration=0.5, max_duration=10.0,
+    ).orderBy("file_id").toPandas()
+    assert out.metadata.tolist() == out2.metadata.tolist()
