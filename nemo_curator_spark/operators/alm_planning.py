@@ -26,6 +26,7 @@ decode/resample cost).
 from __future__ import annotations
 
 import heapq
+import json
 from collections import Counter
 
 import numpy as np
@@ -527,3 +528,199 @@ def alm_extract_snippets(
             )
 
     return joined.mapInPandas(gen, _EXTRACT_SCHEMA)
+
+
+# --- ALM data builder (training-window construction) -------------------------
+# (reference audio/alm/alm_data_builder.py:60-291): build
+# target-duration training windows from diarized segments, gated on
+# sample rate, per-segment bandwidth, speaker count, and window
+# duration, with optional tail-segment truncation and full loss
+# accounting. Behavioral port; drop-field filtering and the stats
+# contract (incl. lost_win_full_data debug entries) preserved.
+
+
+def _get_bandwidth(seg: dict) -> int:
+    return (seg.get("metrics") or {}).get("bandwidth", 0)
+
+
+def _speaker_durations(segments: list) -> dict:
+    out: dict = {}
+    for s in segments:
+        spk = s.get("speaker")
+        if spk:
+            out[spk] = out.get(spk, 0) + (s["end"] - s["start"])
+    return out
+
+
+def _truncate_segment(seg: dict, truncated_end: float) -> dict:
+    """alm_data_builder.py:75-90: keep only words ending by
+    truncated_end; text/end rebuilt from the kept words."""
+    part = seg.copy()
+    kept = []
+    actual_end = seg["start"]
+    for w in seg.get("words", []):
+        if w["end"] <= truncated_end:
+            kept.append(w.copy())
+            actual_end = w["end"]
+    part["words"] = kept
+    part["text"] = " ".join(w.get("word", "") for w in kept if w.get("word"))
+    part["end"] = actual_end
+    return part
+
+
+def build_alm_windows(
+    entry: dict,
+    target_window_duration: float = 120.0,
+    tolerance: float = 0.1,
+    min_bandwidth: int = 8000,
+    min_sample_rate: int = 16000,
+    min_speakers: int = 2,
+    max_speakers: int = 5,
+    truncation: bool = True,
+    drop_fields: str = "words",
+    drop_fields_top_level: str = "words,segments",
+) -> dict:
+    """ALMDataBuilderStage._process_single_entry port: returns the entry
+    with ``windows`` (each: segments + top-5 padded speaker_durations),
+    ``stats`` (the full loss-accounting dict) and
+    ``truncation_events``."""
+    tol = target_window_duration * tolerance
+    min_duration = target_window_duration - tol
+    max_duration = target_window_duration + tol
+    drop = {f.strip() for f in drop_fields.split(",") if f.strip()}
+    drop_top = {f.strip() for f in drop_fields_top_level.split(",") if f.strip()}
+
+    segments = entry.get("segments", [])
+    total_dur = sum(s["end"] - s["start"] for s in segments)
+    stat = {
+        "total_segments": len(segments), "total_dur": total_dur,
+        "swift_path": entry.get("swift_audio_filepath", ""),
+        "audio_sample_rate": entry.get("audio_sample_rate", 0),
+        "lost_bw": 0, "dur_lost_bw": 0.0, "lost_sr": 0, "dur_lost_sr": 0.0,
+        "lost_spk": 0, "dur_lost_spk": 0.0, "lost_win": 0,
+        "dur_lost_win": 0.0, "lost_no_spkr": 0, "dur_lost_no_spkr": 0.0,
+        "lost_next_seg_bm": 0, "dur_lost_next_seg_bm": 0.0,
+        "lost_win_full_data": [],
+    }
+    truncation_events = 0
+
+    if entry.get("audio_sample_rate", 0) < min_sample_rate:
+        stat["lost_sr"] = len(segments)
+        stat["dur_lost_sr"] = total_dur
+        return {
+            "audio_filepath": entry.get("audio_filepath"),
+            "windows": [], "stats": stat,
+            "truncation_events": truncation_events,
+        }
+
+    def record_loss(seg, start_idx, curr_idx, window_segs):
+        seg_dur = seg["end"] - seg["start"]
+        stat["lost_win"] += 1
+        stat["dur_lost_win"] += seg_dur
+        nxt = segments[min(curr_idx, len(segments) - 1)]
+        if nxt.get("speaker", "no-speaker") == "no-speaker":
+            stat["lost_no_spkr"] += 1
+            stat["dur_lost_no_spkr"] += seg_dur
+        elif _get_bandwidth(nxt) < min_bandwidth:
+            stat["lost_next_seg_bm"] += 1
+            stat["dur_lost_next_seg_bm"] += seg_dur
+        stat["lost_win_full_data"].append(
+            {
+                "index": start_idx,
+                "window_segs": window_segs,
+                "next_seg": {k: v for k, v in nxt.items() if k not in drop},
+                "prev_seg": {
+                    k: v
+                    for k, v in segments[max(start_idx - 1, 0)].items()
+                    if k not in drop
+                },
+            }
+        )
+
+    valid_windows: list = []
+    for start_idx, seg in enumerate(segments):
+        if _get_bandwidth(seg) < min_bandwidth:
+            stat["lost_bw"] += 1
+            stat["dur_lost_bw"] += seg["end"] - seg["start"]
+            continue
+        window_segs: list = []
+        window_start = seg["start"]
+        window_end = seg["end"]
+        curr_idx = start_idx
+        for curr_idx in range(start_idx, len(segments)):
+            curr_seg = segments[curr_idx]
+            if _get_bandwidth(curr_seg) < min_bandwidth:
+                break
+            potential = curr_seg["end"] - window_start
+            if potential > max_duration:
+                if not truncation:
+                    break
+                truncated_end = window_start + max_duration
+                if curr_seg["start"] >= truncated_end:
+                    break
+                truncation_events += 1
+                part = _truncate_segment(curr_seg, truncated_end)
+                spk = _speaker_durations([*window_segs, part])
+                if len(spk) > max_speakers or "no-speaker" in spk:
+                    break
+                window_segs.append(
+                    {k: v for k, v in part.items() if k not in drop}
+                )
+                window_end = part["end"]
+                break
+            spk = _speaker_durations([*window_segs, curr_seg])
+            if len(spk) > max_speakers or "no-speaker" in spk:
+                break
+            window_end = curr_seg["end"]
+            window_segs.append(
+                {k: v for k, v in curr_seg.items() if k not in drop}
+            )
+        window_dur = window_end - window_start
+        if not (min_duration <= window_dur <= max_duration):
+            record_loss(seg, start_idx, curr_idx, window_segs)
+            continue
+        if len(window_segs) < 2 or any(
+            _get_bandwidth(s) < min_bandwidth for s in window_segs
+        ):
+            record_loss(seg, start_idx, curr_idx, window_segs)
+            continue
+        spk = _speaker_durations(window_segs)
+        if not min_speakers <= len(spk) <= max_speakers or "no-speaker" in spk:
+            stat["lost_spk"] += 1
+            stat["dur_lost_spk"] += seg["end"] - seg["start"]
+            continue
+        spk_durations = sorted(spk.values(), reverse=True)[:5]
+        spk_durations += [0.0] * (5 - len(spk_durations))
+        valid_windows.append(
+            {"segments": window_segs, "speaker_durations": spk_durations}
+        )
+
+    result = {k: v for k, v in entry.items() if k not in drop_top}
+    result["windows"] = valid_windows
+    result["stats"] = stat
+    result["truncation_events"] = truncation_events
+    return result
+
+
+def alm_data_builder(
+    df: DataFrame,
+    id_col: str = "file_id",
+    entry_col: str = "entry",
+    **kw,
+) -> DataFrame:
+    """Spark form over JSON manifest rows: one Arrow pass, per-entry
+    window construction (no shuffle)."""
+
+    @F.pandas_udf(T.StringType())
+    def _build(entries: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                json.dumps(
+                    build_alm_windows(json.loads(e) if e else {}, **kw),
+                    ensure_ascii=False,
+                )
+                for e in entries
+            ]
+        )
+
+    return df.withColumn(entry_col, _build(F.col(entry_col)))

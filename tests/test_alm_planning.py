@@ -256,3 +256,96 @@ def test_window_overlap_filter_exact_duplicates(spark):
     )
     out = P.alm_window_overlap_filter(df, threshold=0.5).toPandas()
     assert len(out) == 1
+
+
+# --- ALM data builder --------------------------------------------------------
+
+
+def _bseg(start, end, speaker="A", bw=16000, words=None):
+    s = {"start": start, "end": end, "speaker": speaker,
+         "metrics": {"bandwidth": bw},
+         "text": " ".join(w["word"] for w in words) if words else "t"}
+    if words is not None:
+        s["words"] = words
+    return s
+
+
+def test_alm_builder_happy_window():
+    entry = {
+        "audio_filepath": "a.wav", "audio_sample_rate": 16000,
+        "segments": [
+            _bseg(0, 50, "A"), _bseg(50, 110, "B"),
+        ],
+    }
+    out = P.build_alm_windows(entry, target_window_duration=120.0)
+    # one window spanning both speakers, within 108-132s tolerance band
+    assert len(out["windows"]) == 1
+    w = out["windows"][0]
+    assert len(w["segments"]) == 2
+    assert w["speaker_durations"][:2] == [60.0, 50.0]
+    assert w["speaker_durations"][2:] == [0.0, 0.0, 0.0]
+    # drop_fields: 'words' stripped, 'segments' dropped top-level
+    assert "segments" not in out or out["segments"] == entry["segments"]
+    assert out["truncation_events"] == 0
+    assert out["stats"]["total_segments"] == 2
+
+
+def test_alm_builder_sample_rate_gate():
+    entry = {
+        "audio_filepath": "a.wav", "audio_sample_rate": 8000,
+        "segments": [_bseg(0, 60), _bseg(60, 120, "B")],
+    }
+    out = P.build_alm_windows(entry)
+    assert out["windows"] == []
+    assert out["stats"]["lost_sr"] == 2
+    assert out["stats"]["dur_lost_sr"] == 120.0
+
+
+def test_alm_builder_bandwidth_and_speaker_gates():
+    entry = {
+        "audio_filepath": "a.wav", "audio_sample_rate": 16000,
+        "segments": [
+            _bseg(0, 60, "A", bw=4000),         # low bandwidth: skipped start
+            _bseg(0, 115, "A"),                 # single speaker window ->
+            _bseg(115, 118, "A"),               # lost_spk (min_speakers=2)
+        ],
+    }
+    out = P.build_alm_windows(entry)
+    assert out["windows"] == []
+    assert out["stats"]["lost_bw"] == 1
+    assert out["stats"]["lost_spk"] >= 1
+
+
+def test_alm_builder_truncation():
+    words = [
+        {"word": f"w{i}", "start": 100 + i * 10, "end": 105 + i * 10}
+        for i in range(10)
+    ]
+    entry = {
+        "audio_filepath": "a.wav", "audio_sample_rate": 16000,
+        "segments": [
+            _bseg(0, 60, "A"), _bseg(60, 100, "B"),
+            _bseg(100, 200, "A", words=words),
+        ],
+    }
+    out = P.build_alm_windows(entry, target_window_duration=120.0)
+    assert out["truncation_events"] >= 1
+    w = out["windows"][0]
+    # truncated tail segment: end rebuilt from last kept word <= 132
+    assert w["segments"][-1]["end"] <= 132.0
+    assert "words" not in w["segments"][-1]  # drop_fields applied
+
+
+def test_alm_builder_spark(spark):
+    import json as _json
+
+    entry = {
+        "audio_filepath": "a.wav", "audio_sample_rate": 16000,
+        "segments": [_bseg(0, 50, "A"), _bseg(50, 110, "B")],
+    }
+    df = spark.createDataFrame(
+        [(1, _json.dumps(entry))], "file_id long, entry string"
+    )
+    out = P.alm_data_builder(df).collect()[0]
+    parsed = _json.loads(out["entry"])
+    assert len(parsed["windows"]) == 1
