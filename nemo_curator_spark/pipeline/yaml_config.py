@@ -104,3 +104,42 @@ def load_pipeline(path_or_dict) -> Pipeline:
             cfg = yaml.safe_load(f)
     stages = [_build_stage(s) for s in cfg["stages"]]
     return Pipeline(stages, name=cfg.get("name", "pipeline"))
+
+
+def deep_merge(base: dict, overrides: dict) -> dict:
+    """Recursive dict merge, overrides winning (reference
+    audio/advanced_pipelines/audio_data_filter/config.py:42-50 —
+    the defaults-plus-user-overrides config contract). Returns a new
+    dict; inputs untouched."""
+    import copy
+
+    merged = copy.deepcopy(base)
+    for key, value in overrides.items():
+        if (
+            key in merged
+            and isinstance(merged[key], dict)
+            and isinstance(value, dict)
+        ):
+            merged[key] = deep_merge(merged[key], value)
+        else:
+            merged[key] = value
+    return merged
+
+
+def load_config_with_defaults(defaults_path, overrides_path=None) -> dict:
+    """Reference load_config (config.py:53-84): load the shipped
+    defaults YAML and deep-merge an optional user file on top — only
+    explicitly-set values override."""
+    import yaml
+
+    with open(defaults_path) as fh:
+        defaults = yaml.safe_load(fh) or {}
+    if overrides_path is None:
+        return defaults
+    import os
+
+    if not os.path.isfile(str(overrides_path)):
+        raise FileNotFoundError(f"Config file not found: {overrides_path}")
+    with open(overrides_path) as fh:
+        overrides = yaml.safe_load(fh) or {}
+    return deep_merge(defaults, overrides)

@@ -65,3 +65,34 @@ def test_shipped_english_config_matches_chain(spark):
         for r in chain_mod.english_chain(df, "text").select("url").collect()
     }
     assert via_config == via_chain
+
+
+def test_deep_merge_and_defaults_loader(tmp_path):
+    from nemo_curator_spark.pipeline.yaml_config import (
+        deep_merge,
+        load_config_with_defaults,
+    )
+
+    base = {"vad": {"threshold": 0.5, "pad": 0.2}, "mono": {"sr": 48000}}
+    over = {"vad": {"threshold": 0.9}, "extra": 1}
+    merged = deep_merge(base, over)
+    assert merged == {
+        "vad": {"threshold": 0.9, "pad": 0.2},
+        "mono": {"sr": 48000},
+        "extra": 1,
+    }
+    assert base["vad"]["threshold"] == 0.5  # inputs untouched
+
+    d = tmp_path / "default.yaml"
+    d.write_text("vad:\n  threshold: 0.5\n  pad: 0.2\n")
+    u = tmp_path / "user.yaml"
+    u.write_text("vad:\n  threshold: 0.9\n")
+    cfg = load_config_with_defaults(str(d), str(u))
+    assert cfg == {"vad": {"threshold": 0.9, "pad": 0.2}}
+    assert load_config_with_defaults(str(d)) == {
+        "vad": {"threshold": 0.5, "pad": 0.2}
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        load_config_with_defaults(str(d), str(tmp_path / "missing.yaml"))
