@@ -1773,6 +1773,90 @@ SELECT doc_id, label AS pred_label, round(prob, 6) AS pred_prob FROM (
 """
 
 
+def _pdf_parse_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemotron-Parse markup parser (reference pdf/nemotron_parse/
+    utils.py:148-175) over synthetic per-page raw output manufactured
+    from documents: title + body elements carrying document text, an
+    empty-body Picture, and a Caption. The parser (non-greedy grouped
+    regex + inner-tag strip + python-strip + empty-text drop except
+    Pictures) is replayed in DuckDB with the RE2 form of the same
+    pattern and the ISPACE-derived strip class (the whitespace-parity
+    protocol). Element bbox coords emitted as scalars."""
+    from nemo_curator_spark.operators import pdf_parse as PP
+
+    df = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.lit("<x_0.10><y_0.05>"), F.substring("text", 1, 40),
+        F.lit("<x_0.90><y_0.10><class_Title>"),
+        F.lit("<x_0.10><y_0.20>"), F.substring("text", 41, 80),
+        F.lit("<x_0.90><y_0.60><class_Text>"),
+        F.lit("<x_0.20><y_0.65><x_0.80><y_0.85><class_Picture>"),
+        F.lit("<x_0.20><y_0.88>Figure "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("<x_0.80><y_0.92><class_Caption>"),
+    )
+    pages = df.select(F.col("doc_id").cast("string").alias("page_id"),
+                      raw.alias("raw_output"))
+    out = PP.parse_pages(pages)
+    return out.select(
+        F.col("page_id").cast("long").alias("doc_id"),
+        F.col("position").cast("long").alias("position"),
+        "element_class",
+        "text",
+        F.col("bbox")[0].alias("x1"),
+        F.col("bbox")[1].alias("y1"),
+        F.col("bbox")[2].alias("x2"),
+        F.col("bbox")[3].alias("y2"),
+    )
+
+
+def _pdf_parse_oracle() -> str:
+    strip = CN.STRIP_PATTERN
+    pat = (
+        r"(?s)<x_([0-9.]+)><y_([0-9.]+)>(.*?)"
+        r"<x_([0-9.]+)><y_([0-9.]+)><class_([^>]+)>"
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<x_0.10><y_0.05>' || substring(text, 1, 40) ||
+    '<x_0.90><y_0.10><class_Title>' ||
+    '<x_0.10><y_0.20>' || substring(text, 41, 80) ||
+    '<x_0.90><y_0.60><class_Text>' ||
+    '<x_0.20><y_0.65><x_0.80><y_0.85><class_Picture>' ||
+    '<x_0.20><y_0.88>Figure ' || CAST(doc_id % 100 AS VARCHAR) ||
+    '<x_0.80><y_0.92><class_Caption>' AS raw
+  FROM documents
+),
+matched AS (
+  SELECT doc_id,
+    regexp_extract_all(raw, '{pat}', 1) AS g1,
+    regexp_extract_all(raw, '{pat}', 2) AS g2,
+    regexp_extract_all(raw, '{pat}', 3) AS g3,
+    regexp_extract_all(raw, '{pat}', 4) AS g4,
+    regexp_extract_all(raw, '{pat}', 5) AS g5,
+    regexp_extract_all(raw, '{pat}', 6) AS g6
+  FROM pages
+),
+els AS (
+  SELECT doc_id, CAST(u.i AS INT) AS ord,
+    g6[u.i] AS element_class,
+    regexp_replace(regexp_replace(g3[u.i], '<[^>]+>', '', 'g'),
+                   '{strip}', '', 'g') AS text,
+    CAST(g1[u.i] AS DOUBLE) AS x1, CAST(g2[u.i] AS DOUBLE) AS y1,
+    CAST(g4[u.i] AS DOUBLE) AS x2, CAST(g5[u.i] AS DOUBLE) AS y2
+  FROM matched, UNNEST(generate_series(1, len(g1))) AS u(i)
+),
+kept AS (
+  SELECT * FROM els WHERE text <> '' OR element_class = 'Picture'
+)
+SELECT doc_id,
+  row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS position,
+  element_class, text, x1, y1, x2, y2
+FROM kept
+"""
+
+
 def _data_designer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataDesignerStage deterministic scaffold (reference
     stages/synthetic/nemo_data_designer/data_designer.py:31-143 + the
@@ -3288,11 +3372,11 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the ~15-query always-on core first, then the five queries
+    per round — the ~15-query always-on core first, then the six queries
     new or changed this round (classifier_stage now runs REAL
     MiniTransformer inference; embedder_mini_transformer,
-    caption_window_plan, data_designer_columns and
-    translation_fine_roundtrip are new), then a
+    caption_window_plan, data_designer_columns,
+    translation_fine_roundtrip and pdf_parse_elements are new), then a
     pull-back of the set the r04 window rotated out (modifiers, tpch_q3/
     q5, as-of/cube/set-ops/range-join, joiner roundtrip, the knn/ann/ivf
     trio, video/image/token queries, 3 filters, the 7 remaining
@@ -3322,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["caption_window_plan"] = _caption_prep_query  # new
     out["data_designer_columns"] = _data_designer_query  # new
     out["translation_fine_roundtrip"] = _translation_fine_query  # new
+    out["pdf_parse_elements"] = _pdf_parse_query  # new
     # --- pull-back: rotated past the window in r04, re-proving now ---
     out["modifier_url_newline"] = _modifier_urls_query
     out["modifier_markdown"] = _markdown_query
@@ -3454,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
     out["caption_window_plan"] = _caption_prep_oracle()
     out["data_designer_columns"] = _data_designer_oracle()
     out["translation_fine_roundtrip"] = _translation_fine_oracle()
+    out["pdf_parse_elements"] = _pdf_parse_oracle()
     out["score_filter_framework"] = _framework_oracle()
     out["modifier_line_quote"] = _LINE_QUOTE_ORACLE
     out["modifier_slicer"] = _SLICER_ORACLE

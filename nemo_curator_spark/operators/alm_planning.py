@@ -704,7 +704,6 @@ def build_alm_windows(
 
 def alm_data_builder(
     df: DataFrame,
-    id_col: str = "file_id",
     entry_col: str = "entry",
     **kw,
 ) -> DataFrame:

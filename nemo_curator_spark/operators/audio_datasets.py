@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 SAMPLE_RATE_48KHZ = 48000
-_MIN_FILENAME_PARTS = 2
+_MIN_FILENAME_PARTS = 6  # create_initial_manifest.py:27
 
 
 def get_fleurs_filenames(lang: str, split: str) -> tuple[str, str]:

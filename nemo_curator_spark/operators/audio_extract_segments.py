@@ -19,7 +19,6 @@ import os
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # extract_segments.py:81-98 — verbatim whitelist contract
@@ -159,21 +158,31 @@ def extract_audio_segments(
     df: DataFrame,
     file_col: str = "original_file",
     wav_col: str = "wav",
-    entry_col: str = "entry",
+    entries_col: str = "entries",
+    output_format: str = "wav",
 ) -> DataFrame:
-    """Spark form over (file, wav bytes, manifest-entry JSON) rows: cut
-    each entry's intervals out of the waveform (REAL slices,
-    ``int(ms*sr/1000)`` boundaries like the reference's soundfile read)
-    and emit one row per segment with the metadata/score payload. One
-    mapInPandas pass; waveform bytes stay on their scan partition."""
+    """Spark form over ONE ROW PER FILE: (file, wav bytes, JSON ARRAY of
+    manifest entries). All of a file's entries are processed together so
+    the reference's running per-file / per-(file, speaker) segment
+    counters and filename formats hold exactly
+    (extract_segments.py:313-387): combo 2 emits
+    ``{name}_segment_{idx:03d}.{fmt}``, combos 3/4
+    ``{name}_speaker_{num}_segment_{idx:03d}.{fmt}``; timestamp combos
+    sort entries by original_start_ms first. Real waveform cuts
+    (``int(ms*sr/1000)`` boundaries); one mapInPandas pass, bytes stay
+    on their scan partition."""
     from nemo_curator_spark.operators.multimodal import decode_wav, encode_wav
 
     def gen(it):
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                entry = json.loads(r[entry_col]) if r[entry_col] else {}
-                combo = detect_combo([entry])
+                entries = json.loads(r[entries_col]) if r[entries_col] else []
+                if not isinstance(entries, list):
+                    entries = [entries]
+                if not entries:
+                    continue
+                combo = detect_combo(entries)
                 try:
                     ch, sr, samples = decode_wav(bytes(r[wav_col]))
                 except Exception:
@@ -182,38 +191,53 @@ def extract_audio_segments(
                     samples = np.rint(
                         samples.reshape(-1, ch).mean(axis=1)
                     ).astype(np.int16)
-                speaker_id, speaker_num = get_speaker_label(entry)
                 base = os.path.splitext(
                     os.path.basename(str(r[file_col]))
                 )[0]
-                for seg_idx, (start_ms, end_ms, dur) in enumerate(
-                    entry_intervals(entry, combo)
-                ):
-                    a = int(start_ms * sr / 1000)
-                    b = int(end_ms * sr / 1000)
-                    if b <= a or a >= len(samples):
-                        continue
-                    cut = samples[a : min(b, len(samples))]
-                    filename = f"{base}_spk{speaker_num}_seg{seg_idx}.wav"
-                    meta = base_metadata(
-                        filename, str(r[file_col]), entry, seg_idx,
-                        start_ms, end_ms, dur,
+                if combo in (2, 4):
+                    entries = sorted(
+                        entries, key=lambda e: e.get("original_start_ms", 0)
                     )
-                    rows.append(
-                        (
-                            str(r[file_col]),
-                            seg_idx,
-                            filename,
-                            encode_wav(cut, sr),
-                            meta["start_sec"],
-                            meta["end_sec"],
-                            meta["duration"],
-                            speaker_id,
-                            json.dumps(
-                                extract_scores(entry), ensure_ascii=False
-                            ),
+                file_counter = 0
+                speaker_counter: dict = {}
+                seg_out_idx = 0
+                for entry in entries:
+                    scores = extract_scores(entry)
+                    scores_json = json.dumps(scores, ensure_ascii=False)
+                    speaker_id, speaker_num = get_speaker_label(entry)
+                    for start_ms, end_ms, dur in entry_intervals(entry, combo):
+                        a = int(start_ms * sr / 1000)
+                        b = int(end_ms * sr / 1000)
+                        if b <= a or a >= len(samples):
+                            continue
+                        cut = samples[a : min(b, len(samples))]
+                        if combo == 2:
+                            idx = file_counter
+                            file_counter += 1
+                            filename = (
+                                f"{base}_segment_{idx:03d}.{output_format}"
+                            )
+                        else:
+                            idx = speaker_counter.get(speaker_id, 0)
+                            speaker_counter[speaker_id] = idx + 1
+                            filename = (
+                                f"{base}_speaker_{speaker_num}_segment_"
+                                f"{idx:03d}.{output_format}"
+                            )
+                        rows.append(
+                            (
+                                str(r[file_col]),
+                                seg_out_idx,
+                                filename,
+                                encode_wav(cut, sr),
+                                round(start_ms / 1000, 3),
+                                round(end_ms / 1000, 3),
+                                round(dur, 3),
+                                speaker_id,
+                                scores_json,
+                            )
                         )
-                    )
+                        seg_out_idx += 1
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -223,6 +247,6 @@ def extract_audio_segments(
                 ],
             )
 
-    return df.select(file_col, wav_col, entry_col).mapInPandas(
+    return df.select(file_col, wav_col, entries_col).mapInPandas(
         gen, _EXTRACT_SCHEMA
     )

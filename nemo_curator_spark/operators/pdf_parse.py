@@ -21,7 +21,6 @@ import re
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _ELEMENT_RE = re.compile(

@@ -32,8 +32,13 @@ def test_readspeech_filename_parse():
     assert AD.parse_readspeech_filename("plain.wav") == {
         "book_id": "", "chapter": "", "reader_id": "",
     }
+    # the reference's >= 6-part gate: short names get NO metadata even
+    # when the tokens are present (create_initial_manifest.py:27)
+    assert AD.parse_readspeech_filename("book_123_chp_04.wav") == {
+        "book_id": "", "chapter": "", "reader_id": "",
+    }
     # trailing token with no value stays empty
-    assert AD.parse_readspeech_filename("x_book.wav")["book_id"] == ""
+    assert AD.parse_readspeech_filename("x_book_1_y_z_w.wav")["book_id"] == "1"
 
 
 def test_manifest_spark_forms(spark, tmp_path):

@@ -62,20 +62,45 @@ def test_load_manifest_skips_bad_lines(tmp_path):
 def test_spark_extract_segments(spark):
     sr = 1000
     wav = encode_wav(np.arange(5_000, dtype=np.int16), sr)
-    entry = {
-        "speaker_id": "speaker_7",
-        "diar_segments": [[0.5, 1.5], [3.0, 4.0]],
-        "snr": 12.345678,
-    }
+    entries = [
+        {
+            "speaker_id": "speaker_7",
+            "diar_segments": [[0.5, 1.5], [3.0, 4.0]],
+            "snr": 12.345678,
+        }
+    ]
     df = spark.createDataFrame(
-        [("rec.wav", wav, json.dumps(entry))],
-        "original_file string, wav binary, entry string",
+        [("rec.wav", wav, json.dumps(entries))],
+        "original_file string, wav binary, entries string",
     )
     out = AE.extract_audio_segments(df).orderBy("segment_index").toPandas()
+    # combo 3: reference per-(file, speaker) counter + filename format
     assert out.filename.tolist() == [
-        "rec_spk7_seg0.wav", "rec_spk7_seg1.wav",
+        "rec_speaker_7_segment_000.wav", "rec_speaker_7_segment_001.wav",
     ]
     assert out.start_sec.tolist() == [0.5, 3.0]
     _, _, cut0 = decode_wav(bytes(out.wav[0]))
     assert np.array_equal(cut0, np.arange(500, 1500, dtype=np.int16))
     assert json.loads(out.scores[0]) == {"snr": 12.3457}
+
+
+def test_spark_extract_timestamp_combo_counters(spark):
+    """Review finding: multiple entries for one file must get RUNNING
+    per-file indices (reference _make_filename counters) — and
+    timestamp combos sort entries by original_start_ms first."""
+    sr = 1000
+    wav = encode_wav(np.arange(5_000, dtype=np.int16), sr)
+    entries = [
+        {"original_start_ms": 2000, "original_end_ms": 3000},
+        {"original_start_ms": 0, "original_end_ms": 1000},
+    ]
+    df = spark.createDataFrame(
+        [("a.wav", wav, json.dumps(entries))],
+        "original_file string, wav binary, entries string",
+    )
+    out = AE.extract_audio_segments(df).orderBy("segment_index").toPandas()
+    assert out.filename.tolist() == [
+        "a_segment_000.wav", "a_segment_001.wav",
+    ]
+    assert out.start_sec.tolist() == [0.0, 2.0]  # start-sorted
+    assert out.segment_index.tolist() == [0, 1]

@@ -107,6 +107,7 @@ def test_embedder_gate_survives_nasty_whitespace(spark, nasty_duck, nasty_sf_dir
         "embedder_mini_transformer",  # same artifact protocol
         "translation_coarse_roundtrip",  # strip/lead-ws template replay
         "translation_fine_roundtrip",  # python strip + sentencizer units
+        "pdf_parse_elements",  # python .strip() vs ISPACE-class oracle
         "token_count_fingerprint",  # JVM split + fingerprint normalize
         "langid",  # JVM stopword-hit word split
         "quality_pareto",  # lexical-quality word/line split
