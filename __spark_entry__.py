@@ -3369,20 +3369,550 @@ FROM documents
 """
 
 
+# --- round-6 gate queries: ALM planning, audio tagging merge, math extract ---
+
+
+def _write_shm(df: DataFrame, out_dir: str) -> None:
+    """Atomic single-file artifact write for the write-then-read oracle
+    protocol (tmp dir + os.replace, the _write_minitx_hidden pattern)."""
+    import os
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
+
+
+def _audio_tagging_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeAlignmentDiarization (reference stages/audio/tagging/
+    merge_alignment_diarization.py:65-180) over synthetic per-doc word
+    alignments + diarization segments: the sequential word walk assigns
+    fully-contained words to their segment, boundary-straddlers to the
+    neighbor with more overlap (ties keep the current), gap words are
+    skipped. Words are synthesized shorter than every segment, so the
+    walk's pointer semantics reduce to a declarative per-word rule
+    ('first segment whose end exceeds the word start, else its
+    successor') that the oracle replays fully in SQL — no artifact
+    needed. All timestamps are integer-valued doubles (hash-exact)."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import audio_tagging as atag
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    # segments: 2 + doc%3 per doc, starts every 10, lengths 6..9 (gaps 1..4)
+    segs = (
+        base.withColumn(
+            "i",
+            F.explode(
+                F.sequence(F.lit(0), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+            ),
+        )
+        .withColumn(
+            "s", (F.col("i") * 10 + F.col("doc_id") % 3).cast("double")
+        )
+        .withColumn(
+            "e",
+            F.col("s") + 6 + (F.col("doc_id") * 7 + F.col("i")) % 4,
+        )
+    )
+    seg_json = segs.groupBy("doc_id").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("s").alias("start"), F.col("e").alias("end"))
+                )
+            )
+        ).alias("segments")
+    )
+    # words: 6 + doc%5 per doc, starts every 3, lengths 1..2 (< any segment)
+    words = (
+        base.withColumn(
+            "j",
+            F.explode(
+                F.sequence(F.lit(0), (F.lit(5) + F.col("doc_id") % 5).cast("int"))
+            ),
+        )
+        .withColumn(
+            "ws", (F.col("j") * 3 + F.col("doc_id") % 2).cast("double")
+        )
+        .withColumn(
+            "we", F.col("ws") + 1 + (F.col("doc_id") + F.col("j")) % 2
+        )
+    )
+    align_json = words.groupBy("doc_id").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ws").alias("start"),
+                        F.col("we").alias("end"),
+                        F.concat(F.lit("w"), F.col("j").cast("string")).alias("word"),
+                    )
+                )
+            )
+        ).alias("alignment")
+    )
+    manifest = seg_json.join(align_json, "doc_id")
+    merged = atag.merge_alignment_diarization(manifest)
+    out_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("start", T.DoubleType()),
+                T.StructField("end", T.DoubleType()),
+                T.StructField("text", T.StringType()),
+                T.StructField(
+                    "words",
+                    T.ArrayType(
+                        T.StructType([T.StructField("word", T.StringType())])
+                    ),
+                ),
+            ]
+        )
+    )
+    return merged.select(
+        "doc_id",
+        F.posexplode(F.from_json("segments", out_schema)).alias("seg_idx", "seg"),
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        F.col("seg.start").alias("seg_start"),
+        F.col("seg.end").alias("seg_end"),
+        F.col("seg.text").alias("seg_text"),
+        F.size("seg.words").cast("long").alias("n_words"),
+    )
+
+
+_AUDIO_TAGGING_MERGE_ORACLE = """
+WITH segs AS (
+  SELECT doc_id, CAST(u.i AS INT) AS seg_idx,
+         CAST(u.i * 10 + doc_id % 3 AS DOUBLE) AS s,
+         CAST(u.i * 10 + doc_id % 3 + 6 + (doc_id*7 + u.i) % 4 AS DOUBLE) AS e
+  FROM documents,
+       UNNEST(generate_series(0, CAST(1 + doc_id % 3 AS INT))) AS u(i)
+),
+words AS (
+  SELECT doc_id, CAST(u.j AS INT) AS j,
+         CAST(u.j * 3 + doc_id % 2 AS DOUBLE) AS ws,
+         CAST(u.j * 3 + doc_id % 2 + 1 + (doc_id + u.j) % 2 AS DOUBLE) AS we
+  FROM documents,
+       UNNEST(generate_series(0, CAST(5 + doc_id % 5 AS INT))) AS u(j)
+),
+-- the walk's pointer: the first segment whose end exceeds the word start
+cand AS (
+  SELECT w.doc_id, w.j, w.ws, w.we, min(s.seg_idx) AS ci
+  FROM words w JOIN segs s ON s.doc_id = w.doc_id AND s.e > w.ws
+  GROUP BY w.doc_id, w.j, w.ws, w.we
+),
+votes AS (
+  SELECT c.doc_id, c.j, c.ws, c.we, c.ci,
+         a.s AS cs, a.e AS ce,
+         GREATEST(0, LEAST(c.we, a.e) - GREATEST(c.ws, a.s)) AS o_cur,
+         -- DuckDB LEAST/GREATEST IGNORE nulls, so guard the no-next-
+         -- segment case explicitly instead of relying on null flow
+         CASE WHEN b.s IS NULL THEN 0
+              ELSE GREATEST(0, LEAST(c.we, b.e) - GREATEST(c.ws, b.s))
+         END AS o_nxt
+  FROM cand c
+  JOIN segs a ON a.doc_id = c.doc_id AND a.seg_idx = c.ci
+  LEFT JOIN segs b ON b.doc_id = c.doc_id AND b.seg_idx = c.ci + 1
+),
+assigned AS (
+  SELECT doc_id, j, ws, we,
+         CASE
+           WHEN ws >= cs AND we <= ce THEN ci
+           WHEN o_cur >= o_nxt AND o_cur > 0 THEN ci
+           WHEN o_nxt > o_cur THEN ci + 1
+           ELSE NULL
+         END AS seg_idx
+  FROM votes
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.seg_idx AS BIGINT) AS seg_idx,
+       s.s AS seg_start, s.e AS seg_end,
+       COALESCE(string_agg('w' || a.j, ' ' ORDER BY a.ws), '') AS seg_text,
+       CAST(count(a.j) AS BIGINT) AS n_words
+FROM segs s
+LEFT JOIN assigned a
+  ON a.doc_id = s.doc_id AND a.seg_idx = s.seg_idx
+GROUP BY s.doc_id, s.seg_idx, s.s, s.e
+"""
+
+
+def _alm_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALM pretrain snippet planning (reference stages/audio/alm/pretrain/
+    planning.py:59-252: empty-segment drop -> sweep-line overlap drop ->
+    greedy contiguous packing with duration/gap constraints ->
+    snippet-relative timestamps) over synthetic per-doc segments chosen
+    so every branch fires (overlapping pairs, containments, too-long /
+    too-short candidates, empty texts). The oracle replays the whole
+    plan in SQL: the overlap sweep as a pairwise self-join (equivalent
+    for positive min_overlap) and the greedy packing as a recursive-CTE
+    walk carrying the running snippet start. Integer-valued doubles
+    throughout — hash-exact, no artifact."""
+    from nemo_curator_spark.operators import alm_planning as alm
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    segs = (
+        base.withColumn(
+            "i",
+            F.explode(
+                F.sequence(F.lit(0), (F.lit(2) + F.col("doc_id") % 6).cast("int"))
+            ),
+        )
+        .withColumn(
+            "start", (F.col("i") * 7 + F.col("doc_id") % 5).cast("double")
+        )
+        .withColumn(
+            "end",
+            F.col("start") + 2 + (F.col("doc_id") * 13 + F.col("i") * 7) % 13,
+        )
+        .withColumn(
+            "text",
+            F.when((F.col("doc_id") + F.col("i")) % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("t"), F.col("i").cast("string"))
+            ),
+        )
+        .select(F.col("doc_id").alias("file_id"), "start", "end", "text")
+    )
+    out = alm.alm_snippet_plan(
+        segs,
+        max_duration_sec=12.0,
+        min_duration_sec=4.0,
+        max_segment_gap_in_snippet=3.0,
+        min_overlap_sec=0.5,
+    )
+    return out.select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("snippet_idx").cast("long").alias("snippet_idx"),
+        "snip_start",
+        "snip_end",
+        F.col("seg_pos").cast("long").alias("seg_pos"),
+        "seg_start_rel",
+        "seg_end_rel",
+        "seg_text",
+    )
+
+
+_ALM_PLAN_ORACLE = """
+WITH RECURSIVE segs AS (
+  SELECT doc_id AS fid,
+         CAST(u.i * 7 + doc_id % 5 AS DOUBLE) AS s,
+         CAST(u.i * 7 + doc_id % 5 + 2 + (doc_id*13 + u.i*7) % 13 AS DOUBLE) AS e,
+         CASE WHEN (doc_id + u.i) % 5 = 0 THEN '' ELSE 't' || u.i END AS txt
+  FROM documents,
+       UNNEST(generate_series(0, CAST(2 + doc_id % 6 AS INT))) AS u(i)
+),
+kept AS (SELECT * FROM segs WHERE txt <> ''),
+-- sweep-line overlap drop == pairwise (min_overlap 0.5 > 0): >=0.5s
+-- intersection OR containment flags BOTH sides
+surv AS (
+  SELECT k.*,
+         row_number() OVER (PARTITION BY k.fid ORDER BY k.s, k.e) AS rn
+  FROM kept k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kept b
+    WHERE b.fid = k.fid AND (b.s <> k.s OR b.e <> k.e)
+      AND (LEAST(k.e, b.e) - GREATEST(k.s, b.s) >= 0.5
+           OR (k.s <= b.s AND k.e >= b.e)
+           OR (b.s <= k.s AND b.e >= k.e))
+  )
+),
+-- greedy packing: join while span <= max_dur AND gap <= max_gap
+walk AS (
+  SELECT fid, rn, s, e, txt, s AS snip_s, e AS prev_e, 1 AS snip_no
+  FROM surv WHERE rn = 1
+  UNION ALL
+  SELECT v.fid, v.rn, v.s, v.e, v.txt,
+         CASE WHEN v.e - w.snip_s <= 12 AND v.s - w.prev_e <= 3
+              THEN w.snip_s ELSE v.s END,
+         v.e,
+         CASE WHEN v.e - w.snip_s <= 12 AND v.s - w.prev_e <= 3
+              THEN w.snip_no ELSE w.snip_no + 1 END
+  FROM surv v JOIN walk w ON v.fid = w.fid AND v.rn = w.rn + 1
+),
+snips AS (
+  SELECT fid, snip_no, min(s) AS snip_start, max(e) AS snip_end
+  FROM walk GROUP BY fid, snip_no
+  HAVING max(e) - min(s) <= 12 AND max(e) - min(s) >= 4
+),
+idx AS (
+  SELECT fid, snip_no, snip_start, snip_end,
+         row_number() OVER (PARTITION BY fid ORDER BY snip_start) - 1
+           AS snippet_idx
+  FROM snips
+)
+SELECT CAST(w.fid AS BIGINT) AS file_id,
+       CAST(i.snippet_idx AS BIGINT) AS snippet_idx,
+       i.snip_start, i.snip_end,
+       CAST(row_number() OVER (
+         PARTITION BY w.fid, w.snip_no ORDER BY w.s, w.e
+       ) - 1 AS BIGINT) AS seg_pos,
+       LEAST(i.snip_end - i.snip_start,
+             GREATEST(0, w.s - i.snip_start)) AS seg_start_rel,
+       LEAST(i.snip_end - i.snip_start,
+             GREATEST(0, w.e - i.snip_start)) AS seg_end_rel,
+       w.txt AS seg_text
+FROM walk w JOIN idx i ON w.fid = i.fid AND w.snip_no = i.snip_no
+"""
+
+
+_MATHX_ORACLE_DIR = "/dev/shm/ncs_mathx_oracle"
+
+
+def _math_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-pipeline content extraction (reference stages/math/download/
+    extract.py:35-270 + mime_types.py) over five synthesized binary
+    branches per doc: a real Jupyter notebook JSON (magic json ->
+    notebook flatten), a full HTML document (magic html -> extractor), a
+    text/plain-MIME'd text, an unknown-MIME text (html default path),
+    and an invalid-UTF8 prefix forcing the latin-1 decode fallback. The
+    decode / notebook-flatten / HTML-extraction stages are python, so
+    the write-then-read protocol applies: the REAL math_extract output
+    is the artifact and both engines replay the same SQL tail over it
+    (CLAUDE.md oracle-seam rule)."""
+    from nemo_curator_spark.operators import math_extract as MX
+
+    docs = _docs(spark, sf_dir)
+    b = (F.col("doc_id") % 5).cast("int")
+    nb_json = F.to_json(
+        F.struct(
+            F.lit(4).alias("nbformat"),
+            F.lit(5).alias("nbformat_minor"),
+            F.array(
+                F.struct(
+                    F.lit("code").alias("cell_type"),
+                    F.array(F.col("text")).alias("source"),
+                    F.array(
+                        F.struct(
+                            F.lit("stream").alias("output_type"),
+                            F.array(F.lit("OUT\n")).alias("text"),
+                        )
+                    ).alias("outputs"),
+                )
+            ).alias("cells"),
+        )
+    )
+    html_doc = F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    binary = (
+        F.when(b == 0, F.encode(nb_json, "utf-8"))
+        .when(b == 1, F.encode(html_doc, "utf-8"))
+        .when(
+            b == 4,
+            F.concat(F.unhex(F.lit("FF")), F.encode(F.col("text"), "utf-8")),
+        )
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+    )
+    mime = (
+        F.when(b == 2, F.lit("text/plain"))
+        .when(b == 4, F.lit("text/x-python"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    url = F.concat(
+        F.lit("http://math.example/"),
+        F.col("doc_id").cast("string"),
+        F.when(b == 0, F.lit(".ipynb")).otherwise(F.lit(".dat")),
+    )
+    src = docs.select(
+        binary.alias("binary_content"), url.alias("url"), mime.alias("mime_type")
+    )
+    _write_shm(MX.math_extract(src), _MATHX_ORACLE_DIR)
+    return spark.read.parquet(_MATHX_ORACLE_DIR).select(
+        "url",
+        F.col("type").alias("doc_type"),
+        "magic_mime_type",
+        F.length("text").cast("long").alias("text_len"),
+        F.substring("text", 1, 80).alias("text_prefix"),
+    )
+
+
+def _math_extract_oracle() -> str:
+    return f"""
+SELECT url, "type" AS doc_type, magic_mime_type,
+       CAST(length(text) AS BIGINT) AS text_len,
+       substr(text, 1, 80) AS text_prefix
+FROM read_parquet('{_MATHX_ORACLE_DIR}/part*.parquet')
+"""
+
+
+_ALM_WINDOWS_ORACLE_DIR = "/dev/shm/ncs_almwin_oracle"
+
+
+def _alm_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALMDataBuilder training-window construction (reference
+    stages/audio/alm/alm_data_builder.py:60-291: sample-rate gate,
+    per-segment bandwidth gate, speaker-count gates, target-duration
+    windows with tail-segment truncation) over synthetic diarized
+    entries exercising every gate. The builder is sequential python, so
+    the built entries (JSON) are the artifact; BOTH engines then replay
+    the windows-JSON -> rows derivation — Spark via from_json +
+    posexplode, DuckDB via its JSON path functions — a real SQL seam
+    over the nested window structure."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import alm_planning as alm
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    n = (F.lit(4) + F.col("doc_id") % 5).cast("int")
+    did = F.col("doc_id")
+
+    def _seg(i):
+        start = (i * 20 + 0).cast("double")
+        end = start + 15 + (did * 3 + i) % 10
+        w1s, w1e = start, start + 5
+        w2s, w2e = start + 8, end - 1
+        return F.struct(
+            F.when((did * 7 + i) % 6 == 0, F.lit("no-speaker"))
+            .otherwise(F.concat(F.lit("S"), ((did + i) % 4).cast("string")))
+            .alias("speaker"),
+            start.alias("start"),
+            end.alias("end"),
+            F.concat(F.lit("a"), i.cast("string"), F.lit(" b"), i.cast("string")).alias("text"),
+            F.array(
+                F.struct(
+                    F.concat(F.lit("a"), i.cast("string")).alias("word"),
+                    w1s.alias("start"),
+                    w1e.alias("end"),
+                ),
+                F.struct(
+                    F.concat(F.lit("b"), i.cast("string")).alias("word"),
+                    w2s.alias("start"),
+                    w2e.alias("end"),
+                ),
+            ).alias("words"),
+            F.struct(
+                F.when((did * 11 + i * 5) % 7 == 0, F.lit(4000))
+                .otherwise(F.lit(12000))
+                .alias("bandwidth")
+            ).alias("metrics"),
+        )
+
+    entry = F.to_json(
+        F.struct(
+            F.concat(F.lit("f"), did.cast("string"), F.lit(".wav")).alias("audio_filepath"),
+            F.when(did % 7 == 0, F.lit(8000))
+            .otherwise(F.lit(16000))
+            .alias("audio_sample_rate"),
+            F.transform(F.sequence(F.lit(0), n - 1), _seg).alias("segments"),
+        )
+    )
+    df = base.select(F.col("doc_id").alias("file_id"), entry.alias("entry"))
+    built = alm.alm_data_builder(
+        df,
+        target_window_duration=60.0,
+        tolerance=0.1,
+        min_bandwidth=8000,
+        min_sample_rate=16000,
+        min_speakers=2,
+        max_speakers=5,
+    )
+    _write_shm(built, _ALM_WINDOWS_ORACLE_DIR)
+
+    win_schema = T.StructType(
+        [
+            T.StructField(
+                "windows",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "segments",
+                                T.ArrayType(
+                                    T.StructType(
+                                        [
+                                            T.StructField("start", T.DoubleType()),
+                                            T.StructField("end", T.DoubleType()),
+                                            T.StructField("speaker", T.StringType()),
+                                        ]
+                                    )
+                                ),
+                            ),
+                            T.StructField(
+                                "speaker_durations", T.ArrayType(T.DoubleType())
+                            ),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("truncation_events", T.LongType()),
+        ]
+    )
+    parsed = spark.read.parquet(_ALM_WINDOWS_ORACLE_DIR).select(
+        "file_id", F.from_json("entry", win_schema).alias("p")
+    )
+    return parsed.select(
+        "file_id",
+        F.col("p.truncation_events").alias("truncation_events"),
+        F.posexplode_outer("p.windows").alias("win_idx", "w"),
+    ).select(
+        F.col("file_id").cast("long").alias("file_id"),
+        F.col("win_idx").cast("long").alias("win_idx"),
+        F.size("w.segments").cast("long").alias("n_segs"),
+        F.col("w.segments")[0]["start"].alias("win_start"),
+        F.element_at("w.segments", -1)["end"].alias("win_end"),
+        F.col("w.speaker_durations")[0].alias("sd0"),
+        F.col("w.speaker_durations")[1].alias("sd1"),
+        F.col("w.speaker_durations")[2].alias("sd2"),
+        "truncation_events",
+    )
+
+
+def _alm_windows_oracle() -> str:
+    d = _ALM_WINDOWS_ORACLE_DIR
+    return f"""
+WITH art AS (
+  SELECT file_id, entry,
+         CAST(json_array_length(entry, '$.windows') AS INT) AS nw,
+         CAST(json_extract(entry, '$.truncation_events') AS BIGINT)
+           AS truncation_events
+  FROM read_parquet('{d}/part*.parquet')
+),
+win AS (
+  SELECT file_id, truncation_events, u.i - 1 AS win_idx,
+         json_extract(entry, '$.windows[' || (u.i - 1) || ']') AS w
+  FROM art, UNNEST(generate_series(1, nw)) AS u(i)
+),
+expanded AS (
+  SELECT file_id, win_idx, truncation_events,
+         CAST(json_array_length(w, '$.segments') AS INT) AS ns, w
+  FROM win
+)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(ns AS BIGINT) AS n_segs,
+       CAST(json_extract(w, '$.segments[0].start') AS DOUBLE) AS win_start,
+       CAST(json_extract(w, '$.segments[' || (ns - 1) || '].end') AS DOUBLE)
+         AS win_end,
+       CAST(json_extract(w, '$.speaker_durations[0]') AS DOUBLE) AS sd0,
+       CAST(json_extract(w, '$.speaker_durations[1]') AS DOUBLE) AS sd1,
+       CAST(json_extract(w, '$.speaker_durations[2]') AS DOUBLE) AS sd2,
+       truncation_events
+FROM expanded
+UNION ALL
+SELECT CAST(file_id AS BIGINT), NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       truncation_events
+FROM art WHERE nw = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the ~15-query always-on core first, then the six queries
-    new or changed this round (classifier_stage now runs REAL
-    MiniTransformer inference; embedder_mini_transformer,
-    caption_window_plan, data_designer_columns,
-    translation_fine_roundtrip and pdf_parse_elements are new), then a
-    pull-back of the set the r04 window rotated out (modifiers, tpch_q3/
-    q5, as-of/cube/set-ops/range-join, joiner roundtrip, the knn/ann/ivf
-    trio, video/image/token queries, 3 filters, the 7 remaining
-    repeating-ngram variants). Queries driver-green in r03/r04 with
-    untouched logic rotate past 50; scripts/gate_check.py still validates
-    all of them every round (GATE_r5.txt)."""
+    per round — the 15-query always-on core first, then the four queries
+    new this round (audio_tagging_merge, alm_pretrain_plan,
+    math_extract_types, alm_windows_rows — the round-5 pytest-only
+    families brought into the value-hash gate), then the pull-back of
+    the set the r05 window rotated out (semantic dedup, histogram,
+    fasttext-mini, audio/image/video queries, framework + modifier +
+    comment-ratio rows) and eleven r03-era filter_* rules. Queries
+    driver-green in r04/r05 with untouched logic rotate past 50;
+    scripts/gate_check.py still validates all of them every round
+    (GATE_r6.txt)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- core (always in the window) ---
     out["heuristic_chain_full"] = _chain_full_query
@@ -3400,22 +3930,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["perplexity_bucketed"] = _perplexity_query
     out["simhash_near_dup_pairs"] = _simhash_query
     out["heuristic_chain_native"] = _chain_native_query
-    # --- changed or new this round (must re-prove driver-side) ---
-    out["classifier_stage"] = _classifier_stage_query  # MiniTransformer
-    out["embedder_mini_transformer"] = _embedder_minitx_query  # new
-    out["caption_window_plan"] = _caption_prep_query  # new
-    out["data_designer_columns"] = _data_designer_query  # new
-    out["translation_fine_roundtrip"] = _translation_fine_query  # new
-    out["pdf_parse_elements"] = _pdf_parse_query  # new
-    # --- pull-back: rotated past the window in r04, re-proving now ---
+    # --- new this round (must prove driver-side) ---
+    out["audio_tagging_merge"] = _audio_tagging_merge_query  # new r6
+    out["alm_pretrain_plan"] = _alm_plan_query  # new r6
+    out["math_extract_types"] = _math_extract_query  # new r6
+    out["alm_windows_rows"] = _alm_windows_query  # new r6
+    # --- pull-back: rotated past the window in r05, re-proving now ---
+    out["semantic_dedup_removal_ids"] = _semantic_dedup_query
+    out["histogram_filter"] = _histogram_query
+    out["fasttext_langid_mini"] = _fasttext_langid_query
+    out["audio_manifest_metrics"] = _audio_metrics_query
+    out["image_dedup_removal_ids"] = _image_dedup_query
+    out["video_scene_clips"] = _video_scene_query
+    out["audio_segment_remap"] = _audio_segment_remap_query
+    out["translation_coarse_roundtrip"] = _translation_roundtrip_query
+    out["clip_frame_plan"] = _clip_frame_plan_query
+    out["filter_token_count_bpe"] = _token_bpe_query
+    out["embedder_hash_dim"] = _embedder_query
+    out["interleaved_ratio_filter"] = _interleaved_ratio_query
+    out["modifier_unicode_nfc"] = _unicode_nfc_query
+    out["filter_python_comment_ratio"] = _python_comment_query
+    out["score_filter_framework"] = _framework_query
+    out["events_topk_per_user"] = _topk_per_user_query
+    out["filter_general_comment_ratio"] = _general_comment_query
+    out["heuristic_chain_non_english"] = (
+        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
+    )
+    out["filter_num_lines"] = _rule_query("num_lines")
+    out["doc_splitter"] = _splitter_query
+    # --- r03-era filter_* rows pulled back to fill the 50 ---
+    for name in (
+        "alpha_numeric",
+        "symbol_to_word",
+        "numbers_ratio",
+        "urls_ratio",
+        "white_space",
+        "word_count",
+        "common_english_words",
+        "mean_word_length",
+        "bullet_ratio",
+        "porn_urls",
+        "xml_header",
+    ):
+        out[f"filter_{name}"] = _rule_query(name)
+    # --- past the 50-entry window: driver-green r03..r05, logic untouched ---
+    out["classifier_stage"] = _classifier_stage_query
+    out["embedder_mini_transformer"] = _embedder_minitx_query
+    out["caption_window_plan"] = _caption_prep_query
+    out["data_designer_columns"] = _data_designer_query
+    out["translation_fine_roundtrip"] = _translation_fine_query
+    out["pdf_parse_elements"] = _pdf_parse_query
     out["modifier_url_newline"] = _modifier_urls_query
     out["modifier_markdown"] = _markdown_query
     out["modifier_line_quote"] = _line_quote_query
     out["modifier_slicer"] = _slicer_query
     out["modifier_boilerplate"] = _boilerplate_query
     out["modifier_fasttext_label"] = _fasttext_label_query
+    out["tpch_q1"] = _tpch_q1_query
     out["tpch_q3"] = _tpch_q3_query
     out["tpch_q5"] = _tpch_q5_query
+    out["events_hourly_agg"] = _events_hourly_query
     out["events_asof_join"] = _asof_join_query
     out["events_cube"] = _events_cube_query
     out["doc_set_ops"] = _set_ops_query
@@ -3432,42 +4006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["filter_per_extension"] = _per_extension_query
     out["filter_substring_any"] = _substring_query
     out["lineitem_rollup"] = _rollup_query
-    for name in (
-        "repeating_top_3grams",
-        "repeating_top_4grams",
-        "repeating_dup_6gram",
-        "repeating_dup_7gram",
-        "repeating_dup_8gram",
-        "repeating_dup_9gram",
-        "repeating_dup_10gram",
-    ):
-        out[f"filter_{name}"] = _rule_query(name)
-    # --- r04-window holdovers filling the 50 (cheap, still re-proving) ---
-    out["tpch_q1"] = _tpch_q1_query
-    out["events_hourly_agg"] = _events_hourly_query
-    # --- past the 50-entry window: driver-green r03/r04, logic untouched ---
-    out["embedder_hash_dim"] = _embedder_query
-    out["image_dedup_removal_ids"] = _image_dedup_query
-    out["video_scene_clips"] = _video_scene_query
-    out["audio_segment_remap"] = _audio_segment_remap_query
-    out["translation_coarse_roundtrip"] = _translation_roundtrip_query
-    out["clip_frame_plan"] = _clip_frame_plan_query
-    out["semantic_dedup_removal_ids"] = _semantic_dedup_query
-    out["fasttext_langid_mini"] = _fasttext_langid_query
-    out["audio_manifest_metrics"] = _audio_metrics_query
-    out["interleaved_ratio_filter"] = _interleaved_ratio_query
-    out["filter_token_count_bpe"] = _token_bpe_query
-    out["histogram_filter"] = _histogram_query
-    out["modifier_unicode_nfc"] = _unicode_nfc_query
-    out["filter_python_comment_ratio"] = _python_comment_query
-    out["score_filter_framework"] = _framework_query
-    out["events_topk_per_user"] = _topk_per_user_query
-    out["filter_general_comment_ratio"] = _general_comment_query
-    out["heuristic_chain_non_english"] = (
-        lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
-    )
-    out["filter_num_lines"] = _rule_query("num_lines")
-    out["doc_splitter"] = _splitter_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
@@ -3551,4 +4089,8 @@ def oracle_sql() -> dict[str, str]:
     out["filter_token_count_bpe"] = _token_bpe_oracle()
     out["filter_html_boilerplate"] = _html_boilerplate_oracle()
     out["filter_per_extension"] = _per_extension_oracle()
+    out["audio_tagging_merge"] = _AUDIO_TAGGING_MERGE_ORACLE
+    out["alm_pretrain_plan"] = _ALM_PLAN_ORACLE
+    out["math_extract_types"] = _math_extract_oracle()
+    out["alm_windows_rows"] = _alm_windows_oracle()
     return out
