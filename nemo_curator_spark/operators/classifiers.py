@@ -201,6 +201,77 @@ def prompt_task_complexity_classifier(**kw) -> CategoricalClassifier:
     )
 
 
+def center_crop_text(col, center_crop_chars: int):
+    """CenterCropTextStage._mid_slice as a pure JVM Column (reference
+    math/classifiers/finemath.py:56-74): keep ``s[max(0,m-n) : min(m+n,
+    len)]`` around the character midpoint ``m = len//2`` — central
+    context survives truncation. ``center_crop_chars <= 0`` is the
+    stage's pass-through."""
+    if center_crop_chars <= 0:
+        return col
+    n = F.lit(int(center_crop_chars))
+    ln = F.length(col)
+    m = F.floor(ln / 2).cast("int")
+    b = F.greatest(F.lit(0), m - n)
+    e = F.least(m + n, ln)
+    return F.substring(col, b + 1, (e - b).cast("int"))
+
+
+@dataclass(kw_only=True)
+class FineMathClassifier:
+    """Reference FineMathClassifier (math/classifiers/finemath.py:153-203):
+    CenterCropText -> tokenize -> DeBERTa regression head. Exact field
+    contract mirrored; the HF id ``HuggingFaceTB/finemath-classifier``
+    is the model plug point (``model.score_batch(list[list[int]]) ->
+    list[float]`` — MiniTransformerRegressor provides the real local
+    path). Output semantics are the reference's exactly
+    (finemath.py:135-144): float scores = ``clip(logits, 0, 5)``, int
+    scores = ``np.round`` of that — numpy rounds HALF-EVEN, so the
+    Spark side uses ``F.bround`` (never F.round, which is
+    half-away-from-zero; CLAUDE.md rounding-parity rule)."""
+
+    model_name: str = "HuggingFaceTB/finemath-classifier"
+    cache_dir: str | None = None
+    float_score_column: str = "finemath_scores"
+    int_score_column: str = "finemath_int_scores"
+    text_field: str = "text"
+    max_chars: int | None = None
+    max_seq_length: int = 512
+    sort_by_length: bool = False
+    model_inference_batch_size: int = 1024
+    autocast: bool = True
+    center_crop_chars: int | None = 10_000
+    model: object | None = None
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        text = F.col(self.text_field)
+        if self.center_crop_chars is not None and self.center_crop_chars > 0:
+            text = center_crop_text(text, self.center_crop_chars)
+        if self.max_chars and self.max_chars > 0:
+            text = F.substring(text, 1, self.max_chars)
+        model = self.model
+        max_len = self.max_seq_length
+
+        @F.pandas_udf(T.DoubleType())
+        def score(texts: pd.Series) -> pd.Series:
+            if model is None:
+                raise NotImplementedError(
+                    "no transformer runtime in this environment; inject a "
+                    "model with score_batch (MiniTransformerRegressor is "
+                    "the local real-inference path)"
+                )
+            tokens = regex_tokenizer(texts, max_len).tolist()
+            return pd.Series([float(s) for s in model.score_batch(tokens)])
+
+        logit = score(text)
+        fs = F.least(F.greatest(logit, F.lit(0.0)), F.lit(5.0))
+        out = df.withColumn(self.float_score_column, fs)
+        return out.withColumn(
+            self.int_score_column,
+            F.bround(F.col(self.float_score_column)).cast("int"),
+        )
+
+
 @dataclass
 class EmbedderStage:
     """Text -> array<float> embedding stage (reference embedders/base.py

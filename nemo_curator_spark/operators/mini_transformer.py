@@ -255,6 +255,30 @@ def train_head(model: MiniTransformer, samples: list[tuple[list[int], str]],
     return model
 
 
+def train_head_regression(
+    model: MiniTransformer,
+    samples: list[tuple[list[int], float]],
+    ridge: float = 1e-3,
+) -> MiniTransformer:
+    """Closed-form ridge regression of a scalar head on the frozen body's
+    pooled features (the FineMath regression analogue of train_head's
+    softmax probe — reference FineMathModelStage squeezes a 1-logit
+    sequence-classification head, finemath.py:114-144). Deterministic:
+    normal equations solved with np.linalg.solve, no iteration order
+    dependence. Mutates and returns ``model`` with reg_w/reg_b."""
+    feats = model.pooled([ids for ids, _ in samples])  # (N, d)
+    y = np.array([float(t) for _, t in samples])
+    y_mean = float(y.mean()) if len(y) else 0.0
+    xc = feats - feats.mean(axis=0, keepdims=True) if len(y) else feats
+    yc = y - y_mean
+    d = model.p["dim"]
+    a = xc.T @ xc + ridge * np.eye(d)
+    w = np.linalg.solve(a, xc.T @ yc)
+    model.p["reg_w"] = w
+    model.p["reg_b"] = y_mean - float(feats.mean(axis=0) @ w) if len(y) else 0.0
+    return model
+
+
 # ----------------------------------------------------------------------
 # Per-worker artifact cache (perplexity.py:178-185 pattern): the Spark
 # closure carries only the path; each python worker parses the JSON once.
@@ -311,6 +335,21 @@ class MiniTransformerClassifier:
         probs = self._probs(token_ids)
         order = np.argmax(np.round(probs, 6), axis=-1)
         return [float(probs[r, i]) for r, i in enumerate(order)]
+
+
+class MiniTransformerRegressor:
+    """score_batch adapter: pooled features -> scalar ridge-head readout,
+    the object FineMathClassifier plugs in for real local inference
+    (clip/round happen in the stage, matching the reference's
+    process_model_output split, finemath.py:135-144)."""
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+
+    def score_batch(self, token_ids: list[list[int]]) -> list[float]:
+        m = load_cached(self.model_path)
+        pooled = m.pooled(token_ids)
+        return [float(v) for v in pooled @ m.p["reg_w"] + m.p["reg_b"]]
 
 
 class MiniTransformerEmbedder:
