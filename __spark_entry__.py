@@ -772,7 +772,7 @@ def _ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vecs, buckets = similarity.hyperplane_buckets(
-        df, n_planes=4, num_tables=8
+        df, n_planes=4, num_tables=8, dim=64
     )
     shutil.rmtree(_ANN_ORACLE_DIR, ignore_errors=True)
     vecs.coalesce(1).write.parquet(os.path.join(_ANN_ORACLE_DIR, "vecs"))
@@ -1047,7 +1047,7 @@ def _embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     df = base.unionAll(dup)
-    vecs, buckets = similarity.hyperplane_buckets(df, n_planes=4, num_tables=8)
+    vecs, buckets = similarity.hyperplane_buckets(df, n_planes=4, num_tables=8, dim=64)
     shutil.rmtree(_NEARDUP_ORACLE_DIR, ignore_errors=True)
     vecs.coalesce(1).write.parquet(os.path.join(_NEARDUP_ORACLE_DIR, "vecs"))
     buckets.coalesce(1).write.parquet(

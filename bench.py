@@ -146,7 +146,7 @@ def main() -> None:
     timed(
         "ann_cosine_topk",
         lambda: similarity.ann_topk_hyperplane(
-            emb, k=5, n_planes=6, num_tables=4
+            emb, k=5, n_planes=6, num_tables=4, dim=64
         ).count(),
     )
     # q6b: IVF ANN (broadcast-centroid equi-join — the other scale path)

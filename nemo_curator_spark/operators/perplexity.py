@@ -139,6 +139,7 @@ def train_per_language(
     lang_col: str = "lang",
     max_docs_per_lang: int = 20000,
     seed: int = 42,
+    lang_counts: dict[str, int] | None = None,
 ) -> dict[str, NGramLM]:
     """Train one LM per language from a bounded deterministic sample.
 
@@ -152,8 +153,14 @@ def train_per_language(
     bounded sample — a full shuffle that buys nothing at scale. The
     filter over-admits slightly, so rows are deterministically truncated
     driver-side by (hash, text) order.
+
+    ``lang_counts`` lets a caller that already knows the per-language
+    row counts (e.g. from an earlier lineage aggregation) skip this
+    function's own count job — one fewer scan when a pipeline trains
+    right after profiling. The map is only used to size the sampling
+    moduli, so approximate counts are fine.
     """
-    counts = {
+    counts = lang_counts or {
         r[0]: r[1] for r in df.groupBy(lang_col).count().collect()
     }
     if not counts:

@@ -348,11 +348,13 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     num_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Pairs (a < b) with cosine >= threshold, via hyperplane blocking."""
+    """Pairs (a < b) with cosine >= threshold, via hyperplane blocking.
+    ``dim`` (when known) skips the per-call width probe job."""
     topk = ann_topk_hyperplane(
         df, id_col, vec_col, k=50, n_planes=n_planes,
-        num_tables=num_tables, seed=seed,
+        num_tables=num_tables, seed=seed, dim=dim,
     )
     return (
         topk.where(
