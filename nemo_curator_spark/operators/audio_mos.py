@@ -241,3 +241,108 @@ def utmos_filter(
             )
 
     return df.mapInPandas(gen, out_schema)
+
+
+# --- SQUIM quality metrics (metrics/squim.py:35-235) ------------------------
+
+
+def collect_segment_waveforms(
+    samples: np.ndarray,
+    sample_rate: int,
+    entry: dict,
+    segments_key: str = "segments",
+    target_sr: int = 16000,
+    resample=None,
+) -> list[tuple[int, np.ndarray]]:
+    """TorchSquimQualityMetricsStage._collect_waveforms_for_entry
+    (squim.py:129-181), exact segment rules: skip no-speaker and
+    empty-text segments, frame range floor(start*sr)..floor(end*sr),
+    zero-length skipped; a segment-less entry contributes the whole
+    file at index -1. ``resample(y, src, dst) -> y`` is the torchaudio
+    plug point (required only when sr != target_sr)."""
+
+    def _maybe_resample(y: np.ndarray) -> np.ndarray:
+        if sample_rate == target_sr:
+            return y
+        if resample is None:
+            raise NotImplementedError(
+                "resampling needs an injected resample(y, src, dst) "
+                "(torchaudio.functional.resample is the reference path)"
+            )
+        return np.asarray(resample(y, sample_rate, target_sr))
+
+    import math
+
+    collected: list[tuple[int, np.ndarray]] = []
+    if segments_key in entry:
+        for seg_idx, segment in enumerate(entry[segments_key]):
+            if (
+                segment.get("speaker") == "no-speaker"
+                or segment.get("text", "").strip() == ""
+            ):
+                continue
+            start = segment.get("start", 0)
+            end = segment.get("end", 0)
+            start_frame = math.floor(start * sample_rate)
+            end_frame = math.floor(end * sample_rate)
+            if end_frame - start_frame <= 0:
+                continue
+            collected.append(
+                (seg_idx, _maybe_resample(samples[start_frame:end_frame]))
+            )
+    else:
+        collected.append((-1, _maybe_resample(samples)))
+    return collected
+
+
+def update_squim_metrics(
+    audio_segment: dict, pesq_val: float, stoi_val: float, sisdr_val: float
+) -> None:
+    """squim.py:183-191, exact metric keys."""
+    if "metrics" not in audio_segment:
+        audio_segment["metrics"] = {}
+    audio_segment["metrics"]["pesq_squim"] = pesq_val
+    audio_segment["metrics"]["stoi_squim"] = stoi_val
+    audio_segment["metrics"]["sisdr_squim"] = sisdr_val
+
+
+@dataclass
+class SquimMetricsStage:
+    """squim.py:35-235 contract: collect valid segment waveforms, score
+    them through the injectable ``squim(list[np.ndarray]) ->
+    [(pesq, stoi, si_sdr)]`` (the torchaudio-SQUIM plug point — the
+    reference rounds each to 3 decimals, applied here so an injected
+    raw model matches), and write the three ``*_squim`` metric keys
+    into each scored segment (or the entry itself at index -1)."""
+
+    segments_key: str = "segments"
+    target_sr: int = 16000
+    squim: object | None = None
+    resample: object | None = None
+
+    def process_entry(
+        self, entry: dict, samples: np.ndarray, sample_rate: int
+    ) -> dict:
+        if self.squim is None:
+            raise NotImplementedError(
+                "no SQUIM runtime in this environment; inject "
+                "squim(waveforms) -> [(pesq, stoi, si_sdr)]"
+            )
+        collected = collect_segment_waveforms(
+            samples, sample_rate, entry, self.segments_key,
+            self.target_sr, self.resample,
+        )
+        if not collected:
+            return entry
+        results = self.squim([w for _, w in collected])
+        for (seg_idx, _), (pesq, stoi, sisdr) in zip(collected, results):
+            target = (
+                entry
+                if seg_idx == -1
+                else entry[self.segments_key][seg_idx]
+            )
+            update_squim_metrics(
+                target, round(float(pesq), 3), round(float(stoi), 3),
+                round(float(sisdr), 3),
+            )
+        return entry

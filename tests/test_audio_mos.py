@@ -148,3 +148,72 @@ def test_spark_forms(spark):
     assert [r["file_id"] for r in got] == [0]
     assert got[0]["utmos_mos"] == pytest.approx(3.0 + np.abs(
         tone.astype(np.float32) / 32768.0).max())
+
+
+# --- SQUIM metrics (squim.py:35-235) ----------------------------------------
+
+
+def test_collect_segment_waveforms_rules():
+    sr = 1000
+    samples = np.arange(10 * sr, dtype=np.float64)
+    entry = {
+        "segments": [
+            {"speaker": "S1", "text": "hi", "start": 1.0, "end": 2.0},
+            {"speaker": "no-speaker", "text": "x", "start": 2.0, "end": 3.0},
+            {"speaker": "S2", "text": "  ", "start": 3.0, "end": 4.0},
+            {"speaker": "S3", "text": "ok", "start": 5.0, "end": 5.0},  # zero len
+            {"speaker": "S4", "text": "yo", "start": 8.5, "end": 9.0},
+        ]
+    }
+    got = M.collect_segment_waveforms(samples, sr, entry, target_sr=sr)
+    # only segments 0 and 4 survive (no-speaker / empty text / zero-length
+    # skipped, squim.py:149-173)
+    assert [i for i, _ in got] == [0, 4]
+    assert len(got[0][1]) == sr  # floor(1*sr)..floor(2*sr)
+    assert got[1][1][0] == 8500.0
+    # segment-less entry -> whole file at index -1
+    whole = M.collect_segment_waveforms(samples, sr, {}, target_sr=sr)
+    assert [i for i, _ in whole] == [-1] and len(whole[0][1]) == 10 * sr
+    # sr mismatch without an injected resampler raises (plug point)
+    with pytest.raises(NotImplementedError, match="resample"):
+        M.collect_segment_waveforms(samples, sr, {}, target_sr=2 * sr)
+    # injected resampler is used
+    got2 = M.collect_segment_waveforms(
+        samples, sr, {}, target_sr=2 * sr,
+        resample=lambda y, s, d: np.repeat(y, 2),
+    )
+    assert len(got2[0][1]) == 20 * sr
+
+
+def test_squim_stage_contract():
+    sr = 1000
+    samples = np.ones(6 * sr)
+    entry = {
+        "segments": [
+            {"speaker": "S1", "text": "a", "start": 0.0, "end": 2.0},
+            {"speaker": "no-speaker", "text": "b", "start": 2.0, "end": 3.0},
+            {"speaker": "S2", "text": "c", "start": 3.0, "end": 6.0,
+             "metrics": {"bandwidth": 8000}},
+        ]
+    }
+
+    def fake_squim(waveforms):
+        # score by duration so segments are distinguishable
+        return [(len(w) / sr, 0.87654, -1.23456) for w in waveforms]
+
+    st = M.SquimMetricsStage(squim=fake_squim, target_sr=sr)
+    out = st.process_entry(entry, samples, sr)
+    s0, s1, s2 = out["segments"]
+    assert s0["metrics"]["pesq_squim"] == 2.0
+    assert s0["metrics"]["stoi_squim"] == 0.877  # rounded to 3 (reference)
+    assert s0["metrics"]["sisdr_squim"] == -1.235
+    assert "metrics" not in s1  # skipped segment untouched
+    assert s2["metrics"]["pesq_squim"] == 3.0
+    assert s2["metrics"]["bandwidth"] == 8000  # existing metrics preserved
+    # segment-less entry: metrics land on the entry itself
+    solo = M.SquimMetricsStage(squim=fake_squim, target_sr=sr).process_entry(
+        {}, samples, sr
+    )
+    assert solo["metrics"]["pesq_squim"] == 6.0
+    with pytest.raises(NotImplementedError, match="SQUIM"):
+        M.SquimMetricsStage().process_entry({}, samples, sr)
