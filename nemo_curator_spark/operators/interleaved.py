@@ -269,53 +269,75 @@ def clip_score_filter(
     modality_col: str = "modality",
     text_col: str = "text_content",
     image_col: str = "image",
+    colocated: bool = True,
 ) -> DataFrame:
     """InterleavedCLIPScoreFilterStage (clip_score_filter.py:48-116):
     an image row survives iff its best similarity against ANY text row
     of the same sample reaches ``min_score``; images in text-free
     samples and undecodable images are dropped; non-image rows pass.
-    The sample's rows are grouped with applyInPandas (one bookkeeping
-    shuffle on the sample id — the same unit the reference materializes
-    per task); ``model`` is the injectable CLIP runtime."""
+
+    Scale shape: a sample's rows are grouped WITHIN each partition —
+    the WebDataset reader emits one shard per task, so a sample's rows
+    are already colocated and the image bytes never cross an exchange
+    (a groupBy-the-sample form would shuffle every payload; at 100 TB
+    the payloads dwarf everything else). For inputs that do NOT
+    colocate samples, pass ``colocated=False`` to add the one explicit
+    repartition by sample id (the documented cost, not a hidden
+    one)."""
+    if not colocated:
+        df = df.repartition(F.col(sample_col))
     schema = df.schema
 
-    def per_sample(pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(it):
         from nemo_curator_spark.operators.multimodal import _decode
 
-        img_mask = pdf[modality_col] == "image"
-        if not img_mask.any():
-            return pdf
-        texts = [
-            s.strip()
-            for s in pdf.loc[pdf[modality_col] == "text", text_col]
-            .dropna()
-            .astype(str)
-            .tolist()
-            if s.strip()
-        ]
-        keep = pd.Series(True, index=pdf.index, dtype=bool)
-        if not texts:
-            keep[img_mask] = False
-            return pdf[keep]
-        indices, images = [], []
-        for idx in pdf.index[img_mask]:
-            raw = pdf.loc[idx, image_col]
-            if raw is None:
-                keep.loc[idx] = False
-                continue
-            try:
-                w, h, c, px = _decode(bytes(raw))
-            except Exception:
-                keep.loc[idx] = False
-                continue
-            indices.append(idx)
-            images.append(px.reshape(h, w, c))
-        if images:
-            img_emb = np.asarray(model(images), dtype=np.float64)
-            text_emb = np.asarray(model.encode_text(texts), dtype=np.float64)
-            scores = img_emb @ text_emb.T
-            for i, idx in enumerate(indices):
-                keep.loc[idx] = bool(scores[i].max() >= min_score)
-        return pdf[keep]
+        # concatenate the partition's Arrow batches first: a sample's
+        # rows may straddle a batch boundary, and grouping must see the
+        # whole sample (the reference materializes the whole task too)
+        parts = [p for p in it if len(p)]
+        if not parts:
+            return
+        whole = pd.concat(parts, ignore_index=True)
+        for pdf in (whole,):
+            keep = pd.Series(True, index=pdf.index, dtype=bool)
+            for _, grp in pdf.groupby(sample_col, sort=False):
+                img_mask = grp[modality_col] == "image"
+                if not img_mask.any():
+                    continue
+                texts = [
+                    s.strip()
+                    for s in grp.loc[grp[modality_col] == "text", text_col]
+                    .dropna()
+                    .astype(str)
+                    .tolist()
+                    if s.strip()
+                ]
+                if not texts:
+                    keep[grp.index[img_mask]] = False
+                    continue
+                indices, images = [], []
+                for idx in grp.index[img_mask]:
+                    raw = grp.loc[idx, image_col]
+                    if raw is None:
+                        keep.loc[idx] = False
+                        continue
+                    try:
+                        w, h, c, px = _decode(bytes(raw))
+                    except Exception:
+                        keep.loc[idx] = False
+                        continue
+                    indices.append(idx)
+                    images.append(px.reshape(h, w, c))
+                if images:
+                    img_emb = np.asarray(model(images), dtype=np.float64)
+                    text_emb = np.asarray(
+                        model.encode_text(texts), dtype=np.float64
+                    )
+                    scores = img_emb @ text_emb.T
+                    for i, idx in enumerate(indices):
+                        keep.loc[idx] = bool(
+                            scores[i].max() >= min_score
+                        )
+            yield pdf[keep]
 
-    return df.groupBy(sample_col).applyInPandas(per_sample, schema=schema)
+    return df.mapInPandas(per_partition, schema)

@@ -141,9 +141,21 @@ def test_clip_score_filter(spark):
         "sample_id string, modality string, image binary, "
         "text_content string, tag string",
     )
+    # non-colocated input: the explicit repartition path
     kept = sorted(
         r["tag"]
-        for r in IL.clip_score_filter(df, _Clip(), min_score=0.5).collect()
+        for r in IL.clip_score_filter(
+            df, _Clip(), min_score=0.5, colocated=False
+        ).collect()
     )
     # bright image matches "a bright photo" (score 1); dark scores 0
     assert kept == ["bright_img", "meta2", "t1"]
+    # colocated layout (the WebDataset one-shard-per-task shape): same
+    # result with zero shuffle of the image bytes
+    kept2 = sorted(
+        r["tag"]
+        for r in IL.clip_score_filter(
+            df.coalesce(1), _Clip(), min_score=0.5
+        ).collect()
+    )
+    assert kept2 == kept
