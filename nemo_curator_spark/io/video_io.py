@@ -294,6 +294,8 @@ class ClipWriter:
         if clip.get("aesthetic_score") is not None:
             data["aesthetic_score"] = clip["aesthetic_score"]
         if clip.get("errors"):
+            # list(dict) == KEYS only — the reference's exact
+            # serialization (clip_writer.py:346-347 does list(clip.errors))
             data["errors"] = list(clip["errors"])
         has_caption = False
         data["windows"] = []
@@ -351,7 +353,23 @@ class ClipWriter:
         chunk stats payload (the lineage row). Write order follows the
         reference: clip-level artifacts first, then the embedding
         parquet and video/chunk metadata."""
-        stats = ClipStats()
+        pre = video.get("clip_stats") or {}
+        # upstream motion/aesthetic filter stages accumulate their drop
+        # counters on the video (the reference combines writer results
+        # INTO the existing video.clip_stats) — seed from them so the
+        # chunk bookkeeping matches the filtered_clips list
+        stats = ClipStats(
+            num_filtered_by_motion=int(
+                pre.get("num_filtered_by_motion", 0)
+                if isinstance(pre, dict)
+                else getattr(pre, "num_filtered_by_motion", 0)
+            ),
+            num_filtered_by_aesthetic=int(
+                pre.get("num_filtered_by_aesthetic", 0)
+                if isinstance(pre, dict)
+                else getattr(pre, "num_filtered_by_aesthetic", 0)
+            ),
+        )
         embd_buffer = []
         for clip in video.get("clips", []):
             if clip.get("embedding") is not None:
@@ -469,7 +487,9 @@ def write_clips(
 ) -> DataFrame:
     """Spark form: one JSON-encoded clip row per record (column ``clip``,
     the dict contract above with bytes base64-free — binary columns
-    ``buffer``/``webp`` ride separately), grouped per (video, chunk) so
+    ride separately: ``buffer`` for the mp4 and an optional ``webps``
+    array<binary> aligned with clip["windows"]), grouped per (video,
+    chunk) so
     each group writes its own artifacts and emits one stats row. Clip
     bytes stay on their scan partitions until the single bookkeeping
     shuffle; file names are content-addressed so retries and concurrent
@@ -478,10 +498,18 @@ def write_clips(
     def per_video(pdf: pd.DataFrame) -> pd.DataFrame:
         clips, filtered = [], []
         meta = {}
+        has_webps = "webps" in pdf.columns
         for _, r in pdf.iterrows():
             clip = json.loads(r["clip"])
             if r.get("buffer") is not None:
                 clip["buffer"] = bytes(r["buffer"])
+            if has_webps and r["webps"] is not None:
+                # binary preview payloads ride in a separate
+                # array<binary> column aligned with clip["windows"]
+                # (bytes cannot live in the JSON clip column)
+                for w, wb in zip(clip.get("windows", []), r["webps"]):
+                    if wb is not None:
+                        w["webp"] = bytes(wb)
             meta = json.loads(r["video_metadata"]) if r["video_metadata"] else {}
             (filtered if clip.pop("filtered", False) else clips).append(clip)
         video = {

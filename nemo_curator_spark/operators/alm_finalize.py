@@ -247,8 +247,16 @@ def merge_tar_shards(output_path: str) -> int:
                     f = in_tar.extractfile(ti)
                     if f is None:
                         continue
-                    out_tar.addfile(ti, f)
-                except tarfile.TarError:
+                    # read + length-check BEFORE addfile: a shard whose
+                    # final member has an intact header but truncated
+                    # payload would otherwise corrupt the merged tar
+                    # mid-copy (short read raises OSError inside
+                    # copyfileobj AFTER the header is written)
+                    payload = f.read()
+                    if len(payload) != ti.size:
+                        continue
+                    out_tar.addfile(ti, BytesIO(payload))
+                except (tarfile.TarError, OSError):
                     continue
                 written += 1
     finally:

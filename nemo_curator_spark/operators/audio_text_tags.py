@@ -158,6 +158,15 @@ class ResampleAudioStage:
             samples = np.rint(
                 samples.reshape(-1, ch).mean(axis=1)
             ).astype(np.int16)
+        elif ch != nchannels or nchannels != 1:
+            # the stdlib default only produces mono; interleaved
+            # multichannel resampling is ffmpeg's job — refuse loudly
+            # rather than resample across interleaved channels
+            raise NotImplementedError(
+                f"default converter only downmixes to mono "
+                f"(got {ch} channel(s) -> target {nchannels}); inject "
+                f"convert(...) backed by ffmpeg for multichannel output"
+            )
         out = linear_resample(samples, sr, sample_rate)
         tmp = output_path + ".tmp"
         with open(tmp, "wb") as fp:

@@ -16,13 +16,15 @@ the same arrays for bit-parity; seeded weights exercise the real code
 path locally. Stage semantics are exact (aesthetic keeps score >=
 threshold; NSFW keeps score < threshold; scores annotated per image).
 
-Spark shape: one Arrow pass over embedding columns (weights ship once
-per worker in the closure) — scoring adds a column, filtering stays a
-JVM predicate.
+Spark shape: one Arrow pass over embedding columns; pass weights_path
+so the matrices load once per worker from an npz artifact (UDF
+closures pickle per task — the CLAUDE.md payload lesson) — scoring
+adds a column, filtering stays a JVM predicate.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -146,32 +148,75 @@ class ImageNSFWFilterStage:
         ]
 
 
-def _score_udf(model):
+def save_weights(weights: dict[str, np.ndarray], path: str) -> None:
+    """Persist a head's weight dict as npz (the artifact the Spark form
+    ships by PATH — the CLAUDE.md closure-payload lesson: UDF closures
+    pickle per task, so the matrices must live behind a per-worker
+    cache, the mini_transformer.load_cached pattern)."""
+    tmp = path + ".tmp.npz"  # np.savez appends .npz unless present
+    np.savez(tmp, **weights)
+    os.replace(tmp, path)
+
+
+_CACHE: dict[str, dict] = {}
+
+
+def load_weights_cached(path: str) -> dict[str, np.ndarray]:
+    key = f"{path}:{os.path.getmtime(path)}:{os.path.getsize(path)}"
+    w = _CACHE.get(key)
+    if w is None:
+        if len(_CACHE) >= 4:
+            _CACHE.clear()
+        with np.load(path) as z:
+            w = {k: z[k] for k in z.files}
+        _CACHE[key] = w
+    return w
+
+
+def _score_udf(model, model_cls, weights_path):
+    """When ``weights_path`` is given the closure carries ONLY the path
+    (each worker loads + caches the matrices once); an in-closure model
+    is for small/local runs."""
+
     @F.pandas_udf(T.DoubleType())
     def _score(emb: pd.Series) -> pd.Series:
+        m = model
+        if weights_path is not None:
+            m = model_cls(load_weights_cached(weights_path))
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
-        return pd.Series(model(mat))
+        return pd.Series(m(mat))
 
     return _score
 
 
 def aesthetic_scores(
-    df: DataFrame, model=None, emb_col: str = "embedding"
+    df: DataFrame,
+    model=None,
+    emb_col: str = "embedding",
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Spark form: append ``aesthetic_score`` (filter downstream with a
-    Column predicate, exactly score >= threshold)."""
+    Column predicate, exactly score >= threshold). Prefer
+    ``weights_path`` at scale — the ~9 MB float64 head then ships once
+    per worker instead of once per task."""
+    m = None if weights_path else (model or AestheticMLP.init_seeded())
     return df.withColumn(
         "aesthetic_score",
-        _score_udf(model or AestheticMLP.init_seeded())(F.col(emb_col)),
+        _score_udf(m, AestheticMLP, weights_path)(F.col(emb_col)),
     )
 
 
 def nsfw_scores(
-    df: DataFrame, model=None, emb_col: str = "embedding"
+    df: DataFrame,
+    model=None,
+    emb_col: str = "embedding",
+    weights_path: str | None = None,
 ) -> DataFrame:
     """Spark form: append ``nsfw_score`` (keep rows with score <
-    threshold downstream)."""
+    threshold downstream). ``weights_path`` behaves as in
+    :func:`aesthetic_scores`."""
+    m = None if weights_path else (model or NSFWModelNP.init_seeded())
     return df.withColumn(
         "nsfw_score",
-        _score_udf(model or NSFWModelNP.init_seeded())(F.col(emb_col)),
+        _score_udf(m, NSFWModelNP, weights_path)(F.col(emb_col)),
     )

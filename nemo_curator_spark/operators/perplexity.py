@@ -172,9 +172,14 @@ def train_per_language(
         *[F.lit(x) for lg in sorted(mods) for x in (lg, mods[lg])]
     )
     h = F.xxhash64(F.col(text_col), F.lit(seed))
+    # a language absent from (possibly caller-supplied) counts maps to
+    # NULL in the modulus lookup, which would silently admit nothing —
+    # coalesce to modulus 1 so unknown languages are fully admitted and
+    # bounded by the driver-side truncation below instead
+    modulus = F.coalesce(mod_expr[F.col(lang_col)], F.lit(1))
     sample = (
         df.select(lang_col, text_col, h.alias("_h"))
-        .where(F.pmod(F.col("_h"), mod_expr[F.col(lang_col)]) == 0)
+        .where(F.pmod(F.col("_h"), modulus) == 0)
         .collect()
     )
     by_lang: dict[str, list[tuple[int, str]]] = {}

@@ -189,6 +189,11 @@ class FormatTranslationOutputStage:
                 )
             df["translation_metadata"] = metadata_values
         if self.output_mode == "raw" and self.output_field in df.columns:
+            # NOTE: the reference drops the translated field BEFORE the
+            # message reconstruction below reads it
+            # (format_translation_output.py:73-78), so raw+reconstruct
+            # yields empty message contents there too — bug-for-bug
+            # parity, pinned by tests; use 'both' to reconstruct.
             df = df.drop(columns=[self.output_field])
         if self.reconstruct_messages and self.messages_field in df.columns:
             translated_msgs = []

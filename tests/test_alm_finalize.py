@@ -194,3 +194,23 @@ def test_finalize_end_to_end(tmp_path):
     # idempotent: no shards left -> second finalize is a no-op
     assert FZ.finalize_audio_pretrain_outputs(man, met, tar) == (0, 0)
     assert len(open(man).readlines()) == 1
+
+
+def test_merge_tar_shards_truncated_payload(tmp_path):
+    # a shard whose final member has an intact header but a short
+    # payload must contribute its good members and skip the bad one
+    tar = str(tmp_path / "t.tar")
+    FZ.write_tar_shard(FZ.shard_path(tar, "0", "tar"), [("good.wav", b"GG")])
+    shard1 = FZ.shard_path(tar, "1", "tar")
+    FZ.write_tar_shard(shard1, [("ok.wav", b"OK"), ("cut.wav", b"X" * 600)])
+    # truncate mid-payload of the LAST member (header intact)
+    data = open(shard1, "rb").read()
+    open(shard1, "wb").write(data[: 512 * 3 + 100])  # hdr+ok+hdr+partial
+    written = FZ.merge_tar_shards(tar)
+    import tarfile as _tf
+
+    with _tf.open(tar) as tf:
+        names = [m.name for m in tf.getmembers()]
+    assert "good.wav" in names and "ok.wav" in names
+    assert "cut.wav" not in names
+    assert written == 2

@@ -126,3 +126,33 @@ def test_audio_to_documents_spark(spark):
     assert [r["text"] for r in out] == ["t0", "t1", "t2"]
     with pytest.raises(ValueError, match="non-serializable"):
         ATT.audio_to_documents(df, fields=["waveform"])
+
+
+def test_resample_multichannel_target_is_plug_point(tmp_path):
+    # stereo -> stereo needs ffmpeg; the stdlib default refuses loudly
+    # instead of resampling across interleaved channels
+    sr = 8000
+    stereo = np.zeros(2 * sr, dtype=np.int16)  # interleaved 2ch payload
+    import struct
+
+    # hand-build a 2-channel WAV header around the interleaved payload
+    data = stereo.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    src = tmp_path / "st.wav"
+    src.write_bytes(hdr + data)
+    st = ATT.ResampleAudioStage(
+        resampled_audio_dir=str(tmp_path / "o"), target_nchannels=2
+    )
+    with pytest.raises(NotImplementedError, match="multichannel"):
+        st.process_entry({"audio_filepath": str(src)})
+    # stereo -> mono works via the real downmix path
+    st_mono = ATT.ResampleAudioStage(
+        resampled_audio_dir=str(tmp_path / "o2"), target_nchannels=1,
+        target_sample_rate=sr,
+    )
+    entry = st_mono.process_entry({"audio_filepath": str(src)})
+    assert entry["duration"] == pytest.approx(1.0)

@@ -105,3 +105,25 @@ def test_spark_score_columns(spark):
     got_scores = np.array([r["aesthetic_score"] for r in got])
     np.testing.assert_allclose(got_scores, expected, rtol=1e-12)
     assert all(0 < r["nsfw_score"] < 1 for r in got)
+
+
+def test_weights_path_per_worker_cache(spark, tmp_path):
+    m = IF.AestheticMLP.init_seeded(8)
+    path = str(tmp_path / "aesthetic.npz")
+    IF.save_weights(m.weights, path)
+    loaded = IF.load_weights_cached(path)
+    assert set(loaded) == set(m.weights)
+    # cache hit returns the same object
+    assert IF.load_weights_cached(path) is loaded
+    rs = np.random.RandomState(9)
+    rows = [(k, [float(x) for x in rs.randn(768)]) for k in range(3)]
+    df = spark.createDataFrame(rows, "image_id int, embedding array<double>")
+    got = (
+        IF.aesthetic_scores(df, weights_path=path)
+        .orderBy("image_id")
+        .collect()
+    )
+    expected = m(np.stack([np.asarray(r[1]) for r in rows]))
+    np.testing.assert_allclose(
+        [r["aesthetic_score"] for r in got], expected, rtol=1e-12
+    )

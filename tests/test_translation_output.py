@@ -210,3 +210,25 @@ def test_quality_stage_and_spark(spark):
     by_text = {r["text"]: r for r in got}
     assert by_text["the cat sat on the mat"]["is_quality_metric_passed"]
     assert not by_text["completely different"]["is_quality_metric_passed"]
+
+
+def test_raw_mode_reconstruct_quirk_reference_parity():
+    # the reference drops the translated field BEFORE reconstruction in
+    # 'raw' mode (format_translation_output.py:73-78) -> empty contents;
+    # pinned bug-for-bug ('both' is the mode that reconstructs)
+    df = pd.DataFrame(
+        {
+            "translated_text": ["a\n---\nb"],
+            "messages": [json.dumps([{"content": "1"}, {"content": "2"}])],
+        }
+    )
+    out = TO.FormatTranslationOutputStage(
+        target_lang="de", output_mode="raw", reconstruct_messages=True
+    ).process(df)
+    got = json.loads(out["translated_messages"].iloc[0])
+    assert [m["content"] for m in got] == ["", "2"]
+    both = TO.FormatTranslationOutputStage(
+        target_lang="de", output_mode="both", reconstruct_messages=True
+    ).process(df)
+    got2 = json.loads(both["translated_messages"].iloc[0])
+    assert [m["content"] for m in got2] == ["a", "b"]

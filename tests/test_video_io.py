@@ -306,3 +306,55 @@ def test_plan_single_file_and_bad_extension(spark, tmp_path):
     bad.write_bytes(b"x")
     with pytest.raises(FileNotFoundError, match="Not a supported video file"):
         V.plan_video_files(spark, str(bad))
+
+
+def test_write_clips_webp_column(spark, tmp_path):
+    out = str(tmp_path / "wout")
+    uid = V.clip_uuid("/in/v.mp4", 0, 48)
+    clip = {
+        "uuid": uid,
+        "source_video": "/in/v.mp4",
+        "span": (0.0, 2.0),
+        "windows": [
+            {"start_frame": 0, "end_frame": 48},
+            {"start_frame": 48, "end_frame": 96},
+        ],
+        "filtered": False,
+    }
+    df = spark.createDataFrame(
+        [
+            (
+                "/in/v.mp4",
+                0,
+                json.dumps(clip),
+                bytearray(b"mp4"),
+                [bytearray(b"W0"), None],
+                None,
+            )
+        ],
+        "video_path string, clip_chunk_index int, clip string, "
+        "buffer binary, webps array<binary>, video_metadata string",
+    )
+    stats = V.write_clips(df, V.ClipWriter(output_path=out, input_path="/in")).collect()
+    assert stats[0]["num_clips_with_webp"] == 1
+    assert (
+        tmp_path / "wout" / "previews" / uid / "0_48.webp"
+    ).read_bytes() == b"W0"
+    assert not (tmp_path / "wout" / "previews" / uid / "48_96.webp").exists()
+
+
+def test_process_video_seeds_filter_counters(tmp_path):
+    w = V.ClipWriter(output_path=str(tmp_path / "o"), input_path="/in")
+    video = {
+        "input_path": "/in/a.mp4",
+        "clip_chunk_index": 0,
+        "metadata": {},
+        "clips": [],
+        "filtered_clips": [
+            _clip(V.clip_uuid("/in/a.mp4", 0, 48), "/in/a.mp4", (0.0, 1.0))
+        ],
+        "clip_stats": {"num_filtered_by_motion": 1},
+    }
+    chunk = w.process_video(video)
+    # upstream motion-filter counter flows into the chunk bookkeeping
+    assert chunk["num_clips_filtered_by_motion"] == 1
