@@ -624,3 +624,125 @@ def ocr_qa_conversations(df, id_col: str = "image_id", items_col: str = "items")
         F.col("_qa.conversation").alias("conversation"),
         F.col("_qa.n_pairs").alias("n_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OCR scoring-QA response handling (reference synthetic/omni/
+# ocr_scoring_qa.py:86-299) — the deterministic post-VLM half: JSON
+# extraction from a possibly-fenced model response, per-bbox score
+# application with validity thresholds, image-level checks, and the
+# seeded dense-dump-vs-QA routing into the builders above. The verifier
+# VLM call itself is the plug point.
+
+import json as _json
+import re as _re
+from dataclasses import dataclass as _dataclass
+
+_JSON_OBJECT_RE = _re.compile(r"\{.*\}", _re.DOTALL)
+
+
+def parse_json_object(text: str):
+    """ocr_scoring_qa.py:86-102: strip markdown code fences, return the
+    first parseable JSON OBJECT (dict) or None."""
+    cleaned = _re.sub(r"```(?:json)?\s*|\s*```", "", text).strip()
+    for match in _JSON_OBJECT_RE.finditer(cleaned):
+        try:
+            obj = _json.loads(match.group(0))
+        except _json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict):
+            return obj
+    return None
+
+
+@_dataclass
+class OCRScoringQAStage:
+    """handle_response (ocr_scoring_qa.py:221-299), exact, over a dict
+    entry ``{image_path, ocr_dense: [OCRDenseItem], ...}``: empty/
+    unparseable responses invalidate the image with the reference's
+    error strings; per-bbox scores apply the min_bbox_match /
+    max_text_errors gates (missing or non-int scores invalidate the
+    bbox); image fails when configured on missing text or when no bbox
+    survives; otherwise the conversation is built — a dense dump with
+    probability ``dense_dump_prob`` only when OCR is provably complete
+    (no missing text), multi-turn QA otherwise — with the RNG seeded
+    from the task id exactly like the reference."""
+
+    model_id: str = "nvidia/nemotron-3-nano-omni-30b-a3b-reasoning"
+    min_bbox_match: int = 5
+    max_text_errors: int = 0
+    fail_on_missing_text: bool = False
+    dense_dump_prob: float = 0.05
+
+    def handle_response(self, entry: dict, response: str, task_id: str) -> dict:
+        if not response:
+            entry["is_valid"] = False
+            entry["error"] = "ocr_scoring_qa: empty response from model"
+            return entry
+        entry["ocr_scoring_response_raw"] = response
+        result = parse_json_object(response)
+        if result is None:
+            entry["is_valid"] = False
+            entry["error"] = (
+                f"ocr_scoring_qa: could not parse JSON: {response[:200]!r}"
+            )
+            return entry
+        ocr_mode = result.get("ocr_mode", "unknown")
+        text_results = result.get("text") or []
+        missing_text = result.get("missing_text") or []
+        entry["ocr_scoring_mode"] = ocr_mode
+        entry["ocr_scoring_missing"] = missing_text
+        if ocr_mode == "word":
+            entry["ocr_is_word_level"] = True
+        elif ocr_mode == "line":
+            entry["ocr_is_word_level"] = False
+
+        ocr_items = entry.get("ocr_dense") or []
+        scores_by_idx = {
+            int(e["idx"]): e for e in text_results if "idx" in e
+        }
+        for i, word in enumerate(ocr_items):
+            score_entry = scores_by_idx.get(i)
+            if score_entry is None:
+                word.valid = False
+                continue
+            try:
+                word.bbox_match = int(score_entry.get("bbox_match"))
+                word.text_errors = int(score_entry.get("text_errors"))
+            except (TypeError, ValueError):
+                word.valid = False
+                continue
+            word.valid = (
+                word.bbox_match >= self.min_bbox_match
+                and word.text_errors <= self.max_text_errors
+            )
+        valid_words = [w for w in ocr_items if w.valid]
+
+        if self.fail_on_missing_text and missing_text:
+            entry["is_valid"] = False
+            entry["error"] = (
+                f"ocr_scoring_qa: {len(missing_text)} missing text region(s)"
+            )
+            return entry
+        if ocr_items and not valid_words:
+            entry["is_valid"] = False
+            entry["error"] = (
+                f"ocr_scoring_qa: no bboxes passed quality threshold "
+                f"(min_bbox_match={self.min_bbox_match}, "
+                f"max_text_errors={self.max_text_errors})"
+            )
+            return entry
+
+        image_name = str(entry.get("image_path", "")).rsplit("/", 1)[-1]
+        rng = random.Random(task_id)
+        ocr_complete = not missing_text
+        if ocr_complete and rng.random() < self.dense_dump_prob:
+            entry["conversation"] = build_dense_conversation(
+                valid_words, rng, image_name
+            )
+        else:
+            qa_tagged, rng = build_qa_tagged(ocr_items, task_id)
+            entry["conversation"] = build_conversation(
+                qa_tagged, rng, image_name
+            )
+        return entry

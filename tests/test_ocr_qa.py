@@ -169,3 +169,109 @@ def test_spark_form_partitioning_invariant(spark):
     want = Q.build_conversation(tagged, rng, "img_0")
     got = json.loads(a.set_index("image_id").loc["img_0", "conversation"])
     assert got == want
+
+
+# --- scoring-QA response handling (ocr_scoring_qa.py:86-299) ----------------
+
+import json
+
+
+def _entry(n=3):
+    from nemo_curator_spark.operators.ocr_qa import OCRDenseItem
+
+    return {
+        "image_path": "/imgs/pic.jpg",
+        "ocr_dense": [
+            OCRDenseItem(bbox_2d=[i * 10, 0, i * 10 + 8, 40],
+                         text_content=f"word{i}")
+            for i in range(n)
+        ],
+    }
+
+
+def test_parse_json_object_fences_and_noise():
+    from nemo_curator_spark.operators import ocr_qa as Q
+
+    assert Q.parse_json_object('```json\n{"a": 1}\n```') == {"a": 1}
+    assert Q.parse_json_object('noise {"ocr_mode": "word"} trailing') == {
+        "ocr_mode": "word"
+    }
+    assert Q.parse_json_object("[1, 2]") is None  # object, not array
+    assert Q.parse_json_object("not json") is None
+
+
+def test_scoring_response_invalid_paths():
+    from nemo_curator_spark.operators import ocr_qa as Q
+
+    st = Q.OCRScoringQAStage()
+    e = st.handle_response(_entry(), "", "t0")
+    assert e["is_valid"] is False and "empty response" in e["error"]
+    e = st.handle_response(_entry(), "garbage", "t0")
+    assert e["is_valid"] is False and "could not parse JSON" in e["error"]
+    # no bbox passes the gate -> image invalid with the exact message
+    resp = json.dumps(
+        {"ocr_mode": "word",
+         "text": [{"idx": 0, "bbox_match": 0, "text_errors": 5}],
+         "missing_text": []}
+    )
+    e = st.handle_response(_entry(1), resp, "t0")
+    assert e["is_valid"] is False
+    assert "no bboxes passed quality threshold" in e["error"]
+    # fail_on_missing_text
+    resp2 = json.dumps(
+        {"ocr_mode": "word",
+         "text": [{"idx": 0, "bbox_match": 10, "text_errors": 0}],
+         "missing_text": [{"text": "x", "bbox_2d": [0, 0, 1, 1]}]}
+    )
+    st2 = Q.OCRScoringQAStage(fail_on_missing_text=True)
+    e = st2.handle_response(_entry(1), resp2, "t0")
+    assert e["is_valid"] is False and "missing text region" in e["error"]
+
+
+def test_scoring_response_score_application_and_routing():
+    from nemo_curator_spark.operators import ocr_qa as Q
+
+    resp = json.dumps(
+        {
+            "ocr_mode": "line",
+            "text": [
+                {"idx": 0, "bbox_match": 10, "text_errors": 0},
+                {"idx": 1, "bbox_match": 4, "text_errors": 0},   # below min
+                {"idx": 2, "bbox_match": "bad", "text_errors": 0},  # non-int
+            ],
+            "missing_text": [],
+        }
+    )
+    st = Q.OCRScoringQAStage(dense_dump_prob=0.0)
+    e = st.handle_response(_entry(3), resp, "task-7")
+    assert e.get("is_valid") is not False
+    assert e["ocr_is_word_level"] is False  # line mode
+    words = e["ocr_dense"]
+    assert words[0].valid and not words[1].valid and not words[2].valid
+    # multi-turn QA conversation produced, image media in the first turn
+    conv = e["conversation"]["conversation"]
+    assert conv[0]["sender"] == "user"
+    assert conv[0]["fragments"][0] == {"type": "image", "value": "pic.jpg"}
+    # missing idx invalidates a bbox (idx 1 absent from scores)
+    resp_partial = json.dumps(
+        {"ocr_mode": "word",
+         "text": [{"idx": 0, "bbox_match": 10, "text_errors": 0}],
+         "missing_text": []}
+    )
+    e2 = st.handle_response(_entry(2), resp_partial, "task-7")
+    assert e2["ocr_dense"][0].valid and not e2["ocr_dense"][1].valid
+    # dense dump fires only when complete AND the seeded draw hits
+    st3 = Q.OCRScoringQAStage(dense_dump_prob=1.0)
+    e3 = st3.handle_response(_entry(2), resp_partial, "task-7")
+    conv3 = e3["conversation"]["conversation"]
+    assert len(conv3) == 2  # single-turn dense dump
+    # incomplete OCR (missing_text) never dense-dumps even at prob 1
+    resp_missing = json.dumps(
+        {"ocr_mode": "word",
+         "text": [{"idx": 0, "bbox_match": 10, "text_errors": 0},
+                  {"idx": 1, "bbox_match": 10, "text_errors": 0}],
+         "missing_text": [{"text": "y", "bbox_2d": [0, 0, 1, 1]}]}
+    )
+    e4 = st3.handle_response(_entry(2), resp_missing, "task-7")
+    assert len(e4["conversation"]["conversation"]) >= 2
+    assert e4["ocr_scoring_missing"]
