@@ -4187,6 +4187,111 @@ FROM kept
 """
 
 
+_FAITH_ORACLE_DIR = "/dev/shm/ncs_faith_oracle"
+
+
+class _FaithFakeLLM:
+    """Deterministic FAITH-scoring stand-in (the LLM judge plug point,
+    reference evaluation/faith.py): each dimension is crc32-derived from
+    the translated text; every 7th key returns unparseable prose; good
+    responses carry decoy braces inside a string literal so the
+    string-aware balanced-JSON walk (faith.py:61-103) is exercised."""
+
+    def query_model(self, *, model, messages, generation_config=None):
+        import zlib
+
+        # the packaged faith_eval.yaml user template delimits sections
+        # with *** lines; the gate's texts are md5 hex (no asterisks),
+        # so the translated text is the 5th split part.
+        hyp = messages[1]["content"].split("***")[4].strip()
+        if zlib.crc32(hyp.encode("utf-8")) % 7 == 0:
+            return ["I could not evaluate this translation."]
+        vals = {
+            k: zlib.crc32(f"{k}|{hyp}".encode("utf-8")) % 6
+            for k in (
+                "Fluency",
+                "Accuracy",
+                "Idiomaticity",
+                "Terminology",
+                "Handling_of_Format",
+            )
+        }
+        body = ", ".join(f'"{k}": {v}' for k, v in vals.items())
+        return ['Note: "weights {w: 1}" {%s} done' % body]
+
+
+def _faith_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAITH translation-quality scoring + threshold filter
+    (operators/translation_llm.py; reference evaluation/faith.py). The
+    LLM judge is the plug point — a deterministic crc32-backed stand-in
+    produces responses with decoy braces and a garbled slice; the
+    string-aware JSON parse + key normalization run Spark-side (python,
+    the oracle seam), the parsed per-dimension scores are the artifact,
+    and the oracle replays the zero-means-not-applicable average
+    (faith.py:323-340) and the keep-mask (faith.py:302-321) in SQL.
+    Integer-valued doubles make the avg division float-exact in both
+    engines."""
+    from nemo_curator_spark.operators import translation_llm as tllm
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text"),
+        F.concat(F.md5(F.col("text")), F.lit("-t")).alias("translated_text"),
+    )
+    scored = tllm.faith_eval(
+        df, _FaithFakeLLM(), "fake-judge", "en", "es", filter_enabled=False
+    )
+    artifact = scored.select(
+        "doc_id",
+        "faith_fluency",
+        "faith_accuracy",
+        "faith_idiomaticity",
+        "faith_terminology",
+        "faith_handling_of_format",
+        "faith_parse_failed",
+    )
+    _write_shm(artifact, _FAITH_ORACLE_DIR)
+    back = spark.read.parquet(_FAITH_ORACLE_DIR)
+    out = tllm.faith_threshold_filter(
+        back.withColumn("faith_avg", tllm.faith_avg_col()), threshold=2.5
+    )
+    return out.select(
+        "doc_id",
+        "faith_fluency",
+        "faith_accuracy",
+        "faith_idiomaticity",
+        "faith_terminology",
+        "faith_handling_of_format",
+        "faith_avg",
+        "faith_parse_failed",
+    )
+
+
+def _faith_oracle() -> str:
+    d = _FAITH_ORACLE_DIR
+    dims = [
+        "faith_fluency",
+        "faith_accuracy",
+        "faith_idiomaticity",
+        "faith_terminology",
+        "faith_handling_of_format",
+    ]
+    nz_sum = " + ".join(f"CASE WHEN {c} > 0 THEN {c} ELSE 0.0 END" for c in dims)
+    nz_cnt = " + ".join(f"CASE WHEN {c} > 0 THEN 1 ELSE 0 END" for c in dims)
+    return f"""
+WITH s AS (SELECT * FROM read_parquet('{d}/*.parquet')),
+a AS (
+  SELECT *, CASE WHEN ({nz_cnt}) = 0 THEN 0.0
+                 ELSE ({nz_sum}) / CAST(({nz_cnt}) AS DOUBLE) END AS faith_avg
+  FROM s)
+SELECT doc_id, faith_fluency, faith_accuracy, faith_idiomaticity,
+       faith_terminology, faith_handling_of_format, faith_avg,
+       faith_parse_failed
+FROM a
+WHERE faith_avg >= 2.5 OR faith_parse_failed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -4297,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["interleaved_reindex"] = _interleaved_reindex_query
     out["audio_band_rolloff"] = _band_rolloff_query
     out["vad_energy_segments"] = _vad_segments_query
+    out["faith_scores_filter"] = _faith_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
@@ -4387,4 +4493,5 @@ def oracle_sql() -> dict[str, str]:
     out["interleaved_reindex"] = _INTERLEAVED_REINDEX_ORACLE
     out["audio_band_rolloff"] = _band_rolloff_oracle()
     out["vad_energy_segments"] = _vad_segments_oracle()
+    out["faith_scores_filter"] = _faith_oracle()
     return out
