@@ -291,6 +291,110 @@ def translate_segments(
     return df.mapInPandas(_run, schema=out_schema)
 
 
+def translate_segments_via_backend_py(
+    segments: list,
+    backend,
+    source_lang: str,
+    target_lang: str,
+    clock=time.time,
+) -> tuple[list[str], list[float], list[str]]:
+    """The non-LLM backend path of SegmentTranslationStage
+    (translate.py:270-398), exact: empty segments stay "",
+    non-translatable pass through, translatable ones go in ONE bulk
+    backend call whose elapsed time is split evenly; a bulk failure
+    (including a count mismatch) falls back to per-segment requests
+    with per-segment error capture."""
+    translated = [""] * len(segments)
+    timings = [0.0] * len(segments)
+    errors = [""] * len(segments)
+
+    translate_indices: list[int] = []
+    translate_segments_: list[str] = []
+    for idx, seg in enumerate(segments):
+        seg = "" if seg is None else str(seg)
+        if not seg or not seg.strip():
+            continue
+        if not is_line_translatable(seg):
+            translated[idx] = seg
+            continue
+        translate_indices.append(idx)
+        translate_segments_.append(seg)
+
+    if not translate_segments_:
+        return translated, timings, errors
+
+    try:
+        start = clock()
+        result = backend.translate_batch(
+            translate_segments_, source_lang, target_lang
+        )
+        elapsed = clock() - start
+        if len(result) != len(translate_segments_):
+            msg = (
+                f"Backend returned {len(result)} translations for "
+                f"{len(translate_segments_)} segments"
+            )
+            raise RuntimeError(msg)
+    except Exception:  # noqa: BLE001 — bulk failure → per-segment fallback
+        pass
+    else:
+        per_segment_time = elapsed / len(translate_indices)
+        for out_idx, text in zip(translate_indices, result):
+            translated[out_idx] = text
+            timings[out_idx] = per_segment_time
+        return translated, timings, errors
+
+    for idx, seg in enumerate(segments):
+        seg = "" if seg is None else str(seg)
+        if not seg or not seg.strip():
+            continue
+        if not is_line_translatable(seg):
+            translated[idx] = seg
+            continue
+        start = clock()
+        try:
+            result = backend.translate_batch([seg], source_lang, target_lang)
+            timings[idx] = clock() - start
+            translated[idx] = result[0] if result else ""
+            errors[idx] = ""
+        except Exception as exc:  # noqa: BLE001 — reference captures per row
+            timings[idx] = clock() - start
+            translated[idx] = ""
+            errors[idx] = str(exc)
+    return translated, timings, errors
+
+
+def translate_segments_backend(
+    df: DataFrame,
+    backend,
+    source_lang: str,
+    target_lang: str,
+    segment_col: str = "_seg_segments",
+) -> DataFrame:
+    """``translate_segments`` for non-LLM backends
+    (``nemo_curator_spark.operators.translation_backends``): one
+    mapInPandas pass, the backend pickled per worker, each Arrow batch
+    issued as one bulk call (the reference's batch unit)."""
+    fields = list(df.schema.fields) + [
+        T.StructField("_translated", T.StringType()),
+        T.StructField("_translation_time", T.DoubleType()),
+        T.StructField("_translation_error", T.StringType()),
+    ]
+    out_schema = T.StructType(fields)
+
+    def _run(batches):
+        for pdf in batches:
+            translated, timings, errors = translate_segments_via_backend_py(
+                pdf[segment_col].tolist(), backend, source_lang, target_lang
+            )
+            pdf["_translated"] = translated
+            pdf["_translation_time"] = timings
+            pdf["_translation_error"] = errors
+            yield pdf
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # FAITH evaluation (evaluation/faith.py)
 # ---------------------------------------------------------------------------
