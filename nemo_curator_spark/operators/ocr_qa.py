@@ -746,3 +746,21 @@ class OCRScoringQAStage:
                 qa_tagged, rng, image_name
             )
         return entry
+
+
+# --- NemotronOCR-v2 prediction normalization (reference synthetic/omni/
+# ocr_nemotron_v2.py:39-53) — the deterministic post-model half: the
+# model emits fractional screen coordinates with inverted y naming
+# ("lower" holds the SMALLER y / top edge); normalize to the 0-1000
+# integer bbox contract with y1 <= y2 enforced by min/max. The
+# nemotron-ocr package (detector + GPU) is the plug point.
+
+
+def to_ocr_dense_item(pred: dict) -> dict:
+    """ocr_nemotron_v2.py:39-53, exact: ``int(frac * 1000)`` per edge,
+    y edges sorted so y1 <= y2, text coerced to str."""
+    x1 = int(pred["left"] * 1000)
+    x2 = int(pred["right"] * 1000)
+    y1 = int(min(pred["upper"], pred["lower"]) * 1000)
+    y2 = int(max(pred["upper"], pred["lower"]) * 1000)
+    return {"bbox_2d": [x1, y1, x2, y2], "text_content": str(pred["text"])}

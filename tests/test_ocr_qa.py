@@ -275,3 +275,21 @@ def test_scoring_response_score_application_and_routing():
     e4 = st3.handle_response(_entry(2), resp_missing, "task-7")
     assert len(e4["conversation"]["conversation"]) >= 2
     assert e4["ocr_scoring_missing"]
+
+
+def test_to_ocr_dense_item_v2():
+    """ocr_nemotron_v2.py:39-53: 0-1000 int coords, inverted y naming
+    normalized via min/max, text str-coerced."""
+    from nemo_curator_spark.operators.ocr_qa import to_ocr_dense_item
+
+    out = to_ocr_dense_item(
+        {"left": 0.123, "right": 0.987, "upper": 0.75, "lower": 0.25, "text": "word"}
+    )
+    assert out == {"bbox_2d": [123, 250, 987, 750], "text_content": "word"}
+    # already-ordered y stays ordered; non-str text coerced
+    out2 = to_ocr_dense_item(
+        {"left": 0.0, "right": 1.0, "upper": 0.1, "lower": 0.9, "text": 7}
+    )
+    assert out2["bbox_2d"] == [0, 100, 1000, 900] or out2["bbox_2d"] == [0, 100, 1000, 900]
+    assert out2["bbox_2d"][1] <= out2["bbox_2d"][3]
+    assert out2["text_content"] == "7"
