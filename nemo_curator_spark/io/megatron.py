@@ -18,6 +18,8 @@ byte layout round-trips.
 
 from __future__ import annotations
 
+import os
+import shutil
 import struct
 
 import numpy as np
@@ -207,3 +209,107 @@ def write_megatron(
         fn,
         schema="file_prefix string, num_docs long, num_tokens long, token_size int",
     )
+
+
+# --- shard merge (reference utils/merge_file_prefixes.py:32-299) -----------
+# The reference's simplified Megatron-LM merge_datasets port: concat
+# .bin payloads in sorted-prefix order, merge the indices by extending
+# sequence lengths and offsetting document indices by the running
+# sequence count, then rewrite ONE index with recomputed byte pointers.
+# Driver-side by design — the merge is a sequential byte concat whose
+# output is a single file pair; at scale run it per output partition
+# (one merged prefix per directory) rather than globally.
+
+
+def extract_index_contents(idx_path: str):
+    """merge_file_prefixes.py:32-76: (sequence_lengths,
+    document_indices, token dtype) from an .idx; header/version
+    asserted, dtype code 4 -> int32 else uint16."""
+    with open(idx_path, "rb") as f:
+        header = f.read(9)
+        if header != INDEX_HEADER:
+            raise ValueError(f"bad header, cannot read: {idx_path}")
+        (version,) = struct.unpack("<Q", f.read(8))
+        if version != 1:
+            raise ValueError(f"bad version, cannot read: {idx_path}")
+        (code,) = struct.unpack("<B", f.read(1))
+        dtype = np.int32 if code == 4 else np.uint16
+        (sequence_count,) = struct.unpack("<Q", f.read(8))
+        (document_count,) = struct.unpack("<Q", f.read(8))
+        sequence_lengths = np.frombuffer(
+            f.read(4 * sequence_count), dtype=np.int32
+        )
+        f.read(8 * sequence_count)  # pointers — recomputed on write
+        document_indices = np.frombuffer(
+            f.read(8 * document_count), dtype=np.int64
+        )
+    return sequence_lengths, document_indices, dtype
+
+
+def merge_file_prefixes(input_dir: str, output_prefix: str) -> dict:
+    """merge_file_prefixes.py:236-299, exact: discover .bin/.idx pairs
+    (either half missing raises), merge in sorted-prefix order, doc
+    indices offset by the sequence count accumulated so far with the
+    leading 0 of each subsequent index dropped. Returns stats."""
+    prefixes = set()
+    for basename in os.listdir(input_dir):
+        prefix, ext = os.path.splitext(basename)
+        if ext not in {".bin", ".idx"}:
+            continue
+        if prefix in prefixes:
+            continue
+        if not os.path.isfile(os.path.join(input_dir, basename)):
+            continue
+        ext_pair = ".bin" if ext == ".idx" else ".idx"
+        if not os.path.isfile(os.path.join(input_dir, prefix + ext_pair)):
+            raise AssertionError(
+                f"ERROR: {ext_pair} file not provided for "
+                f"{os.path.join(input_dir, prefix)}"
+            )
+        prefixes.add(prefix)
+    if not prefixes:
+        msg = f"ERROR: No valid file prefix pairs found in {input_dir}"
+        raise ValueError(msg)
+
+    all_lengths: list[np.ndarray] = []
+    doc_indices: list[int] = [0]
+    dtype = None
+    seq_count = 0
+    with open(output_prefix + ".bin", "wb") as out_bin:
+        for prefix in sorted(prefixes):
+            path_prefix = os.path.join(input_dir, prefix)
+            lengths, docs, d = extract_index_contents(path_prefix + ".idx")
+            if dtype is None:
+                dtype = d
+            elif d != dtype:
+                raise AssertionError("mixed index dtypes in merge")
+            all_lengths.append(lengths)
+            doc_indices.extend((seq_count + docs)[1:].tolist())
+            seq_count += len(lengths)
+            with open(path_prefix + ".bin", "rb") as f:
+                shutil.copyfileobj(f, out_bin)
+
+    lengths = (
+        np.concatenate(all_lengths) if all_lengths else np.array([], np.int32)
+    )
+    item = 4 if dtype == np.int32 else 2
+    with open(output_prefix + ".idx", "wb") as f:
+        f.write(INDEX_HEADER)
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<B", 4 if dtype == np.int32 else 8))
+        f.write(struct.pack("<Q", len(lengths)))
+        f.write(struct.pack("<Q", len(doc_indices)))
+        f.write(np.asarray(lengths, dtype=np.int32).tobytes(order="C"))
+        pointers = np.zeros(len(lengths), dtype=np.int64)
+        if len(lengths) > 1:
+            pointers[1:] = (
+                np.cumsum(lengths[:-1], dtype=np.int64) * item
+            )
+        f.write(pointers.tobytes(order="C"))
+        f.write(np.asarray(doc_indices, dtype=np.int64).tobytes(order="C"))
+    return {
+        "file_prefix": output_prefix,
+        "num_shards": len(prefixes),
+        "num_docs": int(len(lengths)),
+        "num_tokens": int(lengths.sum()) if len(lengths) else 0,
+    }
