@@ -6,13 +6,15 @@ capability surface).
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
 signatures) is real and tested. Codec status:
 
-* **real decoders, zero external deps**: PPM P6/P5 (binary netpbm),
-  uncompressed 24/32-bit BMP, and WAV PCM audio (stdlib ``wave``); plus
-  the :data:`FAKE_MAGIC` deterministic test format;
+* **real codecs, zero external deps**: PNG (8-bit gray/RGB/RGBA, all
+  five scanline filters, stdlib zlib — encoder + decoder), PPM P6/P5
+  (binary netpbm), uncompressed 24/32-bit BMP, and WAV PCM audio (stdlib
+  ``wave``); plus the :data:`FAKE_MAGIC` deterministic test format;
 * nearest-neighbor resize operates on real decoded pixels and re-encodes
   as PPM;
-* compressed formats (JPEG/PNG/MP3/H.264) raise ``NotImplementedError`` —
-  the marked integration point for PIL/torchvision/ffmpeg.
+* remaining compressed formats (JPEG/MP3/H.264) raise
+  ``NotImplementedError`` — the marked integration point for
+  PIL/torchvision/ffmpeg.
 """
 
 from __future__ import annotations
@@ -81,6 +83,134 @@ def decode_ppm(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, c, pixels
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Real PNG encoder, stdlib only (zlib + struct): 8-bit grayscale /
+    RGB / RGBA, filter 0 scanlines, fixed zlib level 9 — byte-deterministic
+    for a given zlib build. Used where the reference emits ``image/png``
+    (e.g. the Nemotron-Parse PDF page/crop rows)."""
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {c}")
+    body = arr.astype(np.uint8)
+    scanlines = bytearray()
+    for r in range(h):
+        scanlines.append(0)  # filter type None
+        scanlines += body[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, c: int) -> np.ndarray:
+    """Reverse PNG scanline filters 0-4 (None/Sub/Up/Average/Paeth)."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(
+            np.int32
+        )
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: running sum within each channel column
+            cur = line.reshape(-1, c).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - c] if i >= c else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(raw: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Real PNG decoder (stdlib zlib): 8-bit gray / gray+alpha / RGB /
+    RGBA, all five scanline filters, non-interlaced. Palette, 16-bit and
+    Adam7 interlace raise ``NotImplementedError`` (narrow format
+    boundaries, same policy as the BMP decoder)."""
+    import zlib
+
+    if raw[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if bit_depth != 8:
+        raise NotImplementedError("only 8-bit PNG decoded here")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError("palette PNG not supported; plug PIL here")
+    pixels = _png_unfilter(zlib.decompress(bytes(idat)), w, h, channels)
+    img = pixels.reshape(h, w, channels)
+    if channels == 2:  # gray+alpha -> gray
+        img, channels = img[:, :, :1], 1
+    elif channels == 4:  # rgba -> rgb (alpha dropped, BMP policy)
+        img, channels = img[:, :, :3], 3
+    return w, h, channels, img.reshape(-1).copy()
+
+
 def decode_bmp(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     """Real BMP decoder: BITMAPINFOHEADER, uncompressed 24/32-bit,
     bottom-up or top-down rows, 4-byte row padding; output rgb order."""
@@ -121,10 +251,12 @@ def _decode(raw: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_ppm(raw)
     if raw[:2] == b"BM":
         return decode_bmp(raw)
+    if raw[:8] == PNG_SIGNATURE:
+        return decode_png(raw)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG/...) unavailable in this "
-        "environment; plug PIL/ffmpeg here. Decodable today: PPM P6/P5, "
-        "uncompressed BMP, the FIMG test format"
+        "compressed image codecs (JPEG/...) unavailable in this "
+        "environment; plug PIL/ffmpeg here. Decodable today: PNG (8-bit, "
+        "non-interlaced), PPM P6/P5, uncompressed BMP, the FIMG test format"
     )
 
 
