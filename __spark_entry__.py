@@ -2612,6 +2612,74 @@ FROM meta m LEFT JOIN agg a ON a.doc_id = m.doc_id
 """
 
 
+def _translation_skip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-existing-translations split -> deterministic "translation" of
+    the todo side (ASCII uppercase — the LLM plug point) -> restore with
+    the reference's fixed default table (reference experimental/
+    translation/stages/skipped_rows.py:31-172). Pre-existing translations
+    are seeded from an md5 bucket: b=0 gets a real translation (kept
+    verbatim through the roundtrip, stage columns defaulted), b=1 blank,
+    b=2 whitespace-only (both re-translated — the strip branch), b=3
+    NULL. Pure SQL-expressible: one predicate split, union-by-name."""
+    from nemo_curator_spark.operators import translation_skip as ts
+
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":skipseed"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 4
+    )
+    seeded = df.withColumn(
+        "translated_text",
+        F.when(bucket == 0, F.concat(F.lit("PRE:"), F.col("text")))
+        .when(bucket == 1, F.lit(""))
+        .when(bucket == 2, F.lit("  "))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    todo, skipped = ts.skip_existing_translations(seeded)
+    translated = (
+        todo.withColumn(
+            "translated_text",
+            F.translate(
+                F.col("text"),
+                "abcdefghijklmnopqrstuvwxyz",
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            ),
+        )
+        .withColumn("faith_avg", F.lit(3.25).cast("double"))
+        .withColumn("translation_metadata", F.lit('{"model":"upper-v1"}'))
+    )
+    merged = ts.restore_skipped_rows(translated, skipped, order_col="doc_id")
+    return merged.select(
+        "doc_id", "translated_text", "faith_avg", "translation_metadata"
+    )
+
+
+_TRANSLATION_SKIP_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text,
+    ((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':skipseed'),
+        1, 8))::BIGINT) % 4) AS b
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN b = 0 THEN 'PRE:' || text
+       ELSE translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ') END AS translated_text,
+  CAST(CASE WHEN b = 0 THEN 0.0 ELSE 3.25 END AS DOUBLE) AS faith_avg,
+  CASE WHEN b = 0 THEN '{}'
+       ELSE '{"model":"upper-v1"}' END AS translation_metadata
+FROM s
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -4403,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["audio_band_rolloff"] = _band_rolloff_query
     out["vad_energy_segments"] = _vad_segments_query
     out["faith_scores_filter"] = _faith_query
+    out["translation_skip_restore"] = _translation_skip_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
@@ -4494,4 +4563,5 @@ def oracle_sql() -> dict[str, str]:
     out["audio_band_rolloff"] = _band_rolloff_oracle()
     out["vad_energy_segments"] = _vad_segments_oracle()
     out["faith_scores_filter"] = _faith_oracle()
+    out["translation_skip_restore"] = _TRANSLATION_SKIP_ORACLE
     return out
