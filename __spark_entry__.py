@@ -4363,13 +4363,16 @@ WHERE faith_avg >= 2.5 OR faith_parse_failed
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the 15-query always-on core first, then the four queries
+    per round — the 15-query always-on core first, then the nine queries
     new this round (audio_tagging_merge, alm_pretrain_plan,
     math_extract_types, alm_windows_rows — the round-5 pytest-only
-    families brought into the value-hash gate), then the pull-back of
-    the set the r05 window rotated out (semantic dedup, histogram,
-    fasttext-mini, audio/image/video queries, framework + modifier +
-    comment-ratio rows) and eleven r03-era filter_* rules. Queries
+    families brought into the value-hash gate — plus the mid-round
+    additions interleaved_reindex, audio_band_rolloff,
+    vad_energy_segments, faith_scores_filter, translation_skip_restore),
+    then the pull-back of the set the r05 window rotated out (semantic
+    dedup, histogram, fasttext-mini, audio/image/video queries,
+    framework + modifier + comment-ratio rows) and six r03-era
+    filter_* rules. Queries
     driver-green in r04/r05 with untouched logic rotate past 50;
     scripts/gate_check.py still validates all of them every round
     (GATE_r6.txt)."""
@@ -4418,19 +4421,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["filter_num_lines"] = _rule_query("num_lines")
     out["doc_splitter"] = _splitter_query
+    # --- new mid-round-6 (never driver-gated; must prove driver-side) ---
+    out["interleaved_reindex"] = _interleaved_reindex_query
+    out["audio_band_rolloff"] = _band_rolloff_query
+    out["vad_energy_segments"] = _vad_segments_query
+    out["faith_scores_filter"] = _faith_query
+    out["translation_skip_restore"] = _translation_skip_query
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
         "symbol_to_word",
         "numbers_ratio",
         "urls_ratio",
-        "white_space",
         "word_count",
         "common_english_words",
-        "mean_word_length",
-        "bullet_ratio",
-        "porn_urls",
-        "xml_header",
     ):
         out[f"filter_{name}"] = _rule_query(name)
     # --- past the 50-entry window: driver-green r03..r05, logic untouched ---
@@ -4466,12 +4470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["filter_per_extension"] = _per_extension_query
     out["filter_substring_any"] = _substring_query
     out["lineitem_rollup"] = _rollup_query
-    # --- added late in round 6 (past the window; in-window next round) ---
-    out["interleaved_reindex"] = _interleaved_reindex_query
-    out["audio_band_rolloff"] = _band_rolloff_query
-    out["vad_energy_segments"] = _vad_segments_query
-    out["faith_scores_filter"] = _faith_query
-    out["translation_skip_restore"] = _translation_skip_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
