@@ -2680,6 +2680,70 @@ FROM s
 """
 
 
+def _aegis_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AEGIS deterministic halves (reference classifiers/aegis.py:225-360
+    + aegis_utils.py): char-truncate + verbatim-template prompt wrap
+    (gated as md5 of the full prompt bytes), then response parsing over
+    md5-bucket-synthesized model outputs covering every parse branch
+    (safe, stripped-safe, valid category, strippable category, missing
+    category line, invalid category, garbage). The vLLM generate between
+    the two halves is the model plug point; the synthesized response is
+    appended to the prompt echo so the length-strip path is exercised
+    too. Pure JVM Column plan, zero shuffle."""
+    from nemo_curator_spark.operators import aegis as AG
+
+    df = _docs(spark, sf_dir).select("doc_id", "text")
+    prompted = AG.format_aegis_prompts(df, max_chars=200).withColumn(
+        "prompt_md5", F.md5(F.col(AG.HIDDEN_TEXT_FIELD))
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":aegis"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+    )
+    raw = (
+        F.when(b == 0, F.lit("safe"))
+        .when(b == 1, F.lit(" safe \nextra"))
+        .when(b == 2, F.lit("unsafe\nO5"))
+        .when(b == 3, F.lit("unsafe\n O13 "))
+        .when(b == 4, F.lit("unsafe"))
+        .when(b == 5, F.lit("unsafe\nBAD"))
+        .otherwise(F.lit("model refused"))
+    )
+    responded = prompted.withColumn(
+        "_aegis_raw_pred", F.concat(F.col(AG.HIDDEN_TEXT_FIELD), raw)
+    )
+    parsed = AG.postprocess_aegis_responses(responded, label_field="aegis_pred")
+    return parsed.select("doc_id", "prompt_md5", "aegis_pred")
+
+
+def _aegis_oracle() -> str:
+    from nemo_curator_spark.operators import aegis as AG
+
+    prefix = AG.PROMPT_PREFIX.replace("'", "''")
+    suffix = AG.PROMPT_SUFFIX.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+    ((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':aegis'),
+        1, 8))::BIGINT) % 7) AS b
+  FROM documents
+)
+SELECT doc_id,
+  md5('{prefix}' || substring(text, 1, 200) || '{suffix}') AS prompt_md5,
+  CASE b WHEN 0 THEN 'safe' WHEN 1 THEN 'safe' WHEN 2 THEN 'O5'
+         WHEN 3 THEN 'O13' ELSE 'unknown' END AS aegis_pred
+FROM s
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -4363,16 +4427,16 @@ WHERE faith_avg >= 2.5 OR faith_parse_failed
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the 15-query always-on core first, then the nine queries
+    per round — the 15-query always-on core first, then the ten queries
     new this round (audio_tagging_merge, alm_pretrain_plan,
     math_extract_types, alm_windows_rows — the round-5 pytest-only
     families brought into the value-hash gate — plus the mid-round
     additions interleaved_reindex, audio_band_rolloff,
-    vad_energy_segments, faith_scores_filter, translation_skip_restore),
-    then the pull-back of the set the r05 window rotated out (semantic
-    dedup, histogram, fasttext-mini, audio/image/video queries,
-    framework + modifier + comment-ratio rows) and six r03-era
-    filter_* rules. Queries
+    vad_energy_segments, faith_scores_filter, translation_skip_restore,
+    aegis_parse_labels), then the pull-back of the set the r05 window
+    rotated out (semantic dedup, histogram, fasttext-mini,
+    audio/image/video queries, framework + modifier + comment-ratio
+    rows) and five r03-era filter_* rules. Queries
     driver-green in r04/r05 with untouched logic rotate past 50;
     scripts/gate_check.py still validates all of them every round
     (GATE_r6.txt)."""
@@ -4427,6 +4491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["vad_energy_segments"] = _vad_segments_query
     out["faith_scores_filter"] = _faith_query
     out["translation_skip_restore"] = _translation_skip_query
+    out["aegis_parse_labels"] = _aegis_query
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -4434,7 +4499,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numbers_ratio",
         "urls_ratio",
         "word_count",
-        "common_english_words",
     ):
         out[f"filter_{name}"] = _rule_query(name)
     # --- past the 50-entry window: driver-green r03..r05, logic untouched ---
@@ -4562,4 +4626,5 @@ def oracle_sql() -> dict[str, str]:
     out["vad_energy_segments"] = _vad_segments_oracle()
     out["faith_scores_filter"] = _faith_oracle()
     out["translation_skip_restore"] = _TRANSLATION_SKIP_ORACLE
+    out["aegis_parse_labels"] = _aegis_oracle()
     return out
