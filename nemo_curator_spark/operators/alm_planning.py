@@ -475,10 +475,14 @@ def alm_extract_snippets(
     plan_df: DataFrame,
     file_col: str = "file_id",
     wav_col: str = "wav",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Cut every planned snippet out of its source waveform. The PLAN
     side (tiny bookkeeping rows) is broadcast onto the audio scan, so
-    waveform bytes never shuffle; one row out per (file, snippet)."""
+    waveform bytes never shuffle; one row out per (file, snippet).
+    ``id_col`` (when the audio frame carries the original manifest id)
+    names snippets from that id — the tar-member/manifest naming the
+    reference uses; default falls back to the numeric file id."""
     plan = (
         plan_df.select(file_col, "snippet_idx", "snip_start", "snip_end")
         .dropDuplicates([file_col, "snippet_idx"])
@@ -491,9 +495,9 @@ def alm_extract_snippets(
             ).alias("_plan")
         )
     )
-    joined = audio_df.select(file_col, wav_col).join(
-        F.broadcast(plan), on=file_col
-    )
+    name_col = id_col or file_col
+    sel = [file_col, wav_col] if id_col is None else [file_col, id_col, wav_col]
+    joined = audio_df.select(*sel).join(F.broadcast(plan), on=file_col)
 
     def gen(it):
         for pdf in it:
@@ -511,7 +515,7 @@ def alm_extract_snippets(
                             int(r[file_col]),
                             int(p["snippet_idx"]),
                             make_snippet_id(
-                                str(r[file_col]),
+                                str(r[name_col]),
                                 float(p["snip_start"]),
                                 float(p["snip_end"]),
                             ),
