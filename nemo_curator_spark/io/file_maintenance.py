@@ -244,3 +244,46 @@ def pairwise(iterable):
     a, b = itertools.tee(iterable)
     next(b, None)
     return zip(a, b)
+
+
+# --- safe tar extraction (reference utils/file_utils.py:429-487) -----------
+
+
+def is_safe_path(path: str, base_path: str) -> bool:
+    """file_utils.py:429-446, exact: normalize (resolving ``..``) and
+    require the member to land inside ``base_path``."""
+    full_path = os.path.normpath(os.path.join(base_path, path))
+    base_path = os.path.normpath(base_path)
+    return os.path.commonpath([full_path, base_path]) == base_path
+
+
+def tar_safe_extract(tar, path: str) -> None:
+    """file_utils.py:448-487, exact: extract every member after
+    rejecting absolute paths, ``..`` traversal, device files, and
+    symlinks/hardlinks whose target escapes the extraction root. Used
+    on downloaded archives (arXiv tarballs, metrics bundles) whose
+    member names are untrusted input."""
+    for member in tar.getmembers():
+        if os.path.isabs(member.name):
+            msg = f"Absolute path not allowed: {member.name}"
+            raise ValueError(msg)
+        if not is_safe_path(member.name, path):
+            msg = f"Path traversal attempt detected: {member.name}"
+            raise ValueError(msg)
+        if member.isdev():
+            msg = f"Device files not allowed: {member.name}"
+            raise ValueError(msg)
+        if member.issym() or member.islnk():
+            if os.path.isabs(member.linkname):
+                msg = (
+                    "Absolute symlink target not allowed: "
+                    f"{member.name} -> {member.linkname}"
+                )
+                raise ValueError(msg)
+            if not is_safe_path(member.linkname, path):
+                msg = (
+                    "Symlink target outside extraction directory: "
+                    f"{member.name} -> {member.linkname}"
+                )
+                raise ValueError(msg)
+        tar.extract(member, path)

@@ -299,3 +299,72 @@ def test_merge_file_prefixes_errors(tmp_path):
         f.write(b"x")
     with pytest.raises(AssertionError, match=".idx file not provided"):
         merge_file_prefixes(d, str(tmp_path / "m"))
+
+
+# --- tar_safe_extract (reference utils/file_utils.py:429-487) --------------
+
+
+def test_tar_safe_extract(tmp_path):
+    import io as io_mod
+    import tarfile
+
+    from nemo_curator_spark.io.file_maintenance import (
+        is_safe_path,
+        tar_safe_extract,
+    )
+
+    assert is_safe_path("a/b.txt", "/x")
+    assert not is_safe_path("../escape", "/x")
+
+    def make_tar(adder):
+        buf = io_mod.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            adder(t)
+        buf.seek(0)
+        return tarfile.open(fileobj=buf)
+
+    def add_file(t, name, payload=b"ok"):
+        ti = tarfile.TarInfo(name)
+        ti.size = len(payload)
+        t.addfile(ti, io_mod.BytesIO(payload))
+
+    dest = tmp_path / "out"
+    dest.mkdir()
+    # good tar extracts
+    tar_safe_extract(make_tar(lambda t: add_file(t, "d/good.txt")), str(dest))
+    assert (dest / "d" / "good.txt").read_bytes() == b"ok"
+    # traversal member rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="traversal"):
+        tar_safe_extract(
+            make_tar(lambda t: add_file(t, "../evil.txt")), str(dest)
+        )
+    # absolute member rejected
+    with pytest.raises(ValueError, match="Absolute path"):
+        tar_safe_extract(
+            make_tar(lambda t: add_file(t, "/abs.txt")), str(dest)
+        )
+    # escaping symlink rejected; absolute symlink target rejected
+    def add_link(t, name, target, absolute=False):
+        ti = tarfile.TarInfo(name)
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = target
+        t.addfile(ti)
+
+    with pytest.raises(ValueError, match="Symlink target"):
+        tar_safe_extract(
+            make_tar(lambda t: add_link(t, "l", "../../etc")), str(dest)
+        )
+    with pytest.raises(ValueError, match="Absolute symlink"):
+        tar_safe_extract(
+            make_tar(lambda t: add_link(t, "l", "/etc/passwd")), str(dest)
+        )
+    # device member rejected
+    def add_dev(t):
+        ti = tarfile.TarInfo("dev")
+        ti.type = tarfile.CHRTYPE
+        t.addfile(ti)
+
+    with pytest.raises(ValueError, match="Device"):
+        tar_safe_extract(make_tar(add_dev), str(dest))
