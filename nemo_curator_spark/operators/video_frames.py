@@ -163,3 +163,46 @@ def extract_frame_arrays(
             yield res
 
     return df.mapInPandas(_extract, schema=out_schema)
+
+
+# --- raw-frame formatting for VLM captioning ---------------------------------
+# (reference models/prompt_formatter.py:162-205, the numpy branch — the
+# torch (T, C, H, W) permute path is the decoder plug point)
+
+_RAW_VIDEO_NDIMS = 4
+_RAW_VIDEO_MAX_VALUE = 255.0
+_RAW_VIDEO_CHANNEL_COUNTS = {1, 3, 4}
+
+
+def format_raw_video_frames(video_np: np.ndarray) -> np.ndarray:
+    """PromptFormatter._format_raw_video_frames, numpy branch, exact:
+    frames must be channel-last ``(T, H, W, C)``; uint8 passes through
+    contiguously; float frames must be RAW (non-negative, <=255) and are
+    truncated to uint8 — normalized/scaled inputs are rejected with the
+    reference's messages."""
+    if video_np.ndim != _RAW_VIDEO_NDIMS:
+        msg = (
+            "Expected raw video frames with 4 dimensions, got shape "
+            f"{video_np.shape}"
+        )
+        raise ValueError(msg)
+    if video_np.shape[-1] not in _RAW_VIDEO_CHANNEL_COUNTS:
+        msg = (
+            "Expected NumPy raw video frames in channel-last (T, H, W, C) "
+            f"format, got shape {video_np.shape}"
+        )
+        raise ValueError(msg)
+    if video_np.dtype == np.uint8:
+        return np.ascontiguousarray(video_np)
+    min_value = float(np.nanmin(video_np))
+    max_value = float(np.nanmax(video_np))
+    if min_value < 0:
+        msg = (
+            "Captioning expects raw video frames, but got normalized "
+            "frames with negative values."
+        )
+        raise ValueError(msg)
+    if max_value > _RAW_VIDEO_MAX_VALUE:
+        msg = f"Raw video frame values exceed uint8 range: max={max_value}"
+        raise ValueError(msg)
+    return np.ascontiguousarray(video_np.astype(np.uint8))

@@ -103,3 +103,27 @@ def test_null_bytes_raise(spark):
     )
     with pytest.raises(Exception, match="source bytes"):
         VF.extract_frame_arrays(df).collect()
+
+
+def test_format_raw_video_frames():
+    import numpy as np
+    import pytest
+
+    from nemo_curator_spark.operators.video_frames import (
+        format_raw_video_frames,
+    )
+
+    u8 = np.arange(2 * 2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 2, 3)
+    out = format_raw_video_frames(u8[:, :, ::-1])  # non-contiguous input
+    assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8
+    # float raw frames truncate to uint8
+    f = u8.astype(np.float32) + 0.9
+    assert format_raw_video_frames(f).tolist() == u8.tolist()
+    with pytest.raises(ValueError, match="4 dimensions"):
+        format_raw_video_frames(u8[0])
+    with pytest.raises(ValueError, match="channel-last"):
+        format_raw_video_frames(np.zeros((2, 3, 4, 5), dtype=np.uint8))
+    with pytest.raises(ValueError, match="negative"):
+        format_raw_video_frames(np.full((1, 2, 2, 3), -0.5))
+    with pytest.raises(ValueError, match="exceed uint8"):
+        format_raw_video_frames(np.full((1, 2, 2, 3), 300.0))
