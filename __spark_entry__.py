@@ -2744,6 +2744,109 @@ FROM s
 """
 
 
+def _file_group_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocksize file-group planning (reference
+    stages/file_partitioning.py:101-186, the greedy size-sorted fold):
+    synthetic per-doc file sizes (every ~50th oversized so the
+    flush-then-solo branch fires), planned by the REAL
+    ``partition_by_size`` driver-side — the registry is tiny bookkeeping
+    (one row per file), exactly the unit the reference materializes.
+    The oracle replays the greedy fold as a recursive-CTE walk carrying
+    (running_size, group_no). Sizes are tie-broken by name in both
+    (python's sorted is stable over the name-ordered input)."""
+    from nemo_curator_spark.io import file_partitioning as FP
+
+    rows = sorted(
+        (
+            f"f{r[0]:05d}",
+            5000 if r[0] % 50 == 0 else 1 + (r[0] * 37) % 997,
+        )
+        for r in _docs(spark, sf_dir).select("doc_id").collect()
+    )
+    parts = FP.partition_by_size(rows, 3000)
+    out = [
+        (f, i, len(parts))
+        for i, group in enumerate(parts)
+        for f in group
+    ]
+    return spark.createDataFrame(
+        out, "file string, partition_index bigint, total_partitions bigint"
+    )
+
+
+_FILE_GROUP_ORACLE = """
+WITH RECURSIVE src AS (
+  SELECT 'f' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS file,
+         CASE WHEN doc_id % 50 = 0 THEN 5000
+              ELSE 1 + (doc_id * 37) % 997 END AS size
+  FROM documents
+),
+ord AS (
+  SELECT file, size,
+         row_number() OVER (ORDER BY size, file) AS rn
+  FROM src
+),
+walk AS (
+  SELECT file, rn, size AS run, 0 AS grp FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.file, o.rn,
+         CASE WHEN w.run + o.size > 3000 THEN o.size
+              ELSE w.run + o.size END,
+         CASE WHEN w.run + o.size > 3000 THEN w.grp + 1 ELSE w.grp END
+  FROM ord o JOIN walk w ON o.rn = w.rn + 1
+)
+SELECT file,
+       CAST(grp AS BIGINT) AS partition_index,
+       CAST((SELECT max(grp) + 1 FROM walk) AS BIGINT) AS total_partitions
+FROM walk
+"""
+
+
+def _dedup_id_ranges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable dedup id assignment (reference
+    stages/deduplication/id_generator.py:30-77): per-file contiguous
+    ranges from a fresh registry (sorted registration order) + a
+    row_number window inside each file — ONE exchange, offsets as a
+    broadcast join. The oracle replays the registry as a cumulative
+    count over name-sorted files and the window directly."""
+    from nemo_curator_spark.operators import id_generator as IG
+
+    df = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn(
+            "file", F.concat(F.lit("f"), (F.col("doc_id") % 7).cast("string"))
+        )
+    )
+    out = IG.assign_dedup_ids(
+        df, IG.IdGeneratorBase(start_id=1000), "file", "doc_id",
+        id_col="dedup_id",
+    )
+    return out.select("doc_id", "file", "dedup_id")
+
+
+_DEDUP_ID_ORACLE = """
+WITH src AS (
+  SELECT doc_id, 'f' || CAST(doc_id % 7 AS VARCHAR) AS file
+  FROM documents
+),
+counts AS (SELECT file, count(*) AS n FROM src GROUP BY file),
+offs AS (
+  SELECT file,
+         1000 + COALESCE(SUM(n) OVER (
+           ORDER BY file
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS min_id
+  FROM counts
+)
+SELECT s.doc_id, s.file,
+       CAST(o.min_id + row_number() OVER (
+         PARTITION BY s.file ORDER BY s.doc_id
+       ) - 1 AS BIGINT) AS dedup_id
+FROM src s JOIN offs o USING (file)
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -4492,6 +4595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["faith_scores_filter"] = _faith_query
     out["translation_skip_restore"] = _translation_skip_query
     out["aegis_parse_labels"] = _aegis_query
+    out["file_group_plan"] = _file_group_plan_query
+    out["dedup_id_ranges"] = _dedup_id_ranges_query
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -4627,4 +4732,6 @@ def oracle_sql() -> dict[str, str]:
     out["faith_scores_filter"] = _faith_oracle()
     out["translation_skip_restore"] = _TRANSLATION_SKIP_ORACLE
     out["aegis_parse_labels"] = _aegis_oracle()
+    out["file_group_plan"] = _FILE_GROUP_ORACLE
+    out["dedup_id_ranges"] = _DEDUP_ID_ORACLE
     return out
