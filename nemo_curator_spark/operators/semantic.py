@@ -163,6 +163,84 @@ def _pair_dot_udf():
     return _udf
 
 
+class RankingStrategy:
+    """Reference semantic/ranking.py:21-100, exact contract: rank
+    cluster members by caller-named metadata columns (priority order,
+    per-column ascending flags) or by a seeded shuffle. The Spark form
+    translates to the within-cluster window ORDER (id ascending as the
+    deterministic tie-break; the reference's per-cluster frames inherit
+    input order there, which a distributed sort cannot)."""
+
+    def __init__(
+        self,
+        metadata_cols: list[str],
+        ascending: list[bool] | bool = True,
+        strategy: str = "sort",
+        random_seed: int = 42,
+    ):
+        self.metadata_cols = metadata_cols
+        self.strategy = strategy
+        self.random_seed = random_seed
+        if isinstance(ascending, bool):
+            self.ascending = [ascending] * len(metadata_cols)
+        else:
+            if len(ascending) != len(metadata_cols):
+                msg = (
+                    f"Length of ascending ({len(ascending)}) must match "
+                    f"metadata_cols ({len(metadata_cols)})"
+                )
+                raise ValueError(msg)
+            self.ascending = ascending
+
+    @classmethod
+    def metadata_based(
+        cls,
+        metadata_cols: list[str],
+        ascending: list[bool] | bool = True,
+        random_seed: int = 42,
+    ) -> "RankingStrategy":
+        return cls(
+            metadata_cols=metadata_cols,
+            ascending=ascending,
+            strategy="sort",
+            random_seed=random_seed,
+        )
+
+    @classmethod
+    def random(cls, random_seed: int = 42) -> "RankingStrategy":
+        return cls(
+            metadata_cols=[], strategy="random", random_seed=random_seed
+        )
+
+    def order_columns(self, available: list[str], id_col: str = "id"):
+        """Window order translation; validates column presence with the
+        reference's message (ranking.py:45-49)."""
+        if self.strategy == "random":
+            return [
+                F.asc(F.xxhash64(F.col(id_col), F.lit(self.random_seed))),
+                F.asc(id_col),
+            ]
+        if self.strategy == "sort":
+            missing_cols = [
+                c for c in self.metadata_cols if c not in available
+            ]
+            if missing_cols:
+                msg = (
+                    f"Required columns {missing_cols} not found in "
+                    f"cluster data. Available columns: {list(available)}"
+                )
+                raise ValueError(msg)
+            return [
+                F.asc(c) if asc else F.desc(c)
+                for c, asc in zip(self.metadata_cols, self.ascending)
+            ] + [F.asc(id_col)]
+        msg = (
+            f"Invalid strategy: {self.strategy}. Supported: 'sort', "
+            "'random'"
+        )
+        raise ValueError(msg)
+
+
 def semantic_scores(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -171,16 +249,33 @@ def semantic_scores(
     seed: int = 42,
     which_to_keep: str = "hard",
     max_cluster_size: int = 5000,
+    ranking_strategy: "RankingStrategy | None" = None,
 ) -> DataFrame:
     """Per-row (id, max_id, cosine_sim_score) — the reference pairwise
     stage's output table (pairwise.py:218-228): the max cosine similarity
-    of each row to any earlier-ranked row in its cluster."""
+    of each row to any earlier-ranked row in its cluster.
+    ``ranking_strategy`` overrides the ``which_to_keep`` presets with a
+    metadata-column ranking (reference ranking.py)."""
     if which_to_keep not in {"hard", "easy", "random"}:
         raise ValueError(f"which_to_keep must be hard/easy/random, got {which_to_keep!r}")
+    keep_cols = [] if ranking_strategy is None else [
+        c
+        for c in (df.columns if ranking_strategy.strategy == "sort" else [])
+        if c in ranking_strategy.metadata_cols
+        and c not in {id_col, "nvec", "cluster", "cosine_dist_to_cent"}
+    ]
     clustered = cluster_embeddings(df, id_col, vec_col, k, seed).select(
-        F.col(id_col).alias("id"), "nvec", "cluster", "cosine_dist_to_cent"
+        F.col(id_col).alias("id"),
+        "nvec",
+        "cluster",
+        "cosine_dist_to_cent",
+        *keep_cols,
     )
-    if which_to_keep == "hard":
+    if ranking_strategy is not None:
+        order = ranking_strategy.order_columns(
+            ["cosine_dist_to_cent", *keep_cols, "id"], id_col="id"
+        )
+    elif which_to_keep == "hard":
         order = [F.desc("cosine_dist_to_cent"), F.desc("id")]
     elif which_to_keep == "easy":
         order = [F.asc("cosine_dist_to_cent"), F.asc("id")]

@@ -389,6 +389,7 @@ class SemanticDeduplicationWorkflow:
         random_state: int = 42,
         which_to_keep: Literal["hard", "easy", "random"] = "hard",
         distance_metric: Literal["cosine", "l2"] = "cosine",
+        ranking_strategy: "SEM.RankingStrategy | dict | None" = None,
         pairwise_batch_size: int = 1024,
         eps: float | None = None,
     ) -> None:
@@ -413,6 +414,9 @@ class SemanticDeduplicationWorkflow:
         self.tol = tol
         self.random_state = random_state
         self.which_to_keep = which_to_keep
+        if isinstance(ranking_strategy, dict):
+            ranking_strategy = SEM.RankingStrategy(**ranking_strategy)
+        self.ranking_strategy = ranking_strategy
         self.pairwise_batch_size = pairwise_batch_size
         self.eps = eps
 
@@ -431,6 +435,7 @@ class SemanticDeduplicationWorkflow:
             k=self.n_clusters,
             seed=self.random_state,
             which_to_keep=self.which_to_keep,
+            ranking_strategy=self.ranking_strategy,
         )
         scores_path = os.path.join(self.cache_path, "SemanticPairwise")
         scores.write.mode("overwrite").parquet(scores_path)

@@ -259,3 +259,59 @@ def test_semantic_random_ranking_deterministic(spark):
 
     with _pt.raises(ValueError):
         semantic.semantic_scores(df, which_to_keep="bogus")
+
+
+def test_ranking_strategy(spark):
+    """RankingStrategy (reference semantic/ranking.py:21-100): metadata
+    ranking plugs into semantic_scores as the within-cluster order."""
+    import numpy as np
+    import pytest
+
+    from nemo_curator_spark.operators import semantic as SEM
+
+    rs = SEM.RankingStrategy(["a", "b"], ascending=[True, False])
+    assert rs.ascending == [True, False]
+    assert SEM.RankingStrategy(["a", "b"], ascending=True).ascending == [
+        True, True,
+    ]
+    with pytest.raises(ValueError, match="must match metadata_cols"):
+        SEM.RankingStrategy(["a"], ascending=[True, False])
+    with pytest.raises(ValueError, match="Invalid strategy"):
+        SEM.RankingStrategy([], strategy="nope").order_columns(["a"])
+    with pytest.raises(ValueError, match="Required columns"):
+        SEM.RankingStrategy(["missing"]).order_columns(["a", "id"])
+    assert SEM.RankingStrategy.random(7).strategy == "random"
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(30, 6))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist(), 30 - i) for i in range(30)],
+        "vec_id long, embedding array<double>, priority long",
+    )
+    # metadata ranking on the computed distance column == the 'easy'
+    # preset (same order expression incl. the id tie-break)
+    a = SEM.semantic_scores(
+        df, k=3, which_to_keep="easy",
+    ).orderBy("id").toPandas()
+    b = SEM.semantic_scores(
+        df, k=3,
+        ranking_strategy=SEM.RankingStrategy.metadata_based(
+            ["cosine_dist_to_cent"], ascending=True
+        ),
+    ).orderBy("id").toPandas()
+    assert a.cosine_sim_score.tolist() == b.cosine_sim_score.tolist()
+    # seeded random strategy == the 'random' preset with the same seed
+    c = SEM.semantic_scores(df, k=3, which_to_keep="random", seed=11)
+    d = SEM.semantic_scores(
+        df, k=3, seed=11, ranking_strategy=SEM.RankingStrategy.random(11),
+    )
+    assert (
+        c.orderBy("id").toPandas().cosine_sim_score.tolist()
+        == d.orderBy("id").toPandas().cosine_sim_score.tolist()
+    )
+    # a caller metadata column flows through and drives the order
+    e = SEM.semantic_scores(
+        df, k=3,
+        ranking_strategy=SEM.RankingStrategy.metadata_based(["priority"]),
+    )
+    assert e.count() == 30
