@@ -2847,6 +2847,155 @@ FROM src s JOIN offs o USING (file)
 """
 
 
+def _asr_align_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR forced-alignment deterministic half (reference
+    nemo_asr_align.py:279-417) through the REAL stage code with a
+    deterministic injected transcriber (the NeMo model is the plug
+    point): per-doc manifest entries fan out 1-3 split paths (every
+    5th doc carries an EMPTY split list — the pre-skip branch), the
+    fake hypotheses derive offsets/confidences from the path, and the
+    stage runs the FastConformer-stride math (8x0.01), the RNNT
+    -0.08 s clamp, confidence/timestamp rounding, the ``⁇`` text scrub
+    (alignment keeps the raw token), and the split_metadata scatter.
+    The oracle replays all of it in SQL — offsets are 2-decimal-family
+    values so python banker's round and SQL round agree bit-exactly."""
+    import json as json_mod
+
+    from nemo_curator_spark.operators import asr_align as AA
+
+    def transcribe(paths):
+        out = []
+        for p in paths:
+            d, j = p[1:].split("s")
+            d, j = int(d), int(j)
+            off = (d * 7 + j * 3) % 50
+            out.append(
+                {
+                    "text": "",
+                    "timestamp": {
+                        "word": [
+                            {
+                                "word": f"w{j}",
+                                "start_offset": off,
+                                "end_offset": off + 5,
+                            },
+                            {
+                                "word": "⁇" if (d + j) % 7 == 0 else f"v{j}",
+                                "start_offset": off + 6,
+                                "end_offset": off + 8,
+                            },
+                        ]
+                    },
+                    # one conf for two words: the second exercises the
+                    # i >= len(word_confidence) -> None branch
+                    "word_confidence": [((d * 13 + j) % 100) / 100.0],
+                }
+            )
+        return out
+
+    n = (F.col("doc_id") % 3).cast("int")
+    paths = F.transform(
+        F.sequence(F.lit(0), n),
+        lambda j: F.concat(
+            F.lit("d"), F.col("doc_id").cast("string"), F.lit("s"),
+            j.cast("string"),
+        ),
+    )
+    metas = F.transform(
+        F.sequence(F.lit(0), n), lambda j: F.struct(j.alias("offset"))
+    )
+    skip = F.col("doc_id") % 5 == 0
+    entries = _docs(spark, sf_dir).select(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.when(skip, F.array().cast("array<string>"))
+                .otherwise(paths)
+                .alias("split_filepaths"),
+                F.when(
+                    skip,
+                    F.array().cast("array<struct<offset:int>>"),
+                )
+                .otherwise(metas)
+                .alias("split_metadata"),
+            )
+        ).alias("entry")
+    )
+    stage = AA.ASRAlignerStage(transcribe)
+    out = AA.asr_align_manifest(entries, stage)
+    schema = (
+        "doc_id bigint, text string, "
+        "split_metadata array<struct<offset:int,text:string,"
+        "alignment:array<struct<word:string,start:double,end:double,"
+        "confidence:double>>>>"
+    )
+    parsed = out.select(F.from_json("entry", schema).alias("e"))
+    per_split = parsed.select(
+        F.col("e.doc_id").alias("doc_id"),
+        F.col("e.text").alias("top_text"),
+        F.posexplode_outer("e.split_metadata").alias("split_idx", "m"),
+    )
+    _ = json_mod
+    return per_split.select(
+        "doc_id",
+        "top_text",
+        F.col("split_idx").cast("int").alias("split_idx"),
+        F.col("m.text").alias("split_text"),
+        F.explode_outer("m.alignment").alias("w"),
+    ).select(
+        "doc_id",
+        "top_text",
+        "split_idx",
+        "split_text",
+        F.col("w.word").alias("word"),
+        F.col("w.start").alias("w_start"),
+        F.col("w.end").alias("w_end"),
+        F.col("w.confidence").alias("conf"),
+    )
+
+
+_ASR_ALIGN_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents),
+sk AS (
+  SELECT doc_id, '' AS top_text, CAST(NULL AS INT) AS split_idx,
+         CAST(NULL AS VARCHAR) AS split_text, CAST(NULL AS VARCHAR) AS word,
+         CAST(NULL AS DOUBLE) AS w_start, CAST(NULL AS DOUBLE) AS w_end,
+         CAST(NULL AS DOUBLE) AS conf
+  FROM d WHERE doc_id % 5 = 0
+),
+sp AS (
+  SELECT doc_id, CAST(u.j AS INT) AS j, (doc_id*7 + u.j*3) % 50 AS off
+  FROM d, UNNEST(generate_series(0, CAST(doc_id % 3 AS INT))) u(j)
+  WHERE doc_id % 5 <> 0
+),
+w AS (
+  SELECT doc_id, j,
+         CASE WHEN t.wi = 0 THEN off ELSE off + 6 END AS soff,
+         CASE WHEN t.wi = 0 THEN off + 5 ELSE off + 8 END AS eoff,
+         CASE WHEN t.wi = 0 THEN 'w' || j
+              WHEN (doc_id + j) % 7 = 0 THEN '⁇'
+              ELSE 'v' || j END AS word,
+         CASE WHEN t.wi = 0
+              THEN ROUND(((doc_id*13 + j) % 100) / 100.0, 4)
+              ELSE CAST(NULL AS DOUBLE) END AS conf
+  FROM sp, UNNEST(generate_series(0, 1)) t(wi)
+)
+SELECT doc_id, CAST(NULL AS VARCHAR) AS top_text, j AS split_idx,
+       replace('w' || j || ' ' ||
+               CASE WHEN (doc_id + j) % 7 = 0 THEN '⁇'
+                    ELSE 'v' || j END,
+               '⁇', '') AS split_text,
+       word,
+       ROUND(GREATEST(0, soff * (8 * 0.01) - 0.08), 3) AS w_start,
+       ROUND(GREATEST(0, eoff * (8 * 0.01) - 0.08), 3) AS w_end,
+       conf
+FROM w
+UNION ALL
+SELECT doc_id, top_text, split_idx, split_text, word, w_start, w_end, conf
+FROM sk
+"""
+
+
 def _audio_segment_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio segment concat bookkeeping + timestamp remap (reference
     preprocessing/concatenation.py:146-236 + postprocessing/
@@ -4597,6 +4746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["aegis_parse_labels"] = _aegis_query
     out["file_group_plan"] = _file_group_plan_query
     out["dedup_id_ranges"] = _dedup_id_ranges_query
+    out["asr_align_words"] = _asr_align_query
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -4734,4 +4884,5 @@ def oracle_sql() -> dict[str, str]:
     out["aegis_parse_labels"] = _aegis_oracle()
     out["file_group_plan"] = _FILE_GROUP_ORACLE
     out["dedup_id_ranges"] = _DEDUP_ID_ORACLE
+    out["asr_align_words"] = _ASR_ALIGN_ORACLE
     return out
