@@ -467,3 +467,154 @@ class SemanticDeduplicationWorkflow:
             }
         )
         return result
+
+
+class TextSemanticDeduplicationWorkflow:
+    """End-to-end TEXT semantic dedup (reference
+    text/deduplication/semantic.py:52-520): embedding generation ->
+    semantic dedup -> (unlike the exact/fuzzy workflows) actual
+    duplicate REMOVAL, with optional resumable id assignment. The
+    vLLM/HF embedding model named by ``model_identifier`` is the plug
+    point — ``embedder`` injects any object with
+    ``apply(df, text_col) -> df+embedding`` (default: the deterministic
+    hashed-projection EmbedderStage; swap in
+    ``classifiers.EmbedderStage(model=...)`` with a MiniTransformer or
+    a real sentence-transformer)."""
+
+    def __init__(  # noqa: PLR0913
+        self,
+        input_path: str | list[str] | None,
+        output_path: str,
+        cache_path: str | None = None,
+        *,
+        perform_removal: bool = True,
+        text_field: str = "text",
+        embedding_field: str = "embeddings",
+        model_identifier: str = "google/embeddinggemma-300m",
+        embedding_max_chars: int | None = None,
+        n_clusters: int = 100,
+        id_field: str = IG.CURATOR_DEDUP_ID_STR,
+        which_to_keep: Literal["hard", "easy", "random"] = "hard",
+        distance_metric: Literal["cosine", "l2"] = "cosine",
+        ranking_strategy: "SEM.RankingStrategy | dict | None" = None,
+        eps: float | None = 0.01,
+        kmeans_random_state: int = 42,
+        use_id_generator: bool = False,
+        id_generator_state_file: str | None = None,
+        input_filetype: Literal["jsonl", "parquet"] = "parquet",
+        output_filetype: Literal["jsonl", "parquet"] = "parquet",
+        output_fields: list[str] | None = None,
+        embedder: Any = None,
+    ) -> None:
+        self.input_path = input_path
+        self.output_path = output_path
+        self.cache_path = cache_path or output_path
+        self.perform_removal = perform_removal
+        self.text_field = text_field
+        self.embedding_field = embedding_field
+        self.model_identifier = model_identifier
+        self.embedding_max_chars = embedding_max_chars
+        self.n_clusters = n_clusters
+        self.id_field = id_field
+        self.which_to_keep = which_to_keep
+        self.ranking_strategy = ranking_strategy
+        self.eps = eps
+        self.kmeans_random_state = kmeans_random_state
+        self.use_id_generator = use_id_generator
+        self.id_generator_state_file = id_generator_state_file
+        self.input_filetype = input_filetype
+        self.output_filetype = output_filetype
+        self.output_fields = output_fields
+        self.embedder = embedder
+        if perform_removal and eps is None:
+            msg = "eps must be set when perform_removal is True"
+            raise ValueError(msg)
+        # distance_metric validated by the inner workflow
+        self._inner = SemanticDeduplicationWorkflow(
+            input_path=None,
+            output_path=output_path,
+            n_clusters=n_clusters,
+            cache_path=self.cache_path,
+            id_field=id_field,
+            embedding_field=embedding_field,
+            which_to_keep=which_to_keep,
+            distance_metric=distance_metric,
+            ranking_strategy=ranking_strategy,
+            random_state=kmeans_random_state,
+            eps=eps,
+        )
+
+    def _write_output(self, df: DataFrame, path: str) -> None:
+        if self.output_fields:
+            df = df.select(*self.output_fields)
+        if self.output_filetype == "jsonl":
+            df.write.mode("overwrite").json(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def run(
+        self, spark: SparkSession, input_df: DataFrame | None = None
+    ) -> WorkflowRunResult:
+        result = WorkflowRunResult(
+            workflow_name="text_semantic_deduplication"
+        )
+        total_start = time.time()
+        df = _resolve_input(self, spark, input_df)
+        if self.embedding_max_chars:
+            df = df.withColumn(
+                self.text_field,
+                F.substring(
+                    F.col(self.text_field), 1, self.embedding_max_chars
+                ),
+            )
+        if self.use_id_generator:
+            gen_path = self.id_generator_state_file or os.path.join(
+                self.output_path, "semantic_id_generator.json"
+            )
+            df, assigned = _assign_ids(df, gen_path, self.text_field)
+            if assigned != self.id_field:
+                df = df.withColumnRenamed(assigned, self.id_field)
+            result.add_metadata("id_generator_path", gen_path)
+
+        # Phase 1: embeddings (persisted — the reference's resume seam)
+        t0 = time.time()
+        from nemo_curator_spark.operators.classifiers import EmbedderStage
+
+        embedder = self.embedder or EmbedderStage(
+            out_col=self.embedding_field
+        )
+        embedded = embedder.apply(df, text_col=self.text_field)
+        emb_path = os.path.join(self.cache_path, "Embeddings")
+        embedded.write.mode("overwrite").parquet(emb_path)
+        result.add_metadata("embedding_time", time.time() - t0)
+        embedded = spark.read.parquet(emb_path)
+
+        # Phase 2: semantic dedup (scores + ids via the inner workflow)
+        inner = self._inner.run(spark, input_df=embedded)
+        result.pipeline_tasks.update(inner.pipeline_tasks)
+        for k in (
+            "pairwise_time",
+            "pairwise_scores_path",
+            "identify_time",
+            "num_duplicates",
+            "duplicate_ids_path",
+        ):
+            result.add_metadata(k, inner.get_metadata(k))
+
+        # Phase 3: removal (this workflow DOES implement it)
+        if self.perform_removal:
+            t0 = time.time()
+            removal_ids = spark.read.parquet(
+                inner.get_metadata("duplicate_ids_path")
+            )
+            kept = DD.remove_duplicates(
+                embedded.drop(self.embedding_field),
+                removal_ids,
+                id_col=self.id_field,
+            )
+            out_path = os.path.join(self.output_path, "deduplicated")
+            self._write_output(kept, out_path)
+            result.add_metadata("removal_time", time.time() - t0)
+            result.add_metadata("deduplicated_path", out_path)
+        result.add_metadata("total_time", time.time() - total_start)
+        return result

@@ -157,3 +157,47 @@ def test_semantic_workflow(spark, tmp_path):
             input_path=None, output_path="o", n_clusters=2,
             distance_metric="l2",
         )
+
+
+def test_text_semantic_workflow(spark, tmp_path):
+    """TextSemanticDeduplicationWorkflow (reference
+    text/deduplication/semantic.py:52-520): embeddings -> semantic dedup
+    -> REAL removal, with resumable id assignment."""
+    texts = [f"document number {i} with its own distinct words {i*3}"
+             for i in range(12)]
+    texts += [texts[0], texts[5]]  # two planted exact duplicates
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(t,) for t in texts], "text string"
+    ).repartition(2).write.parquet(corpus)
+    out = str(tmp_path / "out")
+    wf = W.TextSemanticDeduplicationWorkflow(
+        input_path=corpus,
+        output_path=out,
+        n_clusters=3,
+        eps=0.001,
+        use_id_generator=True,
+    )
+    res = wf.run(spark)
+    assert res.workflow_name == "text_semantic_deduplication"
+    assert res.get_metadata("num_duplicates") == 2
+    kept = spark.read.parquet(res.get_metadata("deduplicated_path"))
+    assert kept.count() == 12
+    assert kept.select("text").distinct().count() == 12
+    assert "_curator_dedup_id" in kept.columns
+    assert os.path.exists(os.path.join(out, "semantic_id_generator.json"))
+    assert os.path.isdir(os.path.join(out, "Embeddings"))
+    # identify-only mode
+    wf2 = W.TextSemanticDeduplicationWorkflow(
+        input_path=corpus, output_path=str(tmp_path / "out2"),
+        n_clusters=3, eps=0.001, perform_removal=False,
+        use_id_generator=True,
+    )
+    res2 = wf2.run(spark)
+    assert res2.get_metadata("deduplicated_path") is None
+    assert res2.get_metadata("num_duplicates") == 2
+    # contract: removal requires eps
+    with pytest.raises(ValueError, match="eps"):
+        W.TextSemanticDeduplicationWorkflow(
+            input_path=corpus, output_path="o", n_clusters=2, eps=None,
+        )
