@@ -2776,7 +2776,10 @@ def _file_group_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FILE_GROUP_ORACLE = """
 WITH RECURSIVE src AS (
-  SELECT 'f' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS file,
+  -- printf, not lpad: DuckDB lpad TRUNCATES strings longer than the
+  -- target width (doc_id >= 100000 would silently diverge from the
+  -- python f'{d:05d}', which never truncates)
+  SELECT printf('f%05d', doc_id) AS file,
          CASE WHEN doc_id % 50 = 0 THEN 5000
               ELSE 1 + (doc_id * 37) % 997 END AS size
   FROM documents

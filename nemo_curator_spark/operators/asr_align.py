@@ -243,7 +243,12 @@ class ASRAlignerStage:
         entries with splits (or no key at all) fan their paths into one
         transcribe call, falling back to per-path retries on a batch
         failure; results scatter into split_metadata[split_idx] when
-        present, else onto the entry itself."""
+        present, else onto the entry itself. Reference parity note: a
+        transcriber returning FEWER hypotheses than paths leaves the
+        trailing splits untouched (the reference's enumerate loop does
+        the same); return None per failed path instead of omitting it —
+        segment mode, like the reference's strict zip, raises on a
+        count mismatch."""
         transcribe = self._require_model()
         skip_indices = []
         meta_indices = []

@@ -96,6 +96,7 @@ def cluster_embeddings(
     k: int | None = None,
     seed: int = 42,
     max_iter: int = 20,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Adds ``cluster``, ``cosine_dist_to_cent`` and the L2-normalized
     vector ``nvec`` to every row. ``k=None`` scales with corpus size."""
@@ -111,7 +112,9 @@ def cluster_embeddings(
         X = np.stack([np.asarray(r["_vec"], dtype=np.float64) for r in rows])
         norms = np.linalg.norm(X, axis=1)
         norms[norms == 0.0] = 1.0
-        cmat = kmeans_fit(X / norms[:, None], k, seed=seed, max_iter=max_iter)
+        cmat = kmeans_fit(
+            X / norms[:, None], k, seed=seed, max_iter=max_iter, tol=tol
+        )
     else:
         # very large k: the driver fit is no longer cheap — distributed
         # Lloyd's via pyspark.ml on the (still bounded) sample
@@ -133,8 +136,8 @@ def cluster_embeddings(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(modulus)) == 0
         )
         model = KMeans(
-            k=k, seed=seed, maxIter=max_iter, featuresCol="_features",
-            predictionCol="cluster",
+            k=k, seed=seed, maxIter=max_iter, tol=tol,
+            featuresCol="_features", predictionCol="cluster",
         ).fit(train)
         cmat = np.asarray(model.clusterCenters(), dtype=np.float64)
 
@@ -250,6 +253,8 @@ def semantic_scores(
     which_to_keep: str = "hard",
     max_cluster_size: int = 5000,
     ranking_strategy: "RankingStrategy | None" = None,
+    kmeans_max_iter: int = 20,
+    kmeans_tol: float = 1e-6,
 ) -> DataFrame:
     """Per-row (id, max_id, cosine_sim_score) — the reference pairwise
     stage's output table (pairwise.py:218-228): the max cosine similarity
@@ -264,7 +269,9 @@ def semantic_scores(
         if c in ranking_strategy.metadata_cols
         and c not in {id_col, "nvec", "cluster", "cosine_dist_to_cent"}
     ]
-    clustered = cluster_embeddings(df, id_col, vec_col, k, seed).select(
+    clustered = cluster_embeddings(
+        df, id_col, vec_col, k, seed, max_iter=kmeans_max_iter, tol=kmeans_tol
+    ).select(
         F.col(id_col).alias("id"),
         "nvec",
         "cluster",

@@ -74,12 +74,28 @@ def _read_input(
     spark: SparkSession,
     input_path: str | list[str],
     input_filetype: str,
+    read_kwargs: dict | None = None,
+    input_file_extensions: list[str] | None = None,
 ) -> DataFrame:
+    """``read_kwargs`` pass straight to the Spark reader as options
+    (the reference forwards them to its readers the same way; Spark's
+    storage credentials travel via hadoop conf, so storage_options is
+    dropped with the rest of the reader seeing real option names).
+    A single ``input_file_extensions`` entry maps to pathGlobFilter."""
     paths = [input_path] if isinstance(input_path, str) else list(input_path)
+    reader = spark.read
+    opts = dict(read_kwargs or {})
+    opts.pop("storage_options", None)
+    if input_file_extensions and len(input_file_extensions) == 1:
+        opts.setdefault(
+            "pathGlobFilter", f"*{input_file_extensions[0]}"
+        )
+    if opts:
+        reader = reader.options(**opts)
     if input_filetype == "jsonl":
-        return spark.read.json(paths)
+        return reader.json(paths)
     if input_filetype == "parquet":
-        return spark.read.parquet(*paths)
+        return reader.parquet(*paths)
     msg = f"Unsupported input_filetype: {input_filetype!r}"
     raise ValueError(msg)
 
@@ -103,7 +119,13 @@ def _resolve_input(
             "not provided manually."
         )
         raise ValueError(msg)
-    return _read_input(spark, workflow.input_path, workflow.input_filetype)
+    return _read_input(
+        spark,
+        workflow.input_path,
+        workflow.input_filetype,
+        getattr(workflow, "read_kwargs", None),
+        getattr(workflow, "input_file_extensions", None),
+    )
 
 
 def _assign_ids(
@@ -121,9 +143,18 @@ def _assign_ids(
         if os.path.exists(gen_path)
         else IG.IdGeneratorBase()
     )
-    with_file = df.withColumn("_file", F.input_file_name()).withColumn(
-        "_order", F.xxhash64(F.col(order_text_col))
-    )
+    # non-file-backed frames have input_file_name() = '' for every row,
+    # which would funnel the whole dataset through ONE window partition
+    # (a single-task global sort); fall back to the Spark partition id
+    # as the batch key — parallel, and stable for a given partitioning
+    # (file-backed scans keep full rerun-stable ids)
+    with_file = df.withColumn(
+        "_file",
+        F.when(
+            F.input_file_name() == "",
+            F.concat(F.lit("mem-"), F.spark_partition_id().cast("string")),
+        ).otherwise(F.input_file_name()),
+    ).withColumn("_order", F.xxhash64(F.col(order_text_col)))
     out = IG.assign_dedup_ids(
         with_file, gen, "_file", "_order", id_col=IG.CURATOR_DEDUP_ID_STR
     ).drop("_file", "_order")
@@ -436,6 +467,8 @@ class SemanticDeduplicationWorkflow:
             seed=self.random_state,
             which_to_keep=self.which_to_keep,
             ranking_strategy=self.ranking_strategy,
+            kmeans_max_iter=self.max_iter,
+            kmeans_tol=self.tol,
         )
         scores_path = os.path.join(self.cache_path, "SemanticPairwise")
         scores.write.mode("overwrite").parquet(scores_path)
@@ -560,13 +593,6 @@ class TextSemanticDeduplicationWorkflow:
         )
         total_start = time.time()
         df = _resolve_input(self, spark, input_df)
-        if self.embedding_max_chars:
-            df = df.withColumn(
-                self.text_field,
-                F.substring(
-                    F.col(self.text_field), 1, self.embedding_max_chars
-                ),
-            )
         if self.use_id_generator:
             gen_path = self.id_generator_state_file or os.path.join(
                 self.output_path, "semantic_id_generator.json"
@@ -583,7 +609,20 @@ class TextSemanticDeduplicationWorkflow:
         embedder = self.embedder or EmbedderStage(
             out_col=self.embedding_field
         )
-        embedded = embedder.apply(df, text_col=self.text_field)
+        # embedding_max_chars bounds the MODEL INPUT only (reference
+        # semantics) — the dataset text is never mutated
+        if self.embedding_max_chars:
+            embed_in = df.withColumn(
+                "_embed_text",
+                F.substring(
+                    F.col(self.text_field), 1, self.embedding_max_chars
+                ),
+            )
+            embedded = embedder.apply(embed_in, text_col="_embed_text").drop(
+                "_embed_text"
+            )
+        else:
+            embedded = embedder.apply(df, text_col=self.text_field)
         emb_path = os.path.join(self.cache_path, "Embeddings")
         embedded.write.mode("overwrite").parquet(emb_path)
         result.add_metadata("embedding_time", time.time() - t0)

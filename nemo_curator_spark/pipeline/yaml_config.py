@@ -46,6 +46,21 @@ from nemo_curator_spark.operators.score_filter import (
     Stage,
 )
 
+# per-worker parsed-model cache keyed by path (CLAUDE.md: parse models
+# once per worker process, never per Arrow batch)
+_FT_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _cached_minifasttext(model_path: str):
+    model = _FT_MODEL_CACHE.get(model_path)
+    if model is None:
+        from nemo_curator_spark.operators.fasttext_mini import MiniFastText
+
+        model = MiniFastText.load(model_path)
+        _FT_MODEL_CACHE[model_path] = model
+    return model
+
+
 _MODIFIERS = {
     "url_remover": M.remove_urls,
     "newline_normalizer": M.normalize_newlines,
@@ -138,18 +153,22 @@ def _build_stage(spec: dict[str, Any]) -> Stage:
                         "tokenizer plug point; the in-sandbox path trains "
                         "a MiniBPE from the corpus"
                     )
-                sample = [
-                    r[0]
-                    for r in df.select(tf)
-                    .where(F.pmod(F.xxhash64(F.col(tf)), F.lit(37)) == 0)
-                    .limit(500)
-                    .collect()
-                ]
-                if not sample:  # tiny input missed by the hash filter
-                    sample = [
-                        r[0] for r in df.select(tf).limit(500).collect()
-                    ]
-                merges = bpe.train_bpe([t or "" for t in sample], 256)
+                from nemo_curator_spark.functions.kmeans_np import (
+                    sample_training_rows,
+                )
+
+                # bounded deterministic sample: hash FILTER + driver-side
+                # truncation in (hash, text) order — no limit() races, no
+                # full-table sort (the perplexity training pattern)
+                _, rows = sample_training_rows(
+                    df.withColumn("_h", F.xxhash64(F.col(tf))),
+                    tf,
+                    ["_h", tf],
+                    500,
+                )
+                pairs = sorted((r["_h"], r[tf] or "") for r in rows)
+                sample = [t for _, t in pairs[:500]]
+                merges = bpe.train_bpe(sample, 256)
 
                 @F.pandas_udf(T.DoubleType())
                 def _score(texts: pd.Series) -> pd.Series:
@@ -197,13 +216,12 @@ def _build_stage(spec: dict[str, Any]) -> Stage:
             def apply(self, df: DataFrame) -> DataFrame:
                 from nemo_curator_spark.operators.fasttext_mini import (
                     FastTextQualityFilter,
-                    MiniFastText,
                 )
 
                 @F.pandas_udf(T.BooleanType())
                 def _keep(texts: pd.Series, keys: pd.Series) -> pd.Series:
                     flt = FastTextQualityFilter(
-                        MiniFastText.load(model_path),
+                        _cached_minifasttext(model_path),
                         alpha=alpha,
                         label=label,
                         seed=seed,
@@ -226,14 +244,22 @@ _WORKFLOWS = {
 def _interpolate(value: Any, scope: dict) -> Any:
     """Hydra-style ``${key}`` interpolation against top-level config
     keys. Whole-value references preserve the referenced type; embedded
-    references stringify."""
+    references stringify. An unknown reference is an ERROR (a silent
+    None/empty would route outputs to the wrong place)."""
+
+    def _lookup(key: str) -> Any:
+        if key not in scope:
+            msg = f"unknown config reference ${{{key}}}"
+            raise ValueError(msg)
+        return scope[key]
+
     if isinstance(value, str):
         m = re.fullmatch(r"\$\{([A-Za-z0-9_]+)\}", value)
         if m:
-            return scope.get(m.group(1))
+            return _lookup(m.group(1))
         return re.sub(
             r"\$\{([A-Za-z0-9_]+)\}",
-            lambda mm: str(scope.get(mm.group(1), "")),
+            lambda mm: str(_lookup(mm.group(1))),
             value,
         )
     if isinstance(value, dict):
