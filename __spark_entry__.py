@@ -4679,6 +4679,182 @@ WHERE faith_avg >= 2.5 OR faith_parse_failed
 """
 
 
+_WXVAD_ORACLE_DIR = "/dev/shm/ncs_wxvad_oracle"
+
+
+def _wxvad_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WhisperX VAD chunk packing (operators/whisperx_vad.py; reference
+    stages/audio/inference/vad/whisperx_vad.py via the public whisperx
+    Binarize/merge_chunks). Oracle seam rule: binarize (hysteresis +
+    argmin splits, stateful python) runs Spark-side over md5-free
+    doc-seeded scores and the resulting speech TURNS are the artifact;
+    the oracle replays only the downstream greedy chunk packing — a
+    sequential fold, so a recursive CTE carrying (curr_start, curr_end,
+    chunk_idx) over row_number (the sample_training_rows /
+    token_chunking pattern). Chunk bounds are raw doubles copied from
+    the artifact — no arithmetic, hashable unrounded."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import whisperx_vad as WX
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    turn_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("rn", T.IntegerType()),
+            T.StructField("seg_start", T.DoubleType()),
+            T.StructField("seg_end", T.DoubleType()),
+        ]
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                rng = np.random.RandomState(int(d) % (2**31))
+                scores = rng.uniform(0.0, 1.0, 60)
+                ts = (np.arange(60) + 0.5) * 1.0
+                turns = WX.binarize_scores(
+                    scores, ts, onset=0.55, offset=0.4, max_duration=12.0
+                )
+                for i, (s, e) in enumerate(turns):
+                    rows.append((int(d), i, float(s), float(e)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rn", "seg_start", "seg_end"]
+            )
+
+    _write_shm(base.mapInPandas(gen, turn_schema), _WXVAD_ORACLE_DIR)
+    turns = spark.read.parquet(_WXVAD_ORACLE_DIR)
+    chunk_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("chunk_start", T.DoubleType()),
+            T.StructField("chunk_end", T.DoubleType()),
+            T.StructField("n_turns", T.IntegerType()),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        chunks = WX.merge_chunks(
+            list(zip(pdf["seg_start"], pdf["seg_end"])), 12.0
+        )
+        return pd.DataFrame(
+            [
+                (
+                    int(pdf["doc_id"].iloc[0]),
+                    i,
+                    c["start"],
+                    c["end"],
+                    len(c["segments"]),
+                )
+                for i, c in enumerate(chunks)
+            ],
+            columns=[f.name for f in chunk_schema],
+        )
+
+    return turns.groupBy("doc_id").applyInPandas(merge, chunk_schema)
+
+
+def _wxvad_chunks_oracle() -> str:
+    d = _WXVAD_ORACLE_DIR
+    return f"""
+WITH RECURSIVE segs AS (
+  SELECT doc_id, rn, seg_start, seg_end FROM read_parquet('{d}/part*.parquet')
+),
+walk AS (
+  SELECT doc_id, rn, seg_start AS curr_start, seg_end AS curr_end,
+         0 AS chunk_idx
+  FROM segs WHERE rn = 0
+  UNION ALL
+  SELECT s.doc_id, s.rn,
+         CASE WHEN s.seg_end - w.curr_start > 12.0::DOUBLE
+                   AND w.curr_end - w.curr_start > 0::DOUBLE
+              THEN s.seg_start ELSE w.curr_start END,
+         s.seg_end,
+         CASE WHEN s.seg_end - w.curr_start > 12.0::DOUBLE
+                   AND w.curr_end - w.curr_start > 0::DOUBLE
+              THEN w.chunk_idx + 1 ELSE w.chunk_idx END
+  FROM walk w JOIN segs s ON s.doc_id = w.doc_id AND s.rn = w.rn + 1
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       MIN(curr_start) AS chunk_start,
+       MAX(curr_end) AS chunk_end,
+       CAST(COUNT(*) AS INT) AS n_turns
+FROM walk GROUP BY doc_id, chunk_idx
+"""
+
+
+def _cosmos_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosmos-Embed1 frame scheduling (operators/cosmos_embed.py;
+    reference stages/video/embedding/cosmos_embed1.py:59-92 +
+    models/cosmos_embed1.py:109-129): the fps-doubling re-extract
+    ladder, the sequence-policy frame counter floor(duration * fps),
+    the selection stride n // 8 and the per-frame index fan-out — a
+    pure JVM Column plan (no UDF, no shuffle), fully SQL-expressible.
+    Durations are exact dyadics (k * 0.25) so every floor() sees exact
+    doubles in both engines; stride uses truncating casts that agree on
+    positive values."""
+    from nemo_curator_spark.operators.cosmos_embed import cosmos_frame_plan
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("clip_id"),
+        (
+            F.lit(0.25) + (F.col("doc_id") % 40).cast("double") * F.lit(0.25)
+        ).alias("duration"),
+    )
+    return cosmos_frame_plan(base).select(
+        "clip_id",
+        "final_fps",
+        "n_frames",
+        "stride",
+        "ok",
+        F.col("frame_pos").cast("long").alias("frame_pos"),
+        "frame_idx",
+    )
+
+
+_COSMOS_PLAN_ORACLE = """
+WITH clips AS (
+  SELECT doc_id AS clip_id,
+         0.25::DOUBLE + CAST(doc_id % 40 AS DOUBLE) * 0.25::DOUBLE AS duration
+  FROM documents
+),
+ladder AS (
+  SELECT clip_id, duration,
+         CASE WHEN FLOOR(duration * 2.0::DOUBLE) >= 8 THEN 2.0::DOUBLE
+              WHEN FLOOR(duration * 4.0::DOUBLE) >= 8 THEN 4.0::DOUBLE
+              WHEN FLOOR(duration * 8.0::DOUBLE) >= 8 THEN 8.0::DOUBLE
+              WHEN FLOOR(duration * 16.0::DOUBLE) >= 8 THEN 16.0::DOUBLE
+              ELSE NULL END AS final_fps
+  FROM clips
+),
+planned AS (
+  SELECT clip_id, final_fps,
+         CAST(CASE WHEN final_fps IS NULL
+                   THEN FLOOR(duration * 16.0::DOUBLE)
+                   ELSE FLOOR(duration * final_fps) END AS BIGINT) AS n_frames,
+         final_fps IS NOT NULL AS ok
+  FROM ladder
+),
+strided AS (
+  SELECT *,
+         CASE WHEN ok THEN CAST(FLOOR(n_frames / 8.0::DOUBLE) AS BIGINT)
+              ELSE -1 END AS stride
+  FROM planned
+)
+SELECT clip_id, final_fps, n_frames, stride, ok,
+       CAST(CASE WHEN ok THEN t.j ELSE -1 END AS BIGINT) AS frame_pos,
+       CAST(CASE WHEN ok THEN t.j * stride ELSE -1 END AS BIGINT) AS frame_idx
+FROM strided,
+     UNNEST(CASE WHEN ok THEN generate_series(0, 7) ELSE [0] END) AS t(j)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -4750,6 +4926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["file_group_plan"] = _file_group_plan_query
     out["dedup_id_ranges"] = _dedup_id_ranges_query
     out["asr_align_words"] = _asr_align_query
+    out["whisperx_vad_chunks"] = _wxvad_chunks_query  # new late-r6
+    out["cosmos_frame_plan"] = _cosmos_plan_query  # new late-r6
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -4888,4 +5066,6 @@ def oracle_sql() -> dict[str, str]:
     out["file_group_plan"] = _FILE_GROUP_ORACLE
     out["dedup_id_ranges"] = _DEDUP_ID_ORACLE
     out["asr_align_words"] = _ASR_ALIGN_ORACLE
+    out["whisperx_vad_chunks"] = _wxvad_chunks_oracle()
+    out["cosmos_frame_plan"] = _COSMOS_PLAN_ORACLE
     return out
