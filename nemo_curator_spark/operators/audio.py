@@ -29,6 +29,7 @@ and out of environment; everything here is exact and deterministic.
 from __future__ import annotations
 
 import operator as _op
+import re
 
 import numpy as np
 import pandas as pd
@@ -102,15 +103,26 @@ _BLANK_CHARS = '`¬®¬¥‚Äò‚Äú‚Äù` ª‚Äò‚Äú"‚Äò‚Äù'  # noqa: RUF001
 _APOS_CHARS = "‚Äò‚Äô ª‚Äò‚Äô‚Äò‚Äô‚Äô"  # noqa: RUF001
 
 
+def strip_spaces_before_punctuations(
+    text: str, pnc_chars: str = "ÿåÿü.„ÄÅÔºü¬ø!,?‡•§"  # noqa: RUF001
+) -> str:
+    """wer.py:140-142, exact: drop whitespace between a word character
+    and a following punctuation mark (python re, like the reference ‚Äî
+    this is a python-side port, not a gate-exposed JVM regex)."""
+    return re.sub(f"(\\w)\\s+([{pnc_chars}])", r"\1\2", text)
+
+
 def clean_text(text: str, retain_pncs: bool = True, pnc_chars: str = "ÿåÿü.„ÄÅÔºü¬ø!,?‡•§") -> str:  # noqa: RUF001
-    """ComputeWERStage.clean_text (wer.py:150-174), Normalizer step
-    skipped (library-gated)."""
+    """ComputeWERStage.clean_text (wer.py:150-175), exact (the NeMo
+    Normalizer runs upstream in normalize_and_clean_text)."""
     if retain_pncs:
         replace_with_space = _INVALID_CHARS
         replace_with_blank = _BLANK_CHARS
     else:
         replace_with_space = _INVALID_CHARS + pnc_chars
-        replace_with_blank = _BLANK_CHARS + "-"
+        # wer.py:159: the no-punct blank list also removes ‚Äô (so it
+        # never reaches the apostrophe replacement) and the hyphen
+        replace_with_blank = _BLANK_CHARS + "‚Äô-"
         text = text.lower()
     text = text.strip()
     for c in replace_with_blank:
@@ -119,7 +131,85 @@ def clean_text(text: str, retain_pncs: bool = True, pnc_chars: str = "ÿåÿü.„ÄÅÔº
         text = text.replace(c, " ")
     for c in _APOS_CHARS:
         text = text.replace(c, "'")
+    if retain_pncs:
+        text = strip_spaces_before_punctuations(text, pnc_chars)
     return " ".join(text.split())
+
+
+def normalize_text(
+    text: str,
+    normalizer=None,
+    num_words_threshold: int = 200,
+    num_words_look_back: int = 5,
+) -> str:
+    """ComputeWERStage.normalize_text (wer.py:104-138), exact: strip the
+    ASR artifacts (<unk>, |, ‚Åá, angle brackets), collapse whitespace,
+    then normalize ‚Äî short texts in one call, long texts via the
+    threshold-chunked walk that defers the look-back tail of a chunk to
+    the next one whenever the first word after the boundary contains a
+    digit (so number phrases are never split mid-normalization).
+    ``normalizer(text) -> str`` is the injectable stand-in for NeMo's
+    ``Normalizer.normalize(text, verbose=False, punct_post_process=
+    False)`` (library-gated plug point); default identity."""
+    if normalizer is None:
+        normalizer = lambda t: t  # noqa: E731
+    text = (
+        text.replace("<unk>", "")
+        .replace("|", "")
+        .replace("‚Åá", "")
+        .replace("<", "")
+        .replace(">", "")
+    )
+    text = re.sub(r"\s+", " ", text)
+    words = text.split()
+    if len(words) <= num_words_threshold:
+        return normalizer(text)
+    final = ""
+    shorter_strings = []
+    prev_string: list[str] = []
+    remainder_start = 0
+    t = num_words_threshold
+    for i in range(int(len(words) / t)):
+        chunk_start = i * t
+        chunk_end = chunk_start + t
+        if chunk_end < len(words) and any(
+            c.isdigit() for c in words[chunk_end]
+        ):
+            shorter_strings.append(
+                " ".join(
+                    prev_string
+                    + words[chunk_start : chunk_end - num_words_look_back]
+                )
+            )
+            prev_string = words[chunk_end - num_words_look_back : chunk_end]
+        else:
+            shorter_strings.append(
+                " ".join(prev_string + words[chunk_start:chunk_end])
+            )
+            prev_string = []
+        remainder_start = chunk_end
+    shorter_strings.append(" ".join(prev_string + words[remainder_start:]))
+    for chunk in shorter_strings:
+        final = final + normalizer(chunk) + " "
+    return final.strip()
+
+
+def normalize_and_clean_text(
+    text: str,
+    normalizer=None,
+    pnc_chars: str = "ÿåÿü.„ÄÅÔºü¬ø!,?‡•§",  # noqa: RUF001
+    num_words_threshold: int = 200,
+    num_words_look_back: int = 5,
+) -> tuple[str, str]:
+    """wer.py:144-149: (cleaned_with_punct, cleaned_without_punct) from
+    the normalized text."""
+    normalized = normalize_text(
+        text, normalizer, num_words_threshold, num_words_look_back
+    )
+    return (
+        clean_text(normalized, retain_pncs=True, pnc_chars=pnc_chars),
+        clean_text(normalized, retain_pncs=False, pnc_chars=pnc_chars),
+    )
 
 
 def get_char_rate(text: str, duration: float) -> float:
@@ -151,18 +241,55 @@ def compute_wer(
     ref_col: str = "text_ref",
     out_col: str = "metrics",
     edge_length: int = 12,
+    normalizer=None,
+    compute_pnc_wer: bool = False,
+    num_words_threshold: int = 200,
+    num_words_look_back: int = 5,
 ) -> DataFrame:
     """Per-row WER/CER/edge-CER metrics (ComputeWERStage.get_wer,
-    wer.py:186-260) as one Arrow pass; None metrics on empty reference."""
+    wer.py:186-300) as one Arrow pass; None metrics on empty reference.
+    ``normalizer`` is the injectable NeMo-Normalizer stand-in applied
+    through the chunked normalize_text walk; ``compute_pnc_wer`` adds
+    the punctuation-retaining WER/CER pair (wer.py:263-300). The
+    reference guard num_words_look_back < num_words_threshold
+    (wer.py:72-79) applies."""
+    if num_words_look_back >= num_words_threshold:
+        msg = (
+            f"num_words_look_back ({num_words_look_back}) must be less "
+            f"than num_words_threshold ({num_words_threshold})"
+        )
+        raise ValueError(msg)
+    schema = (
+        T.StructType(
+            [
+                *_WER_SCHEMA.fields,
+                T.StructField("pnc_wer", T.DoubleType()),
+                T.StructField("pnc_cer", T.DoubleType()),
+            ]
+        )
+        if compute_pnc_wer
+        else _WER_SCHEMA
+    )
+    n_fields = len(schema.fields)
 
-    @F.pandas_udf(_WER_SCHEMA)
+    @F.pandas_udf(schema)
     def _udf(hyp: pd.Series, ref: pd.Series) -> pd.DataFrame:
         rows = []
         for h, r in zip(hyp, ref):
-            hc = clean_text(h or "")
-            rc = clean_text(r or "")
+            h_pnc, hc = normalize_and_clean_text(
+                h or "",
+                normalizer,
+                num_words_threshold=num_words_threshold,
+                num_words_look_back=num_words_look_back,
+            )
+            r_pnc, rc = normalize_and_clean_text(
+                r or "",
+                normalizer,
+                num_words_threshold=num_words_threshold,
+                num_words_look_back=num_words_look_back,
+            )
             if not rc:
-                rows.append((None,) * 7)
+                rows.append((None,) * n_fields)
                 continue
             wer, _, ins, dele, sub = word_error_rate_detail([hc], [rc])
             cer, _, _, _, _ = word_error_rate_detail([hc], [rc], use_cer=True)
@@ -172,18 +299,25 @@ def compute_wer(
             e_cer, _, _, _, _ = word_error_rate_detail(
                 [hc[-edge_length:]], [rc[-edge_length:]], use_cer=True
             )
-            rows.append(
-                (
-                    round(wer, 4),
-                    round(cer, 4),
-                    round(s_cer, 4),
-                    round(e_cer, 4),
-                    round(ins, 4),
-                    round(dele, 4),
-                    round(sub, 4),
-                )
+            row = (
+                round(wer, 4),
+                round(cer, 4),
+                round(s_cer, 4),
+                round(e_cer, 4),
+                round(ins, 4),
+                round(dele, 4),
+                round(sub, 4),
             )
-        return pd.DataFrame(rows, columns=[f.name for f in _WER_SCHEMA.fields])
+            if compute_pnc_wer:
+                pnc_wer, _, _, _, _ = word_error_rate_detail(
+                    [h_pnc], [r_pnc]
+                )
+                pnc_cer, _, _, _, _ = word_error_rate_detail(
+                    [h_pnc], [r_pnc], use_cer=True
+                )
+                row = (*row, round(pnc_wer, 4), round(pnc_cer, 4))
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.withColumn(out_col, _udf(F.col(hyp_col), F.col(ref_col)))
 

@@ -156,6 +156,14 @@ def processing_stage(
                 "positional argument (the input batch)."
             )
             raise ValueError(msg)
-        return FunctionStage(fn, name, resources, batch_size, schema)
+        stage = FunctionStage(fn, name, resources, batch_size, schema)
+        # the reference's decorator-generated class lands in the stage
+        # registry under the decorator name (function_decorators.py via
+        # StageMeta; get_stage_class("IncrementStage") in its tests).
+        # Creating the named subclass registers it via
+        # Stage.__init_subclass__; _decorated carries the instance for
+        # the instance-based Pipeline API.
+        type(name, (FunctionStage,), {"_decorated": stage})
+        return stage
 
     return decorator

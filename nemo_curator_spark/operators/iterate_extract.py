@@ -24,27 +24,50 @@ def iterate_extract(
     carry_cols: tuple[str, ...] = (),
     record_limit: int | None = None,
     extractor_fn: Callable[[dict], dict | None] | None = None,
+    add_filename_column: bool | str = False,
+    path_col: str = "path",
 ) -> DataFrame:
     """For each row, yield one output row per record the iterator produces
     from the binary payload. ``extractor_fn`` may transform or drop
     (return None) records; ``record_limit`` caps records per payload
-    (reference record_limit semantics)."""
+    (reference record_limit semantics). ``add_filename_column``
+    (iterator.py:62-68,122-133 via utils/column_utils.py): stamp the
+    basename of ``path_col`` on every iterated record BEFORE extraction
+    and copy it onto the extracted record after — True uses the default
+    ``file_name`` name, a string names the column. The resolved column
+    must appear in ``output_schema``."""
+    import os
+
+    from nemo_curator_spark.io.columns import resolve_filename_column
+
+    filename_col = resolve_filename_column(add_filename_column)
 
     def fn(batches):
         for pdf in batches:
             rows = []
             for _, src in pdf.iterrows():
                 n = 0
+                fname = (
+                    os.path.basename(str(src[path_col]))
+                    if filename_col is not None
+                    else None
+                )
                 for rec in iterator_fn(bytes(src[payload_col])):
                     # the limit caps ITERATED records, before extraction
                     # (reference iterator.py record_limit semantics)
                     if record_limit is not None and n >= record_limit:
                         break
                     n += 1
+                    if filename_col is not None:
+                        rec[filename_col] = fname
                     if extractor_fn is not None:
                         rec = extractor_fn(rec)
                         if rec is None:
                             continue
+                        # iterator.py:132-133: the extracted record keeps
+                        # the filename even if the extractor dropped it
+                        if filename_col is not None:
+                            rec[filename_col] = fname
                     for c in carry_cols:
                         rec[c] = src[c]
                     rows.append(rec)

@@ -242,9 +242,26 @@ def math_extract(
     url_col: str = "url",
     mime_col: str = "mime_type",
     html_extractor=None,
+    add_filename_column: bool | str = False,
 ) -> DataFrame:
     """MathExtractStage (extract.py:225-270) as one mapInPandas pass:
-    per-row extraction, None results dropped, nothing shuffles."""
+    per-row extraction, None results dropped, nothing shuffles.
+    ``add_filename_column`` (extract.py:234-258 via
+    utils/column_utils.py): when the resolved column exists on the
+    input, copy its value onto every extracted record."""
+    from nemo_curator_spark.io.columns import resolve_filename_column
+
+    filename_col = resolve_filename_column(add_filename_column)
+    out_cols = ["text", "url", "type", "magic_mime_type"]
+    schema = _OUT_SCHEMA
+    in_cols = [binary_col, url_col, mime_col]
+    carry_filename = filename_col is not None and filename_col in df.columns
+    if carry_filename:
+        out_cols = [*out_cols, filename_col]
+        schema = T.StructType(
+            [*_OUT_SCHEMA.fields, T.StructField(filename_col, T.StringType())]
+        )
+        in_cols.append(filename_col)
 
     def gen(it):
         for pdf in it:
@@ -254,11 +271,9 @@ def math_extract(
                     r[binary_col], r[url_col], r[mime_col], html_extractor
                 )
                 if rec is not None:
+                    if carry_filename:
+                        rec[filename_col] = r[filename_col]
                     rows.append(rec)
-            yield pd.DataFrame(
-                rows, columns=["text", "url", "type", "magic_mime_type"]
-            )
+            yield pd.DataFrame(rows, columns=out_cols)
 
-    return df.select(binary_col, url_col, mime_col).mapInPandas(
-        gen, _OUT_SCHEMA
-    )
+    return df.select(*in_cols).mapInPandas(gen, schema)

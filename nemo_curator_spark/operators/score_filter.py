@@ -25,10 +25,34 @@ from pyspark.sql import functions as F
 from nemo_curator_spark.functions import heuristics as H
 
 
+_STAGE_REGISTRY: dict[str, type] = {}
+
+
+def get_stage_class(name: str) -> type:
+    """stages/base.py:101-109: look a registered stage class up by name;
+    KeyError (with the available names) when unregistered."""
+    if name not in _STAGE_REGISTRY:
+        msg = (
+            f"Stage {name!r} is not registered. "
+            f"Available: {sorted(_STAGE_REGISTRY)}"
+        )
+        raise KeyError(msg)
+    return _STAGE_REGISTRY[name]
+
+
 class Stage:
-    """A DataFrame -> DataFrame transformation (ProcessingStage analogue)."""
+    """A DataFrame -> DataFrame transformation (ProcessingStage analogue).
+
+    Concrete subclasses self-register by class name (the reference's
+    StageMeta auto-registry, stages/base.py:53-96 — there via a
+    metaclass, here via ``__init_subclass__``); ``processing_stage``
+    registers its generated stages under the decorator ``name``."""
 
     name: str = "stage"
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        _STAGE_REGISTRY[cls.__name__] = cls
 
     def apply(self, df: DataFrame) -> DataFrame:
         raise NotImplementedError

@@ -112,6 +112,55 @@ def test_compute_wer_stage_and_preserve(spark):
         A.preserve_by_value(df, "id", 2, "bogus")
 
 
+def test_clean_text_punct_paths():
+    # retain_pncs=True strips spaces before punctuation (wer.py:140-142,
+    # applied at wer.py:172-173)
+    assert A.clean_text("hello , world .") == "hello, world."
+    # retain_pncs=False REMOVES the right single quote (wer.py:159's
+    # blank list includes U+2019) instead of turning it into '
+    assert A.clean_text("don’t Stop", retain_pncs=False) == "dont stop"
+    # but retain_pncs=True maps it to an apostrophe
+    assert A.clean_text("don’t Stop", retain_pncs=True) == "don't Stop"
+    # hyphen removed only in the no-punct path
+    assert A.clean_text("re-do", retain_pncs=False) == "redo"
+    assert A.clean_text("re-do", retain_pncs=True) == "re do"
+
+
+def test_normalize_text_chunked_walk():
+    mark = lambda t: f"[{t}]"  # noqa: E731
+    # short text: one normalizer call over the artifact-stripped text
+    assert (
+        A.normalize_text("a <unk> b | c ⁇ <d>", mark, 200, 5) == "[a b c d]"
+    )
+    # long text, digit at a chunk boundary defers the look-back tail
+    # (digit-free word names: any digit in the boundary word triggers it)
+    words = list("abcdefghijkl")
+    words[5] = "4th"  # digit in the first word after chunk 0
+    got = A.normalize_text(" ".join(words), mark, 5, 2)
+    assert got == "[a b c] [d e 4th g h i j] [k l]"
+    # no digit at boundaries: plain threshold chunks + remainder
+    got2 = A.normalize_text(" ".join("abcdefghijkl"), mark, 5, 2)
+    assert got2 == "[a b c d e] [f g h i j] [k l]"
+
+
+def test_compute_wer_pnc_and_normalizer(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello , world .", "Hello, world!")],
+        "id long, text string, text_ref string",
+    )
+    out = A.compute_wer(df, compute_pnc_wer=True).collect()[0]["metrics"]
+    # clean (no-punct) texts are identical -> wer 0
+    assert out["wer"] == 0.0
+    # pnc texts differ ("world." vs "world!") -> pnc_wer = 1/2
+    assert out["pnc_wer"] == pytest.approx(0.5)
+    assert "pnc_cer" in out.asDict()
+    # normalizer runs before cleaning
+    up = A.compute_wer(df, normalizer=lambda t: t.replace("!", ".")).collect()
+    assert up[0]["metrics"]["wer"] == 0.0
+    with pytest.raises(ValueError, match="look_back"):
+        A.compute_wer(df, num_words_threshold=5, num_words_look_back=5)
+
+
 def test_mono_conversion(spark):
     import numpy as np
 

@@ -9,6 +9,28 @@ from nemo_curator_spark.operators.function_stage import processing_stage
 from nemo_curator_spark.operators.score_filter import Pipeline
 
 
+def test_stage_registry():
+    # reference test_function_decorators.test_stage_registry +
+    # base.py:101-109 lookup contract
+    from nemo_curator_spark.operators.function_stage import FunctionStage
+    from nemo_curator_spark.operators.score_filter import (
+        Filter,
+        get_stage_class,
+    )
+
+    @processing_stage(name="RegistryProbeStage")
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    cls = get_stage_class("RegistryProbeStage")
+    assert issubclass(cls, FunctionStage)
+    assert cls._decorated is probe
+    # concrete Stage subclasses self-register by class name
+    assert get_stage_class("Filter") is Filter
+    with pytest.raises(KeyError, match="not registered"):
+        get_stage_class("NoSuchStage")
+
+
 def test_processing_stage_decorator(spark):
     @processing_stage(name="WordCountStage", resources={"cpus": 1.0})
     def word_count(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -50,6 +50,55 @@ def test_iterate_extract_limit_and_filter(spark):
     assert got == ["bb", "ccc"]  # 'a' filtered, 'dddd' beyond limit
 
 
+def test_resolve_filename_column():
+    import pytest
+
+    from nemo_curator_spark.io.columns import resolve_filename_column
+
+    assert resolve_filename_column(True) == "file_name"
+    assert resolve_filename_column(False) is None
+    assert resolve_filename_column("src") == "src"
+    with pytest.raises(ValueError, match="Invalid value"):
+        resolve_filename_column(3)
+
+
+def test_iterate_extract_filename_column(spark):
+    rows = [
+        (1, "/data/shard-a.warc.gz", _pack(["alpha", "beta"])),
+        (2, "/data/shard-b.warc.gz", _pack(["gamma"])),
+    ]
+    df = spark.createDataFrame(
+        rows, "src_id long, path string, payload binary"
+    )
+    out = ie.iterate_extract(
+        df,
+        ie.length_prefixed_iterator,
+        "record_id long, content string, file_name string",
+        add_filename_column=True,
+    )
+    got = {(r["file_name"], r["record_id"]) for r in out.collect()}
+    assert got == {
+        ("shard-a.warc.gz", 0),
+        ("shard-a.warc.gz", 1),
+        ("shard-b.warc.gz", 0),
+    }
+    # the extracted record keeps the filename even when the extractor
+    # rebuilds the dict (iterator.py:132-133)
+    out2 = ie.iterate_extract(
+        df,
+        ie.length_prefixed_iterator,
+        "upper string, src string",
+        add_filename_column="src",
+        extractor_fn=lambda r: {"upper": r["content"].upper()},
+    )
+    got2 = {(r["src"], r["upper"]) for r in out2.collect()}
+    assert got2 == {
+        ("shard-a.warc.gz", "ALPHA"),
+        ("shard-a.warc.gz", "BETA"),
+        ("shard-b.warc.gz", "GAMMA"),
+    }
+
+
 def test_word_splitters_gated():
     en = get_word_splitter("en")
     assert en("hello big world") == ["hello", "big", "world"]

@@ -106,3 +106,23 @@ def test_spark_math_extract(spark):
     out = ME.math_extract(df).orderBy("url").toPandas()
     assert out.url.tolist() == ["http://x/h", "http://x/nb.ipynb", "http://x/t"]
     assert out.type.tolist() == ["html", "notebook", "text"]
+
+
+def test_spark_math_extract_filename_column(spark):
+    rows = [
+        (b"just text", "http://x/t", "text/plain", "crawl-00.warc"),
+        (None, "http://x/none", None, "crawl-01.warc"),  # dropped
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "binary_content binary, url string, mime_type string,"
+        " file_name string",
+    )
+    out = ME.math_extract(df, add_filename_column=True).toPandas()
+    assert out.file_name.tolist() == ["crawl-00.warc"]
+    # resolved column absent from the input -> contract unchanged
+    # (extract.py copies only when the column exists on the row)
+    out2 = ME.math_extract(
+        df, add_filename_column="missing_col"
+    ).toPandas()
+    assert "missing_col" not in out2.columns
