@@ -4789,6 +4789,107 @@ FROM walk GROUP BY doc_id, chunk_idx
 """
 
 
+_IMGFILTER_ORACLE_DIR = "/dev/shm/ncs_imgfilter_oracle"
+
+
+def _image_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image aesthetic + NSFW filter heads (operators/image_filters.py;
+    reference models/{aesthetics,nsfw}.py + the filter stages). Oracle
+    seam = the last linear layer (the classifier_stage pattern): the
+    deep numpy halves (affine chain / normalize+ReLU stack over seeded
+    CLIP-width embeddings) run Spark-side and the per-doc last-hidden
+    activations are the artifact; BOTH engines then replay the final
+    matmul as a sequential left fold — Spark HOF aggregate(zip_with)
+    and DuckDB list_dot_product sum in the same order (the knn/semantic
+    float-sum invariant) against the same full-precision weight
+    literals. The NSFW sigmoid stays out of the gate (cross-engine
+    exp() is ulp-risky); its 0.5 keep-threshold is exactly logit < 0."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import image_filters as IMF
+
+    amodel = IMF.AestheticMLP.init_seeded()
+    nmodel = IMF.NSFWModelNP.init_seeded()
+    base = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("h16", T.ArrayType(T.DoubleType())),
+            T.StructField("h256", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                rng = np.random.RandomState(int(d) % (2**31))
+                emb = rng.normal(size=768)[None, :]
+                rows.append(
+                    (
+                        int(d),
+                        [float(v) for v in amodel.hidden(emb)[0]],
+                        [float(v) for v in nmodel.hidden(emb)[0]],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "h16", "h256"])
+
+    _write_shm(base.mapInPandas(gen, schema), _IMGFILTER_ORACLE_DIR)
+    art = spark.read.parquet(_IMGFILTER_ORACLE_DIR)
+    wa, ba = amodel.final_weights()
+    wn, bn = nmodel.final_weights()
+
+    def dot(h, w):
+        return F.aggregate(
+            F.zip_with(F.col(h), F.array(*[F.lit(float(v)) for v in w]),
+                       lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return (
+        art.select(
+            "doc_id",
+            (dot("h16", wa) + F.lit(ba)).alias("aesthetic_score"),
+            (dot("h256", wn) + F.lit(bn)).alias("nsfw_logit"),
+        )
+        .withColumn("aesthetic_keep", F.col("aesthetic_score") >= F.lit(0.5))
+        .withColumn("nsfw_keep", F.col("nsfw_logit") < F.lit(0.0))
+    )
+
+
+def _image_filter_oracle() -> str:
+    import sys
+
+    sys.path.insert(0, ".")
+    from nemo_curator_spark.operators import image_filters as IMF
+
+    wa, ba = IMF.AestheticMLP.init_seeded().final_weights()
+    wn, bn = IMF.NSFWModelNP.init_seeded().final_weights()
+    # e-notation literals parse directly as DOUBLE; bare decimal
+    # literals become DECIMAL in DuckDB and the decimal->double cast
+    # can land one ulp off (bit a first cut of this oracle)
+    wa_sql = "[" + ", ".join(f"{float(v):.17e}" for v in wa) + "]"
+    wn_sql = "[" + ", ".join(f"{float(v):.17e}" for v in wn) + "]"
+    return f"""
+WITH art AS (
+  SELECT * FROM read_parquet('{_IMGFILTER_ORACLE_DIR}/part*.parquet')
+),
+scored AS (
+  SELECT doc_id,
+         list_dot_product(h16, {wa_sql}) + {ba:.17e} AS aesthetic_score,
+         list_dot_product(h256, {wn_sql}) + {bn:.17e} AS nsfw_logit
+  FROM art
+)
+SELECT doc_id, aesthetic_score, nsfw_logit,
+       aesthetic_score >= 0.5 AS aesthetic_keep,
+       nsfw_logit < 0.0 AS nsfw_keep
+FROM scored
+"""
+
+
 def _cosmos_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosmos-Embed1 frame scheduling (operators/cosmos_embed.py;
     reference stages/video/embedding/cosmos_embed1.py:59-92 +
@@ -4914,7 +5015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["heuristic_chain_non_english"] = (
         lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
     )
-    out["filter_num_lines"] = _rule_query("num_lines")
+    # (filter_num_lines rotated past the window for round 6 — r03-green,
+    # still in the catch-all rule loop below — to make room for
+    # image_filter_scores)
     out["doc_splitter"] = _splitter_query
     # --- new mid-round-6 (never driver-gated; must prove driver-side) ---
     out["interleaved_reindex"] = _interleaved_reindex_query
@@ -4928,6 +5031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["asr_align_words"] = _asr_align_query
     out["whisperx_vad_chunks"] = _wxvad_chunks_query  # new late-r6
     out["cosmos_frame_plan"] = _cosmos_plan_query  # new late-r6
+    out["image_filter_scores"] = _image_filter_query  # new late-r6
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -5068,4 +5172,5 @@ def oracle_sql() -> dict[str, str]:
     out["asr_align_words"] = _ASR_ALIGN_ORACLE
     out["whisperx_vad_chunks"] = _wxvad_chunks_oracle()
     out["cosmos_frame_plan"] = _COSMOS_PLAN_ORACLE
+    out["image_filter_scores"] = _image_filter_oracle()
     return out

@@ -59,6 +59,19 @@ class AestheticMLP:
             w[f"b{i}"] = rs.uniform(-s, s, size=dout)
         return AestheticMLP(w)
 
+    def hidden(self, embeddings: np.ndarray) -> np.ndarray:
+        """The 16-dim activations entering the last linear layer — the
+        write-then-read oracle seam (the classifier_stage pattern: the
+        oracle replays only the final matmul + decision)."""
+        x = np.asarray(embeddings, dtype=np.float64)
+        for i in range(len(_AESTHETIC_DIMS) - 2):
+            x = x @ self.weights[f"w{i}"].T + self.weights[f"b{i}"]
+        return x
+
+    def final_weights(self) -> tuple[np.ndarray, float]:
+        i = len(_AESTHETIC_DIMS) - 2
+        return self.weights[f"w{i}"][0], float(self.weights[f"b{i}"][0])
+
     def __call__(self, embeddings: np.ndarray) -> np.ndarray:
         x = np.asarray(embeddings, dtype=np.float64)
         for i in range(len(_AESTHETIC_DIMS) - 1):
@@ -91,13 +104,23 @@ class NSFWModelNP:
             w[f"b{i}"] = rs.uniform(-s, s, size=dout)
         return NSFWModelNP(w)
 
-    def __call__(self, embeddings: np.ndarray) -> np.ndarray:
+    def hidden(self, embeddings: np.ndarray) -> np.ndarray:
+        """The 256-dim ReLU activations entering the last linear layer
+        (the oracle seam; sigmoid stays OUT of the gate — cross-engine
+        exp() is ulp-risky, and the 0.5 threshold is exactly logit<0)."""
         x = np.asarray(embeddings, dtype=np.float64)
         x = (x - self.weights["mean"]) / np.sqrt(self.weights["variance"])
         for i in range(3):
             x = np.maximum(
                 x @ self.weights[f"w{i}"].T + self.weights[f"b{i}"], 0.0
             )
+        return x
+
+    def final_weights(self) -> tuple[np.ndarray, float]:
+        return self.weights["w3"][0], float(self.weights["b3"][0])
+
+    def __call__(self, embeddings: np.ndarray) -> np.ndarray:
+        x = self.hidden(embeddings)
         x = x @ self.weights["w3"].T + self.weights["b3"]
         return (1.0 / (1.0 + np.exp(-x)))[:, 0]
 

@@ -48,6 +48,30 @@ class _Fixed:
         return np.asarray(self.scores[: len(mat)])
 
 
+def test_hidden_seam_consistency():
+    import numpy as np
+
+    from nemo_curator_spark.operators.image_filters import (
+        AestheticMLP,
+        NSFWModelNP,
+    )
+
+    rs = np.random.RandomState(7)
+    emb = rs.normal(size=(5, 768))
+    a = AestheticMLP.init_seeded()
+    wa, ba = a.final_weights()
+    # hidden @ final layer reproduces the full forward exactly
+    np.testing.assert_array_equal(a.hidden(emb) @ wa + ba, a(emb))
+    assert a.hidden(emb).shape == (5, 16) and wa.shape == (16,)
+    n = NSFWModelNP.init_seeded()
+    wn, bn = n.final_weights()
+    logit = n.hidden(emb) @ wn + bn
+    np.testing.assert_array_equal(1.0 / (1.0 + np.exp(-logit)), n(emb))
+    assert n.hidden(emb).shape == (5, 256)
+    # the 0.5 sigmoid threshold is exactly logit < 0 (the oracle seam)
+    np.testing.assert_array_equal(n(emb) < 0.5, logit < 0.0)
+
+
 def test_aesthetic_stage_threshold_direction():
     imgs = [
         {"image_id": "a", "embedding": np.zeros(768)},
