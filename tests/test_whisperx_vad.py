@@ -82,6 +82,32 @@ def test_merge_chunks_boundary_not_greater_stays():
     assert len(got) == 1 and got[0]["end"] == 6.0
 
 
+def test_binarize_merge_properties():
+    # randomized invariants over many seeds (deterministic RandomState)
+    for seed in range(200):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 80))
+        scores = rng.uniform(0, 1, n)
+        ts = (np.arange(n) + 0.5) * 0.5
+        chunk = float(rng.choice([2.0, 5.0, 12.0]))
+        turns = W.binarize_scores(scores, ts, onset=0.55, offset=0.4,
+                                  max_duration=chunk)
+        # ordered, non-overlapping, non-negative
+        for (s1, e1), (s2, e2) in zip(turns, turns[1:]):
+            assert s1 <= s2 and e1 <= s2
+        assert all(e >= s for s, e in turns)
+        chunks = W.merge_chunks(turns, chunk)
+        # chunks partition the turns in order
+        flat = [seg for c in chunks for seg in c["segments"]]
+        assert flat == sorted(turns)
+        for c in chunks:
+            assert c["start"] == c["segments"][0][0]
+            assert c["end"] == c["segments"][-1][1]
+            # a multi-turn chunk never stretches past chunk_size
+            if len(c["segments"]) > 1:
+                assert c["end"] - c["start"] <= chunk + 1e-12
+
+
 def _two_burst_wav(sr=16000, total=10.0):
     t = np.arange(int(sr * total)) / sr
     y = 0.001 * np.sin(2 * np.pi * 80 * t)
