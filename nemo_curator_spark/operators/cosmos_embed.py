@@ -44,7 +44,7 @@ carry real frames; bytes stay on the scan partition.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import Column, DataFrame
@@ -78,24 +78,12 @@ class CosmosProcessorConfig:
 
 
 def _resize_linear_float(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """cv2 INTER_LINEAR to an explicit size on float data:
-    half-pixel-center source map ``(o + 0.5) * (in/out) - 0.5``, clamped
-    bilinear (pdf_ingest._resize_linear_to without the uint8 round)."""
-    h, w = img.shape[:2]
-    arr = img.astype(np.float64)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
-    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    top = arr[np.ix_(y0, x0)] * (1 - wx) + arr[np.ix_(y0, x1)] * wx
-    bot = arr[np.ix_(y1, x0)] * (1 - wx) + arr[np.ix_(y1, x1)] * wx
-    return top * (1 - wy) + bot * wy
+    """cv2 INTER_LINEAR on float data — the shared exact formula
+    (multimodal.resize_linear_float; pdf_ingest rounds the same core to
+    uint8)."""
+    from nemo_curator_spark.operators.multimodal import resize_linear_float
+
+    return resize_linear_float(img, new_w, new_h)
 
 
 def formulate_input_frames(
@@ -256,8 +244,13 @@ class CosmosEmbed1EmbeddingStage:
         embedding = np.asarray(self.encoder(frames))
         if embedding.size == 0:
             errors["cosmos_embed1_embedding"] = "failed"
-        else:
-            clip["cosmos_embed1_embedding"] = embedding
+            # documented improvement over the reference: its process()
+            # falls through to evaluate() on the empty tensor and dies
+            # in topk/[0]; a Spark task must record the clip error and
+            # keep the batch alive
+            clip["cosmos_embed1_frames"] = None
+            return clip
+        clip["cosmos_embed1_embedding"] = embedding
         if self.texts_to_verify:
             if self.text_encoder is None:
                 msg = "Model is not loaded"
@@ -290,8 +283,14 @@ def cosmos_frame_plan(
     ``max_fps``) emit a single row with ``ok = false`` and
     ``frame_pos/frame_idx = -1`` (the reference logs and leaves the
     clip frame-less)."""
-    # fps ladder: target_fps * 2^k for k = 0..floor(log2(max/target))
-    ks = list(range(int(math.floor(math.log2(max_fps / target_fps))) + 1))
+    # fps ladder: target_fps * 2^k for k = 0..floor(log2(max/target)).
+    # Rung 0 always exists — the initial extraction happened at
+    # target_fps even when target_fps > max_fps (the loop only guards
+    # DOUBLINGS against max_fps, cosmos_embed1.py:76-80, mirrored by
+    # regen_fps_plan)
+    ks = list(
+        range(max(1, int(math.floor(math.log2(max_fps / target_fps))) + 1))
+    )
     dur = F.col(duration_col)
 
     def n_at(k: int) -> Column:

@@ -161,9 +161,15 @@ def processing_stage(
         # registry under the decorator name (function_decorators.py via
         # StageMeta; get_stage_class("IncrementStage") in its tests).
         # Creating the named subclass registers it via
-        # Stage.__init_subclass__; _decorated carries the instance for
-        # the instance-based Pipeline API.
-        type(name, (FunctionStage,), {"_decorated": stage})
+        # Stage.__init_subclass__. Like the reference's generated class
+        # it is no-arg constructible (the decorator config is closed
+        # over); _decorated carries the canonical instance.
+        def _init(self) -> None:
+            FunctionStage.__init__(
+                self, fn, name, resources, batch_size, schema
+            )
+
+        type(name, (FunctionStage,), {"_decorated": stage, "__init__": _init})
         return stage
 
     return decorator

@@ -260,6 +260,31 @@ def _decode(raw: bytes) -> tuple[int, int, int, np.ndarray]:
     )
 
 
+def resize_linear_float(img, new_w: int, new_h: int):
+    """cv2 INTER_LINEAR to an explicit size, float64 output: the
+    half-pixel-center source map ``(o + 0.5) * (in/out) - 0.5`` with
+    clamped bilinear interpolation. The ONE canonical copy of the exact
+    cv2 formula — pdf_ingest rounds it to uint8, cosmos_embed consumes
+    it raw. Input (H, W) or (H, W, C); output always (new_h, new_w, C)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    arr = img.astype(np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    top = arr[np.ix_(y0, x0)] * (1 - wx) + arr[np.ix_(y0, x1)] * wx
+    bot = arr[np.ix_(y1, x0)] * (1 - wx) + arr[np.ix_(y1, x1)] * wx
+    return top * (1 - wy) + bot * wy
+
+
 def resize_nearest(raw: bytes, target_w: int, target_h: int) -> bytes:
     """Real nearest-neighbor resize on decoded pixels, re-encoded as PPM."""
     w, h, c, px = _decode(raw)

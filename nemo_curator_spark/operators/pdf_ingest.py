@@ -311,26 +311,15 @@ def render_scale_to_fit(
 
 
 def _resize_linear_to(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
-    """cv2.resize INTER_LINEAR to an explicit size: half-pixel-center
-    source map ``(o + 0.5) * (in/out) - 0.5``, clamped bilinear, round
-    half up to uint8 (the repo's exact-cv2-formula policy,
-    video_motion.cv2_resize_linear with explicit output size)."""
-    h, w = img.shape[:2]
-    arr = img.astype(np.float64)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
-    xs = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
-    ys = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
-    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
-    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
-    top = arr[np.ix_(y0, x0)] * (1 - wx) + arr[np.ix_(y0, x1)] * wx
-    bot = arr[np.ix_(y1, x0)] * (1 - wx) + arr[np.ix_(y1, x1)] * wx
-    out = top * (1 - wy) + bot * wy
-    out = np.floor(out + 0.5).astype(np.uint8)
+    """cv2.resize INTER_LINEAR to an explicit size: the shared exact
+    float core (multimodal.resize_linear_float — half-pixel-center map,
+    clamped bilinear), rounded half up to uint8 (the repo's
+    exact-cv2-formula policy)."""
+    from nemo_curator_spark.operators.multimodal import resize_linear_float
+
+    out = np.floor(resize_linear_float(img, new_w, new_h) + 0.5).astype(
+        np.uint8
+    )
     return out[:, :, 0] if img.ndim == 2 else out
 
 

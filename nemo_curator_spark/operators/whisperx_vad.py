@@ -127,7 +127,12 @@ def binarize_scores(
             raise NotImplementedError(msg)
         merged: list[list[float]] = []
         for s, e in sorted(regions):
-            if merged and s - merged[-1][1] <= min_duration_off:
+            # pyannote Timeline.support semantics: merge when the gap is
+            # empty (touching/overlap) or STRICTLY shorter than the
+            # collar — a gap exactly equal to min_duration_off stays
+            if merged and (
+                s - merged[-1][1] <= 0.0 or s - merged[-1][1] < min_duration_off
+            ):
                 merged[-1][1] = max(merged[-1][1], e)
             else:
                 merged.append([s, e])
@@ -191,7 +196,13 @@ class WhisperXVADModel:
         """whisperx_vad.py:80-103: score the (C, N) waveform, then
         ``merge_chunks(..., onset=vad_onset)`` — upstream binarizes with
         ``Binarize(max_duration=chunk_size, onset=onset)`` inside
-        merge_chunks, so the offset used there is the onset."""
+        merge_chunks, so the offset used there is the onset.
+        ``vad_offset`` is therefore intentionally unused on this path,
+        exactly like the reference: its get_vad_segments passes ONLY
+        ``onset=self._vad_onset`` to Pyannote.merge_chunks, and the
+        vad_offset it hands the pipeline constructor never reaches the
+        merge-time binarize (whisperx's VAD apply() is overridden to
+        return raw scores)."""
         scores, ts = self._scorer(np.asarray(audio), sample_rate)
         turns = binarize_scores(
             scores, ts, onset=self._vad_onset, max_duration=merge_max_length

@@ -136,14 +136,20 @@ def test_embedding_stage_contract():
     assert c["errors"]["cosmos_embed1_frames"] == "empty"
     with pytest.raises(RuntimeError, match="Model is not loaded"):
         st.process_clip({"cosmos_embed1_frames": np.zeros((1, 2, 3, 2, 2))})
-    # empty embedding -> failed
+    # empty embedding -> failed; with texts_to_verify set the stage
+    # records the error instead of crashing in evaluate (documented
+    # improvement over the reference fall-through)
     st2 = CE.CosmosEmbed1EmbeddingStage(
-        encoder=lambda f: np.zeros((0, 4))
+        encoder=lambda f: np.zeros((0, 4)),
+        text_encoder=lambda t: np.ones((1, 4)),
+        texts_to_verify=["dog"],
     )
     c2 = st2.process_clip(
         {"cosmos_embed1_frames": np.zeros((1, 2, 3, 2, 2))}
     )
     assert c2["errors"]["cosmos_embed1_embedding"] == "failed"
+    assert "cosmos_embed1_text_match" not in c2
+    assert c2["cosmos_embed1_frames"] is None
     # verify path picks the best text and frees frames
     st3 = CE.CosmosEmbed1EmbeddingStage(
         encoder=lambda f: np.array([[0.0, 1.0]]),
@@ -161,6 +167,19 @@ def test_embedding_stage_contract():
     np.testing.assert_array_equal(
         c3["cosmos_embed1_embedding"], np.array([[0.0, 1.0]])
     )
+
+
+def test_frame_plan_target_fps_above_max(spark):
+    # rung 0 always exists: extraction already happened at target_fps,
+    # only DOUBLINGS are guarded by max_fps (mirrors regen_fps_plan)
+    df = spark.createDataFrame([(0, 10.0)], "clip_id long, duration double")
+    rows = CE.cosmos_frame_plan(
+        df, target_fps=30.0, max_fps=20.0
+    ).collect()
+    fps, n, ok = CE.regen_fps_plan(10.0, 30.0, 8, max_fps=20.0)
+    assert ok and fps == 30.0
+    assert all(r.ok and r.final_fps == 30.0 and r.n_frames == n for r in rows)
+    assert sorted(r.frame_idx for r in rows) == CE.selected_frame_indices(n, 8)
 
 
 def test_spark_frame_plan_matches_python(spark):

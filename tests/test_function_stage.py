@@ -25,6 +25,10 @@ def test_stage_registry():
     cls = get_stage_class("RegistryProbeStage")
     assert issubclass(cls, FunctionStage)
     assert cls._decorated is probe
+    # the registered class is no-arg constructible like the reference's
+    # decorator-generated classes
+    inst = cls()
+    assert inst.name == "RegistryProbeStage" and inst._fn is probe._fn
     # concrete Stage subclasses self-register by class name
     assert get_stage_class("Filter") is Filter
     with pytest.raises(KeyError, match="not registered"):

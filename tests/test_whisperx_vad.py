@@ -52,6 +52,15 @@ def test_binarize_pad_collar_and_min_duration():
         sc, ts, onset=0.5, offset=0.363, min_duration_on=5.0
     )
     assert got2 == []
+    # collar is STRICT (pyannote Timeline.support): gap == collar stays
+    got3 = W.binarize_scores(
+        sc, ts, onset=0.5, offset=0.363, min_duration_off=2.0
+    )
+    assert got3 == [(1.0, 3.0), (5.0, 7.0)]  # gap exactly 2.0 -> no merge
+    got4 = W.binarize_scores(
+        sc, ts, onset=0.5, offset=0.363, min_duration_off=2.0001
+    )
+    assert got4 == [(1.0, 7.0)]
     # pads + finite max_duration is the upstream NotImplementedError
     with pytest.raises(NotImplementedError):
         W.binarize_scores(sc, ts, pad_onset=0.1, max_duration=4.0)
