@@ -112,6 +112,23 @@ def test_compute_wer_stage_and_preserve(spark):
         A.preserve_by_value(df, "id", 2, "bogus")
 
 
+def test_reference_metric_cases():
+    # ported verbatim from the reference's tests/stages/audio/metrics/
+    # test_metrics.py:58-90
+    assert A.get_char_rate("hello", 1.0) == 5.0
+    assert A.get_char_rate("hi there", 2.0) == 3.5
+    assert A.get_char_rate("", 1.0) == 0.0
+    assert A.get_char_rate("x", 0.0) == 0.0
+    assert A.get_word_rate("one two three", 1.0) == 3.0
+    assert A.get_word_rate("one two", 2.0) == 1.0
+    assert A.get_word_rate("", 1.0) == 0.0
+    assert A.clean_text("  hello , world .  ", retain_pncs=True) == (
+        "hello, world."
+    )
+    assert A.clean_text("Hello World", retain_pncs=False) == "hello world"
+    assert " ," not in A.strip_spaces_before_punctuations("hello , world .")
+
+
 def test_clean_text_punct_paths():
     # retain_pncs=True strips spaces before punctuation (wer.py:140-142,
     # applied at wer.py:172-173)
