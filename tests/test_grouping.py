@@ -38,6 +38,33 @@ def test_split_into_n_chunks():
     ]
 
 
+def test_reference_cases():
+    # ported verbatim from the reference's tests/utils/test_grouping.py
+    assert list(
+        G.split_by_chunk_size(["a", "bb", "ccc", "dddd", "e"], 5,
+                              custom_size_func=len)
+    ) == [["a", "bb", "ccc"], ["dddd", "e"]]
+    data = [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 1)]
+    assert list(
+        G.split_by_chunk_size(data, 5, custom_size_func=lambda x: x[1])
+    ) == [[("a", 1), ("b", 2), ("c", 3)], [("d", 4), ("e", 1)]]
+    assert list(G.split_into_n_chunks([1, 2, 3, 4, 5, 6, 7, 8], 3)) == [
+        [1, 2, 3],
+        [4, 5, 6],
+        [7, 8],
+    ]
+    assert list(G.split_into_n_chunks(list(range(10)), 3)) == [
+        [0, 1, 2, 3],
+        [4, 5, 6],
+        [7, 8, 9],
+    ]
+    assert list(G.split_into_n_chunks("hello world", 3)) == [
+        ["h", "e", "l", "l"],
+        ["o", " ", "w", "o"],
+        ["r", "l", "d"],
+    ]
+
+
 def test_pairwise():
     assert list(G.pairwise([1, 2, 3, 4])) == [(1, 2), (2, 3), (3, 4)]
     assert list(G.pairwise([1])) == []
