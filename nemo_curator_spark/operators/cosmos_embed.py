@@ -187,9 +187,18 @@ class CosmosEmbed1FrameCreationStage:
     def __post_init__(self):
         if self.config is None:
             self.config = CosmosProcessorConfig.for_variant(self.variant)
-        self.frame_extraction_signature = (
-            f"sequence-{self.target_fps}"
+        # the exact cross-stage cache-key format
+        # (stages/video/embedding/cosmos_embed1.py:51-54 via
+        # utils/decoder_utils.FrameExtractionSignature)
+        from nemo_curator_spark.operators.decoder_utils import (
+            FrameExtractionPolicy,
+            FrameExtractionSignature,
         )
+
+        self.frame_extraction_signature = FrameExtractionSignature(
+            extraction_policy=FrameExtractionPolicy.sequence,
+            target_fps=self.target_fps,
+        ).to_str()
 
     def process_clip(self, clip: dict) -> dict:
         sig = self.frame_extraction_signature
