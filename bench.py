@@ -26,6 +26,27 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _cpu_times() -> list[int] | None:
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+    """Hypervisor steal share over the whole bench window. The host VM
+    shows minutes-scale vCPU-contention bursts (identical runs vary up
+    to 10x with zero local load); steal% is the direct signature, so
+    the JSON line carries it and a reader can discount burst-poisoned
+    records without guessing (see BENCH/BASELINE.md session notes)."""
+    if not before or not after:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total and len(d) > 7 else None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -78,6 +99,7 @@ def main() -> None:
     ).count()
     warm_slice.unpersist()
 
+    cpu_before = _cpu_times()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
 
@@ -191,6 +213,9 @@ def main() -> None:
                 "heuristic_docs_per_sec": heuristic_docs_per_sec,
                 "cores": int(args.cores),
                 "web_docs": args.web_docs,
+                # host-contention marker over the timed window (see
+                # _steal_pct); >~10 means burst-poisoned numbers
+                "steal_pct": _steal_pct(cpu_before, _cpu_times()),
             }
         )
     )
