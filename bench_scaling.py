@@ -87,7 +87,27 @@ def run_engine(cores: int, corpus: str) -> dict:
     return json.loads(line)
 
 
+def _cpu_times():
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after):
+    """Hypervisor steal share over the whole session window (the
+    bench.py marker): >~10 means burst-poisoned legs — record the
+    session parenthesized, not as evidence."""
+    if not before or not after:
+        return None
+    d = [y - x for x, y in zip(before, after)]
+    total = sum(d)
+    return round(100.0 * d[7] / total, 2) if total and len(d) > 7 else None
+
+
 def main() -> None:
+    cpu_before = _cpu_times()
     corpus = os.path.join(REPO, "data", f"web_pages_{WEB_DOCS}.parquet")
     if not os.path.isdir(corpus):
         from nemo_curator_spark.session import get_spark
@@ -211,6 +231,7 @@ fixed overhead amortizes) is the linear-plan signature.
                 "tput_4n": round(tput_4n, 1),
                 "data_eff": round(data_eff, 3),
                 "data_tputs": {str(nd): round(t, 1) for nd, t in data_tputs.items()},
+                "steal_pct": _steal_pct(cpu_before, _cpu_times()),
             }
         )
     )
