@@ -4861,9 +4861,12 @@ def _image_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_filter_oracle() -> str:
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from nemo_curator_spark.operators import image_filters as IMF
 
     wa, ba = IMF.AestheticMLP.init_seeded().final_weights()

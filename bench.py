@@ -78,13 +78,18 @@ def main() -> None:
     # model training is offline-artifact work -> outside the timed region
     models = ppl_mod.train_per_language(web, max_docs_per_lang=2000)
 
+    # the exact config the timed curate_full uses — the warmup below must
+    # compile the SAME plan shape (salted repartition path included), so
+    # the first timed run hits no residual codegen
+    cfg = webpages.CurationConfig(salt_partitions=int(args.cores) * 2)
+
     # WARMUP (untimed): trigger JVM JIT + whole-stage-codegen compilation +
     # python-worker pool spin-up before any measurement, so every timed
     # number below is a steady-state (deployment-shape) number and rounds
     # are comparable without side measurements. A bounded slice keeps the
     # warmup itself cheap.
     warm_slice = web.limit(2000).localCheckpoint()
-    webpages.curate(warm_slice, models, webpages.CurationConfig()).agg(
+    webpages.curate(warm_slice, models, cfg).agg(
         F.sum(F.col("keep").cast("long"))
     ).collect()
     # the bare chain is a DIFFERENT plan shape than curate's; compile its
@@ -102,19 +107,69 @@ def main() -> None:
     cpu_before = _cpu_times()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    run_steals: dict[str, list[float | None]] = {}
+    query_clean: dict[str, bool] = {}
+
+    # burst-defense thresholds (the documented signature from
+    # BENCH/BASELINE.md: per-window steal >6% or a >3x best-of spread on
+    # a >5s query means the window was poisoned, not the engine)
+    STEAL_BAR = 6.0
+    SPREAD_BAR = 3.0
+    SPREAD_MIN_SEC = 5.0
+    MAX_EXTRA_RUNS = 3
 
     def timed(name, fn, n=3):
-        """Best-of-n per query: the host VM shows up to 10x run-to-run
-        noise (BENCH/BASELINE.md calibration), and the driver archives a
-        single JSON line — one load burst must not dominate the round
-        record. All raw runs are kept in the "runs" field."""
-        rs = []
-        for _ in range(n):
+        """Best-of-n per query with burst DEFENSE: the host VM shows up
+        to 10x run-to-run noise (BENCH/BASELINE.md calibration), and the
+        driver archives a single JSON line — one load burst must not
+        dominate the round record. Each run's hypervisor-steal share is
+        sampled individually; if the best run landed in a poisoned
+        window (steal > 6%) or the spread shows the burst signature
+        (max/min > 3 on a >5s query), the query is re-run up to 3 more
+        times to find a clean window. All raw runs + per-run steal are
+        kept in the JSON ("runs"/"run_steals"), and "query_clean" says
+        whether the recorded best came from a clean window."""
+        rs: list[float] = []
+        steals: list[float | None] = []
+
+        def one_run():
+            b = _cpu_times()
             t0 = time.time()
             fn()
             rs.append(round(time.time() - t0, 3))
+            steals.append(_steal_pct(b, _cpu_times()))
+
+        def best_is_poisoned():
+            # The recorded number is min(rs): what matters is whether THAT
+            # run's window was clean. Per-run steal is authoritative; the
+            # spread signature is the fallback when steal is elevated-but-
+            # ambiguous or unreadable (a slow best run with near-zero steal
+            # and fast siblings can't happen — min() already took the fast
+            # one, so a big spread with a truly-clean best is the other
+            # runs' problem, not the record's). Sub-second runs sample
+            # steal over too small a /proc/stat window to be meaningful
+            # (a single tick of steal reads as >6%), and a burst can only
+            # INFLATE a recorded time — a fast run IS the evidence its
+            # window was usable — so the steal check applies only to runs
+            # long enough to both matter and measure (> 1s).
+            best_i = rs.index(min(rs))
+            s = steals[best_i]
+            spread = (max(rs) / min(rs)) if min(rs) > 0 else 1.0
+            spread_sig = min(rs) > SPREAD_MIN_SEC and spread > SPREAD_BAR
+            if s is None or min(rs) <= 1.0:
+                return spread_sig
+            return s > STEAL_BAR or (spread_sig and s > STEAL_BAR / 2)
+
+        for _ in range(n):
+            one_run()
+        extra = 0
+        while best_is_poisoned() and extra < MAX_EXTRA_RUNS:
+            extra += 1
+            one_run()
         runs[name] = rs
+        run_steals[name] = steals
         timings[name] = min(rs)
+        query_clean[name] = not best_is_poisoned()
 
     # q1: full curation pipeline over the web corpus (the headline number).
     # Both runs are now steady-state thanks to the untimed warmup above;
@@ -216,6 +271,16 @@ def main() -> None:
                 # host-contention marker over the timed window (see
                 # _steal_pct); >~10 means burst-poisoned numbers
                 "steal_pct": _steal_pct(cpu_before, _cpu_times()),
+                # burst DEFENSE verdict (round 7): per-run steal samples
+                # and whether each query's recorded best came from a
+                # clean window (steal <= 6% and no >3x spread signature,
+                # after up to 3 defensive re-runs). "clean" = every
+                # query's record is trustworthy; false means the host
+                # never gave a clean window despite re-runs — read the
+                # per-query map before comparing rounds.
+                "run_steals": run_steals,
+                "query_clean": query_clean,
+                "clean": all(query_clean.values()),
             }
         )
     )

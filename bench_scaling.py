@@ -163,6 +163,10 @@ def main() -> None:
     data_eff = data_tputs[DATA_POINTS[-1]] / tput_ds
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    data_rows = "\n".join(
+        f"| {nd:,} docs | {data_runs[nd]['best']:.1f} | {data_tputs[nd]:,.0f} |"
+        for nd in DATA_POINTS
+    )
     md = f"""# BENCH — measured performance + scaling evidence
 
 Full curation pipeline (extract → langid → 28-rule heuristics →
@@ -213,7 +217,7 @@ as the input grows {DATA_POINTS[-1] // DATA_POINTS[0]}x:
 
 | leg | best sec | docs/sec |
 |---|---|---|
-| {DATA_POINTS[0]:,} docs | {data_runs[DATA_POINTS[0]]['best']:.1f} | {data_tputs[DATA_POINTS[0]]:,.0f} |\n| {DATA_POINTS[1]:,} docs | {data_runs[DATA_POINTS[1]]['best']:.1f} | {data_tputs[DATA_POINTS[1]]:,.0f} |\n| {DATA_POINTS[2]:,} docs | {data_runs[DATA_POINTS[2]]['best']:.1f} | {data_tputs[DATA_POINTS[2]]:,.0f} |\n
+{data_rows}
 **Throughput ratio (largest/smallest): {data_eff:.3f}** — ≈1 (or >1 as
 fixed overhead amortizes) is the linear-plan signature.
 """

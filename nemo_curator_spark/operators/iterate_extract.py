@@ -53,24 +53,26 @@ def iterate_extract(
                     else None
                 )
                 for rec in iterator_fn(bytes(src[payload_col])):
-                    # the limit caps ITERATED records, before extraction
-                    # (reference iterator.py record_limit semantics)
                     if record_limit is not None and n >= record_limit:
                         break
-                    n += 1
                     if filename_col is not None:
                         rec[filename_col] = fname
                     if extractor_fn is not None:
                         rec = extractor_fn(rec)
                         if rec is None:
+                            # extractor-dropped records do NOT consume the
+                            # limit (reference iterator.py:126-135: the
+                            # counter increments only when the extracted
+                            # record is appended)
                             continue
-                        # iterator.py:132-133: the extracted record keeps
+                        # iterator.py:131-132: the extracted record keeps
                         # the filename even if the extractor dropped it
                         if filename_col is not None:
                             rec[filename_col] = fname
                     for c in carry_cols:
                         rec[c] = src[c]
                     rows.append(rec)
+                    n += 1
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(fn, schema=output_schema)

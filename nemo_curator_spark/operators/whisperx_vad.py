@@ -82,7 +82,15 @@ def binarize_scores(
     active run closes at the last frame time. Post-steps: the
     support-merge with ``min_duration_off`` collar (guarded incompatible
     with finite max_duration, as upstream), then drop regions shorter
-    than ``min_duration_on``."""
+    than ``min_duration_on``.
+
+    Deliberate deviation from upstream: a single-frame input whose only
+    score is active yields one zero-length ``(t0, t0)`` region here
+    (``t`` is initialized to ``start`` before the walk), where upstream
+    whisperx raises ``UnboundLocalError`` on ``t``. Emitting the
+    degenerate region instead of crashing keeps the mapInPandas path
+    total; ``min_duration_on > 0`` drops it, and ``merge_chunks`` packs
+    it into a zero-length chunk otherwise."""
     offset = onset if offset is None else offset
     scores = list(map(float, scores))
     timestamps = list(map(float, timestamps))

@@ -36,8 +36,12 @@ def test_iterate_extract_fanout(spark):
 
 
 def test_iterate_extract_limit_and_filter(spark):
+    # reference iterator.py:117-136: record_limit counts KEPT records —
+    # extractor-dropped records do not consume the limit. 'a' is filtered
+    # (free), so bb/ccc/dddd are the first 3 kept and 'eeeee' is beyond.
     df = spark.createDataFrame(
-        [(1, _pack(["a", "bb", "ccc", "dddd"]))], "src_id long, payload binary"
+        [(1, _pack(["a", "bb", "ccc", "dddd", "eeeee"]))],
+        "src_id long, payload binary",
     )
     out = ie.iterate_extract(
         df,
@@ -47,7 +51,7 @@ def test_iterate_extract_limit_and_filter(spark):
         extractor_fn=lambda r: r if len(r["content"]) > 1 else None,
     )
     got = sorted(r["content"] for r in out.collect())
-    assert got == ["bb", "ccc"]  # 'a' filtered, 'dddd' beyond limit
+    assert got == ["bb", "ccc", "dddd"]
 
 
 def test_resolve_filename_column():
