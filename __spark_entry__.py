@@ -3189,13 +3189,16 @@ def _video_scene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VIDEO_SCENE_ORACLE = """
-WITH frames AS (
-  SELECT doc_id AS v, CAST(u.f AS INT) AS f,
-         CASE WHEN (doc_id*7 + u.f*13) % 17 = 0 THEN 1 ELSE 0 END AS t
-  FROM documents,
-       UNNEST(generate_series(0, CAST(40 + doc_id % 60 AS INT) - 1)) AS u(f)
-),
+def _scene_assembly_sql(frames_cte: str) -> str:
+    """Shared SQL replay of scene_boundaries + filter_scenes (stride
+    max_length=12, crop=1, min_length=4) over any (v, f, t) frames CTE —
+    used by both video_scene_clips (synthetic predictions) and
+    transnet_scene_clips (real MiniTransNetV2 probabilities read back
+    from the materialized parquet seam)."""
+    return "WITH frames AS (" + frames_cte + ")," + _SCENE_ASSEMBLY_TAIL
+
+
+_SCENE_ASSEMBLY_TAIL = """
 flg AS (
   SELECT v, f, t,
     lag(t, 1, 0) OVER w AS prev,
@@ -3234,6 +3237,97 @@ SELECT CAST(v AS BIGINT) AS video_id, CAST(s3 AS BIGINT) AS clip_start,
        CAST(e3 AS BIGINT) AS clip_end
 FROM cropped WHERE e3 - s3 >= 4
 """
+
+_VIDEO_SCENE_ORACLE = _scene_assembly_sql("""
+  SELECT doc_id AS v, CAST(u.f AS INT) AS f,
+         CASE WHEN (doc_id*7 + u.f*13) % 17 = 0 THEN 1 ELSE 0 END AS t
+  FROM documents,
+       UNNEST(generate_series(0, CAST(40 + doc_id % 60 AS INT) - 1)) AS u(f)
+""")
+
+
+_TRANSNET_MODEL_PATH = "/dev/shm/ncs_transnet_model.json"
+_TRANSNET_PROBS_DIR = "/dev/shm/ncs_transnet_probs"
+
+
+def _transnet_scene_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransNetV2 scene extraction with REAL inference end to end: a
+    deterministic numpy MiniTransNetV2 (operators/transnet_mini.py —
+    same wiring as reference models/transnetv2.py at mini scale, frozen
+    body + trained logistic probe, held-out F1 ≈ 0.97 on synthetic
+    hard-cut videos) scores every frame of a per-doc synthetic video in
+    one mapInPandas pass (B=1 windows, the reference's 100/50/25
+    batching contract), then the model-free half — threshold → scene
+    assembly → stride spans → crop → min-length
+    (transnetv2_extraction.py:146-326) — runs as the same Column plan
+    video_scene_clips uses. Oracle seam (CLAUDE.md protocol): the
+    per-frame probabilities are materialized as parquet; DuckDB reads
+    them back and replays threshold + assembly in SQL, so everything
+    downstream of the conv net is value-hash-gated and the net itself
+    is pinned bit-exact by tests/test_transnet_mini.py."""
+    import os
+    import shutil
+
+    from nemo_curator_spark.operators import transnet_mini as TN
+    from nemo_curator_spark.operators import video as video_mod
+
+    TN.ensure_artifact(_TRANSNET_MODEL_PATH)
+    model = TN.load_cached(_TRANSNET_MODEL_PATH)
+
+    # bounded subset (1 in 5 docs): ~100 videos x 40-99 frames at sf0.01
+    vids = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        .select(
+            F.col("doc_id").cast("long").alias("video_id"),
+            (F.lit(40) + F.pmod(F.col("doc_id"), F.lit(60)))
+            .cast("int")
+            .alias("n_frames"),
+        )
+    )
+    probs = TN.transnet_probs_synth(vids, _TRANSNET_MODEL_PATH)
+
+    # materialize the seam (write-then-read: the driver runs Spark
+    # before DuckDB, so the oracle reads exactly these doubles)
+    tmp = _TRANSNET_PROBS_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    probs.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(_TRANSNET_PROBS_DIR, ignore_errors=True)
+    os.replace(tmp, _TRANSNET_PROBS_DIR)
+
+    frames = spark.read.parquet(_TRANSNET_PROBS_DIR).select(
+        "video_id",
+        F.col("frame").cast("int").alias("frame"),
+        (F.col("prob") > F.lit(model.threshold)).cast("int").alias("is_transition"),
+    )
+    scenes = video_mod.scene_boundaries(
+        frames, video_col="video_id", frame_col="frame",
+        transition_col="is_transition",
+    )
+    clips = video_mod.filter_scenes(
+        scenes, min_length=4, max_length=12, max_length_mode="stride",
+        crop_length=1,
+    )
+    return clips.select(
+        F.col("video_id").cast("long").alias("video_id"),
+        F.col("scene_start").cast("long").alias("clip_start"),
+        F.col("scene_end").cast("long").alias("clip_end"),
+    )
+
+
+def _transnet_scene_oracle() -> str:
+    from nemo_curator_spark.operators import transnet_mini as TN
+
+    TN.ensure_artifact(_TRANSNET_MODEL_PATH)
+    thr = TN.load_cached(_TRANSNET_MODEL_PATH).threshold
+    # e-notation so DuckDB parses the literal directly as DOUBLE
+    # (bare decimals are DECIMAL and can cast one ULP off — CLAUDE.md)
+    return _scene_assembly_sql(f"""
+  SELECT video_id AS v, CAST(frame AS INT) AS f,
+         CASE WHEN prob > {thr:.17e} THEN 1 ELSE 0 END AS t
+  FROM read_parquet('{_TRANSNET_PROBS_DIR}/*.parquet')
+""")
 
 
 def _token_chunking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5035,6 +5129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["whisperx_vad_chunks"] = _wxvad_chunks_query  # new late-r6
     out["cosmos_frame_plan"] = _cosmos_plan_query  # new late-r6
     out["image_filter_scores"] = _image_filter_query  # new late-r6
+    out["transnet_scene_clips"] = _transnet_scene_query  # new r7
     # --- r03-era filter_* rows pulled back to fill the 50 ---
     for name in (
         "alpha_numeric",
@@ -5176,4 +5271,5 @@ def oracle_sql() -> dict[str, str]:
     out["whisperx_vad_chunks"] = _wxvad_chunks_oracle()
     out["cosmos_frame_plan"] = _COSMOS_PLAN_ORACLE
     out["image_filter_scores"] = _image_filter_oracle()
+    out["transnet_scene_clips"] = _transnet_scene_oracle()
     return out
