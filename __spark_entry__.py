@@ -4776,21 +4776,33 @@ WHERE faith_avg >= 2.5 OR faith_parse_failed
 _WXVAD_ORACLE_DIR = "/dev/shm/ncs_wxvad_oracle"
 
 
+_VAD_MODEL_PATH = "/dev/shm/ncs_vad_model.json"
+
+
 def _wxvad_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WhisperX VAD chunk packing (operators/whisperx_vad.py; reference
+    """WhisperX VAD chunk packing over REAL model scores (operators/
+    whisperx_vad.py + operators/vad_mini.py; reference
     stages/audio/inference/vad/whisperx_vad.py via the public whisperx
-    Binarize/merge_chunks). Oracle seam rule: binarize (hysteresis +
-    argmin splits, stateful python) runs Spark-side over md5-free
-    doc-seeded scores and the resulting speech TURNS are the artifact;
+    Binarize/merge_chunks). Per doc, a deterministic synthetic
+    speech/noise clip is scored frame-by-frame by a trained MiniPyanNet
+    (SincNet -> bi-LSTM -> logistic probe, per-worker weight artifact —
+    held-out frame F1 ~0.95), exactly as the reference scores audio with
+    the pyannote segmentation net. Oracle seam rule: binarize
+    (hysteresis + argmin splits, stateful python) runs Spark-side over
+    the model scores and the resulting speech TURNS are the artifact;
     the oracle replays only the downstream greedy chunk packing — a
     sequential fold, so a recursive CTE carrying (curr_start, curr_end,
     chunk_idx) over row_number (the sample_training_rows /
     token_chunking pattern). Chunk bounds are raw doubles copied from
-    the artifact — no arithmetic, hashable unrounded."""
+    the artifact — no arithmetic, hashable unrounded. get_vad_segments
+    semantics throughout: binarize offset = onset, max_duration =
+    chunk_size (whisperx_vad.py:80-103)."""
     from pyspark.sql import types as T
 
+    from nemo_curator_spark.operators import vad_mini as VM
     from nemo_curator_spark.operators import whisperx_vad as WX
 
+    VM.ensure_artifact(_VAD_MODEL_PATH)
     base = _docs(spark, sf_dir).select("doc_id")
     turn_schema = T.StructType(
         [
@@ -4802,16 +4814,16 @@ def _wxvad_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def gen(it):
-        import numpy as np
-
+        model = VM.load_cached(_VAD_MODEL_PATH)
         for pdf in it:
             rows = []
             for d in pdf["doc_id"]:
-                rng = np.random.RandomState(int(d) % (2**31))
-                scores = rng.uniform(0.0, 1.0, 60)
-                ts = (np.arange(60) + 0.5) * 1.0
+                wav, _ = VM.synth_clip(
+                    int(d) % (2**31), duration=2.0 + int(d) % 4
+                )
+                scores, ts = model.frame_scores(wav, 16000)
                 turns = WX.binarize_scores(
-                    scores, ts, onset=0.55, offset=0.4, max_duration=12.0
+                    scores, ts, onset=0.5, max_duration=1.0
                 )
                 for i, (s, e) in enumerate(turns):
                     rows.append((int(d), i, float(s), float(e)))
@@ -4834,7 +4846,7 @@ def _wxvad_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rn")
         chunks = WX.merge_chunks(
-            list(zip(pdf["seg_start"], pdf["seg_end"])), 12.0
+            list(zip(pdf["seg_start"], pdf["seg_end"])), 1.0
         )
         return pd.DataFrame(
             [
@@ -4865,11 +4877,11 @@ walk AS (
   FROM segs WHERE rn = 0
   UNION ALL
   SELECT s.doc_id, s.rn,
-         CASE WHEN s.seg_end - w.curr_start > 12.0::DOUBLE
+         CASE WHEN s.seg_end - w.curr_start > 1.0::DOUBLE
                    AND w.curr_end - w.curr_start > 0::DOUBLE
               THEN s.seg_start ELSE w.curr_start END,
          s.seg_end,
-         CASE WHEN s.seg_end - w.curr_start > 12.0::DOUBLE
+         CASE WHEN s.seg_end - w.curr_start > 1.0::DOUBLE
                    AND w.curr_end - w.curr_start > 0::DOUBLE
               THEN w.chunk_idx + 1 ELSE w.chunk_idx END
   FROM walk w JOIN segs s ON s.doc_id = w.doc_id AND s.rn = w.rn + 1
