@@ -5065,6 +5065,500 @@ FROM strided,
 """
 
 
+# --- round-7 gates: speaker separation / MOS thresholds / motion filter ----
+
+
+def _speaker_sep_intervals(d: int) -> list[tuple[str, float, float]]:
+    """Deterministic per-doc diarization intervals for the speaker-sep
+    gate. All bounds are multiples of 1/16 (exact doubles, identical in
+    python and DuckDB arithmetic). The layout guarantees the pairwise
+    invariants the declarative oracle relies on (pinned by
+    tests/test_speaker_sep_oracle.py over a wide doc_id sweep): never 3
+    concurrent speakers, no two intervals share a start, no same-speaker
+    overlap. It still exercises every sweep path: plain adjacent-slot
+    overlaps, a contained interval with a surviving resume piece
+    (clean-cut) and a buffered tail resume (exclude), end==start touch
+    ties, a same-speaker zero-gap join, and a sub-gap-threshold pair
+    that only survives via merge_adjacent_segments."""
+    p = (d % 7) * 0.125
+    k = 2 + d % 2
+    special = d % 4 == 0
+    ivals: list[tuple[str, float, float]] = []
+    for i in range(5):
+        a = p + 3 * i
+        if special and i == 2:
+            dur = 6
+        elif special and i == 3:
+            dur = 2
+        else:
+            dur = 2 + (d + 2 * i) % 3
+        ivals.append((f"spk{i % k}", a, a + dur))
+    ivals.append(("spk0", p + 20, p + 27))  # contains the next
+    ivals.append(("spk1", p + 22, p + 24))
+    ivals.append(("spk0", p + 30, p + 32))  # merges with the next
+    ivals.append(("spk0", p + 32.0625, p + 34.0625))
+    return ivals
+
+
+def _speaker_sep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpeakerSeparation timeline sweeps (operators/speaker_sep.py;
+    reference stages/audio/segmentation/speaker_separation.py:149-325):
+    parse -> clean_cut/exclude_overlapping sweep -> merge_adjacent ->
+    filter_short, both modes, over deterministic per-doc diarization
+    strings (including a malformed line for the parse-skip branch). The
+    sweeps are stateful python, but under the data invariants documented
+    on _speaker_sep_intervals they reduce to pure interval algebra, so
+    the oracle replays them declaratively: clean-cut pieces bound by
+    later-starting other-speaker cutters (disjoint within an interval),
+    exclude pieces bound by clamped overlap regions with the 0.5 s
+    buffer shaving, then island-merge (gap <= 0.1) and the 2 s minimum.
+    tests/test_speaker_sep_oracle.py pins formula == sweep over doc_id
+    0..2000."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import speaker_sep as SS
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("mode", T.StringType()),
+            T.StructField("speaker", T.StringType()),
+            T.StructField("seg_start", T.DoubleType()),
+            T.StructField("seg_end", T.DoubleType()),
+        ]
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                lines = [
+                    f"{a!r} {b!r} {spk}"
+                    for spk, a, b in _speaker_sep_intervals(d)
+                ]
+                lines.insert(1, "malformed")  # <3 parts -> skipped
+                for mode, excl in (("clean", False), ("exclude", True)):
+                    segs = SS.process_speaker_segments(
+                        lines,
+                        gap_threshold=0.1,
+                        exclude_overlaps=excl,
+                        min_duration=2.0,
+                        buffer_time=0.5,
+                    )
+                    for spk, ss in segs.items():
+                        for s, e in ss:
+                            rows.append((d, mode, spk, float(s), float(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mode", "speaker", "seg_start", "seg_end"],
+            )
+
+    return base.mapInPandas(gen, schema)
+
+
+_SPEAKER_SEP_IVALS_SQL = """
+pr AS (
+  SELECT doc_id, (doc_id % 7) * 1.25e-1 AS p, 2 + doc_id % 2 AS k,
+         (doc_id % 4 = 0) AS sp
+  FROM documents
+),
+slots AS (
+  SELECT doc_id,
+         'spk' || CAST(CAST(u.i AS INT) % k AS VARCHAR) AS spk,
+         p + 3 * CAST(u.i AS INT) AS a,
+         p + 3 * CAST(u.i AS INT) + CASE
+           WHEN sp AND u.i = 2 THEN 6
+           WHEN sp AND u.i = 3 THEN 2
+           ELSE 2 + (doc_id + 2 * CAST(u.i AS INT)) % 3 END AS b
+  FROM pr, UNNEST(generate_series(0, 4)) AS u(i)
+),
+ivals AS (
+  SELECT doc_id, spk, a, b FROM slots
+  UNION ALL SELECT doc_id, 'spk0', p + 20, p + 27 FROM pr
+  UNION ALL SELECT doc_id, 'spk1', p + 22, p + 24 FROM pr
+  UNION ALL SELECT doc_id, 'spk0', p + 30, p + 32 FROM pr
+  UNION ALL SELECT doc_id, 'spk0', p + 3.20625e1, p + 3.40625e1 FROM pr
+)
+"""
+
+
+_SPEAKER_SEP_ORACLE = f"""
+WITH {_SPEAKER_SEP_IVALS_SQL.strip()},
+ccut AS (
+  SELECT i.doc_id, i.spk, i.a, i.b, j.a AS ca, j.b AS cb
+  FROM ivals i JOIN ivals j
+    ON j.doc_id = i.doc_id AND j.spk <> i.spk
+   AND j.a > i.a AND j.a < i.b
+),
+chead AS (
+  SELECT i.doc_id, i.spk, i.a AS s, COALESCE(MIN(c.ca), i.b) AS e
+  FROM ivals i LEFT JOIN ccut c
+    ON c.doc_id = i.doc_id AND c.spk = i.spk AND c.a = i.a
+  GROUP BY i.doc_id, i.spk, i.a, i.b
+),
+cresume AS (
+  SELECT doc_id, spk, cb AS s,
+         LEAST(COALESCE(
+           LEAD(ca) OVER (PARTITION BY doc_id, spk, a ORDER BY ca), b
+         ), b) AS e
+  FROM ccut
+),
+xreg AS (
+  SELECT i.doc_id, i.spk, i.a, i.b,
+         GREATEST(j.a, i.a) AS rs, LEAST(j.b, i.b) AS re
+  FROM ivals i JOIN ivals j
+    ON j.doc_id = i.doc_id AND j.spk <> i.spk
+   AND j.b > i.a AND j.a < i.b
+),
+xhead AS (
+  SELECT i.doc_id, i.spk, i.a AS s,
+         CASE WHEN MIN(r.rs) IS NULL THEN i.b
+              ELSE MIN(r.rs) - 5.0e-1 END AS e
+  FROM ivals i LEFT JOIN xreg r
+    ON r.doc_id = i.doc_id AND r.spk = i.spk AND r.a = i.a
+  GROUP BY i.doc_id, i.spk, i.a, i.b
+),
+xresume AS (
+  SELECT doc_id, spk, re + 5.0e-1 AS s,
+         COALESCE(
+           LEAD(rs) OVER (PARTITION BY doc_id, spk, a ORDER BY rs) - 5.0e-1,
+           b
+         ) AS e
+  FROM xreg
+),
+pieces AS (
+  SELECT 'clean' AS mode, doc_id, spk, s, e FROM chead WHERE s < e
+  UNION ALL SELECT 'clean', doc_id, spk, s, e FROM cresume WHERE s < e
+  UNION ALL SELECT 'exclude', doc_id, spk, s, e FROM xhead WHERE s < e
+  UNION ALL SELECT 'exclude', doc_id, spk, s, e FROM xresume WHERE s < e
+),
+ord AS (
+  SELECT mode, doc_id, spk, s, e,
+         CASE WHEN s - LAG(e) OVER
+                (PARTITION BY mode, doc_id, spk ORDER BY s) <= 1.0e-1
+              THEN 0 ELSE 1 END AS brk
+  FROM pieces
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY mode, doc_id, spk ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM ord
+)
+SELECT doc_id, mode, spk AS speaker,
+       MIN(s) AS seg_start, MAX(e) AS seg_end
+FROM isl GROUP BY doc_id, mode, spk, island
+HAVING MAX(e) - MIN(s) >= 2.0
+"""
+
+
+class _FakeSigmosModel:
+    """Deterministic stand-in for the ONNX SigmosEstimator plug point:
+    MOS channels derived from the audio LENGTH only (1/64-step values,
+    exact doubles), so the oracle can replay them from doc_id
+    arithmetic. Docs with v % 11 == 0 return a bare scalar to exercise
+    the overall-only branch of sigmos_scores_from_prediction."""
+
+    def run(self, audio, sr):
+        v = len(audio) // 320
+        if v % 11 == 0:
+            return 1.0 + (v * 5 + 17) % 256 / 64.0
+        return {
+            "MOS_NOISE": 1.0 + (v * 3) % 256 / 64.0,
+            "MOS_OVRL": 1.0 + (v * 5 + 17) % 256 / 64.0,
+            "MOS_SIG": 1.0 + (v * 7 + 31) % 256 / 64.0,
+            "MOS_COL": 1.0 + (v * 11 + 5) % 256 / 64.0,
+            "MOS_DISC": 1.0 + (v * 13 + 3) % 256 / 64.0,
+            "MOS_LOUD": 1.0 + (v * 17 + 9) % 256 / 64.0,
+            "MOS_REVERB": 1.0 + (v * 19 + 21) % 256 / 64.0,
+        }
+
+
+class _FakeUtmosModel:
+    def predict(self, waveform, sample_rate):
+        v = len(waveform) // 320
+        return 1.0 + (v * 23 + 7) % 256 / 64.0
+
+
+def _mos_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGMOS/UTMOS threshold gates (operators/audio_mos.py; reference
+    stages/audio/filtering/{sigmos,utmos}.py): score extraction
+    (sigmos_scores_from_prediction incl. the scalar branch),
+    check_thresholds with the exact '{LABEL} {score:.3f} < {threshold}'
+    fail-reason strings, the segments-survivor packing of process_entry,
+    and the UTMOS keep decision. The neural predictors are the
+    documented plug points; injected deterministic models derive scores
+    from the audio length alone, so everything is replayable from
+    doc_id arithmetic (scores are 1/64-step doubles — exact, hashable
+    unrounded; reasons compare %.3f prints of identical doubles)."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import audio_mos as AM
+
+    sig_stage = AM.SIGMOSFilterStage(
+        noise_threshold=4.0, ovrl_threshold=3.5, sig_threshold=2.5,
+        model=_FakeSigmosModel(),
+    )
+    ut_stage = AM.UTMOSFilterStage(
+        mos_threshold=3.5, model=_FakeUtmosModel()
+    )
+    base = _docs(spark, sf_dir).select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seg_idx", T.IntegerType()),
+            T.StructField("noise", T.DoubleType()),
+            T.StructField("ovrl", T.DoubleType()),
+            T.StructField("sig", T.DoubleType()),
+            T.StructField("utmos_mos", T.DoubleType()),
+            T.StructField("sigmos_pass", T.IntegerType()),
+            T.StructField("sigmos_reasons", T.StringType()),
+            T.StructField("utmos_pass", T.IntegerType()),
+            T.StructField("n_sigmos_survivors", T.IntegerType()),
+            T.StructField("n_utmos_survivors", T.IntegerType()),
+        ]
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n_segs = 1 + d % 3
+                segs = []
+                for j in range(n_segs):
+                    n = 16000 + (d % 50) * 320 + j * 320
+                    wav = np.zeros(n, dtype=np.float32)
+                    if d % 2 == 0:  # stereo -> mono-mean path
+                        wav = np.zeros((2, n), dtype=np.float32)
+                    segs.append({"waveform": wav, "sample_rate": 16000})
+                sig_entry = sig_stage.process_entry(
+                    {"segments": [dict(s) for s in segs]}
+                )
+                ut_entry = ut_stage.process_entry(
+                    {"segments": [dict(s) for s in segs]}
+                )
+                n_sig = len(sig_entry["segments"]) if sig_entry else 0
+                n_ut = len(ut_entry["segments"]) if ut_entry else 0
+                for j, seg in enumerate(segs):
+                    audio, sr = AM.resolve_audio(seg)
+                    s = AM.sigmos_scores_from_prediction(
+                        sig_stage.model.run(audio=audio, sr=sr)
+                    )
+                    passed, reasons = sig_stage.check_thresholds(s)
+                    mos = float(ut_stage.model.predict(audio, sr))
+                    rows.append(
+                        (
+                            d, j, s["noise"], s["ovrl"], s["sig"], mos,
+                            int(passed), "; ".join(reasons),
+                            int(mos >= 3.5), n_sig, n_ut,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return base.mapInPandas(gen, schema)
+
+
+_MOS_FILTER_ORACLE = """
+WITH segs AS (
+  SELECT doc_id, CAST(u.j AS INT) AS seg_idx,
+         50 + doc_id % 50 + CAST(u.j AS INT) AS v
+  FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS u(j)
+),
+scored AS (
+  SELECT doc_id, seg_idx,
+    CASE WHEN v % 11 = 0 THEN 0.0
+         ELSE 1.0 + (v * 3) % 256 / 6.4e1 END AS noise,
+    1.0 + (v * 5 + 17) % 256 / 6.4e1 AS ovrl,
+    CASE WHEN v % 11 = 0 THEN 0.0
+         ELSE 1.0 + (v * 7 + 31) % 256 / 6.4e1 END AS sig,
+    1.0 + (v * 23 + 7) % 256 / 6.4e1 AS utmos_mos
+  FROM segs
+),
+flagged AS (
+  SELECT *,
+    (noise >= 4.0 AND ovrl >= 3.5 AND sig >= 2.5) AS ok,
+    utmos_mos >= 3.5 AS ut_ok,
+    array_to_string(list_filter([
+      CASE WHEN noise < 4.0
+           THEN 'NOISE ' || printf('%.3f', noise) || ' < 4.0' END,
+      CASE WHEN ovrl < 3.5
+           THEN 'OVRL ' || printf('%.3f', ovrl) || ' < 3.5' END,
+      CASE WHEN sig < 2.5
+           THEN 'SIG ' || printf('%.3f', sig) || ' < 2.5' END
+    ], x -> x IS NOT NULL), '; ') AS reasons
+  FROM scored
+)
+SELECT doc_id, seg_idx, noise, ovrl, sig, utmos_mos,
+       CAST(ok AS INT) AS sigmos_pass,
+       COALESCE(reasons, '') AS sigmos_reasons,
+       CAST(ut_ok AS INT) AS utmos_pass,
+       CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id) AS INT) AS n_sigmos_survivors,
+       CAST(SUM(CASE WHEN ut_ok THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id) AS INT) AS n_utmos_survivors
+FROM flagged
+"""
+
+
+_MOTION_ORACLE_DIR = "/dev/shm/ncs_motion_oracle"
+
+
+def _motion_small_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-vector small-motion filter (operators/video_motion.py;
+    reference video/filtering/motion_filter.py +
+    motion_vector_backend.py:90-320): per doc, seeded synthetic MPEG
+    motion vectors are painted into per-frame flowfields, magnitudes
+    normalized by (H+W), global mean + per-patch min of the exact
+    cv2-semantics 1/256 bilinear downsample, then the is-small decision.
+    Oracle seam: the per-pixel average-magnitude grid (plus the
+    order-sensitive global mean, which is the model half's float fold)
+    is materialized; DuckDB replays the bilinear sample — identical
+    expression tree: (g00*(1-wx) + g01*wx)*(1-wy) + (g10*(1-wx) +
+    g11*wx)*wy with cv2's half-pixel-center source mapping — and the
+    threshold decision. Frame sizes vary in parity so both wx/wy = 0.5
+    and = 0.0 paths are exercised; doc_id % 4 == 0 docs get zero motion
+    so is_small mixes."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import video_motion as VMOT
+
+    base = _docs(spark, sf_dir).select("doc_id")
+    grid_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("y", T.IntegerType()),
+            T.StructField("x", T.IntegerType()),
+            T.StructField("avg_mag", T.DoubleType()),
+            T.StructField("global_mean", T.DoubleType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+        ]
+    )
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h = 14 + (d % 3) * 2  # 14/16/18
+                w = 15 + (d % 4)  # 15..18 (odd + even)
+                n_frames = 2 + d % 3
+                mv_list = []
+                for f in range(n_frames):
+                    if (d + f) % 5 == 0:
+                        mv_list.append(np.zeros((0, 10)))
+                        continue
+                    rng = np.random.RandomState(d * 31 + f)
+                    mvs = np.zeros((3, 10))
+                    for vi in range(3):
+                        bw, bh = VMOT._BLOCK_OPTIONS[
+                            int(rng.randint(len(VMOT._BLOCK_OPTIONS)))
+                        ]
+                        mvs[vi, 0:2] = (bw, bh)
+                        mvs[vi, 4] = rng.randint(0, w)
+                        mvs[vi, 5] = rng.randint(0, h)
+                        if d % 4 != 0:
+                            mvs[vi, 7] = rng.randint(-8, 9)
+                            mvs[vi, 8] = rng.randint(-8, 9)
+                        mvs[vi, 9] = 2 ** rng.randint(0, 3)
+                    mv_list.append(mvs)
+                info = VMOT.check_if_small_motion(mv_list, (h, w))
+                # rebuild the per-pixel average grid (same fold order as
+                # the operator) for the oracle seam
+                per_pixel = np.zeros((h, w))
+                flow = np.zeros((h, w, 2))
+                for mv in mv_list:
+                    flow = VMOT.motion_vectors_to_flowfield(
+                        mv, (h, w), flow
+                    )
+                    per_pixel += np.sqrt((flow**2).sum(axis=2)) / (w + h)
+                per_pixel /= n_frames
+                for yy in range(h):
+                    for xx in range(w):
+                        rows.append(
+                            (
+                                d, yy, xx, float(per_pixel[yy, xx]),
+                                info.global_mean, h, w,
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in grid_schema])
+
+    _write_shm(base.mapInPandas(gen, grid_schema), _MOTION_ORACLE_DIR)
+    grid = spark.read.parquet(_MOTION_ORACLE_DIR)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("is_small", T.IntegerType()),
+            T.StructField("global_mean", T.DoubleType()),
+            T.StructField("per_patch_min_256", T.DoubleType()),
+        ]
+    )
+
+    def decide(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from nemo_curator_spark.operators import video_motion as VMOT
+
+        d = int(pdf["doc_id"].iloc[0])
+        h = int(pdf["h"].iloc[0])
+        w = int(pdf["w"].iloc[0])
+        g = np.zeros((h, w))
+        g[pdf["y"].to_numpy(), pdf["x"].to_numpy()] = pdf[
+            "avg_mag"
+        ].to_numpy()
+        per_patch = float(VMOT.cv2_resize_linear(g, 1 / 256, 1 / 256).min())
+        gm = float(pdf["global_mean"].iloc[0])
+        is_small = gm < 0.00098 or per_patch < 0.000001
+        return pd.DataFrame(
+            [(d, int(is_small), gm, per_patch)],
+            columns=[f.name for f in out_schema],
+        )
+
+    return grid.groupBy("doc_id").applyInPandas(decide, out_schema)
+
+
+_MOTION_SMALL_ORACLE = f"""
+WITH g AS (
+  SELECT * FROM read_parquet('{_MOTION_ORACLE_DIR}/part*.parquet')
+),
+geom AS (
+  SELECT DISTINCT doc_id, global_mean, h, w,
+         (0.5) * w - (0.5) AS xs, (0.5) * h - (0.5) AS ys
+  FROM g
+),
+corners AS (
+  SELECT doc_id, global_mean, h, w, xs, ys,
+         CAST(FLOOR(xs) AS INT) AS x0, CAST(FLOOR(ys) AS INT) AS y0,
+         LEAST(CAST(FLOOR(xs) AS INT) + 1, w - 1) AS x1,
+         LEAST(CAST(FLOOR(ys) AS INT) + 1, h - 1) AS y1,
+         xs - FLOOR(xs) AS wx, ys - FLOOR(ys) AS wy
+  FROM geom
+),
+sampled AS (
+  SELECT c.doc_id, c.global_mean,
+         (g00.avg_mag * (1 - c.wx) + g01.avg_mag * c.wx) * (1 - c.wy)
+         + (g10.avg_mag * (1 - c.wx) + g11.avg_mag * c.wx) * c.wy
+           AS per_patch
+  FROM corners c
+  JOIN g g00 ON g00.doc_id = c.doc_id AND g00.y = c.y0 AND g00.x = c.x0
+  JOIN g g01 ON g01.doc_id = c.doc_id AND g01.y = c.y0 AND g01.x = c.x1
+  JOIN g g10 ON g10.doc_id = c.doc_id AND g10.y = c.y1 AND g10.x = c.x0
+  JOIN g g11 ON g11.doc_id = c.doc_id AND g11.y = c.y1 AND g11.x = c.x1
+)
+SELECT doc_id,
+       CAST(global_mean < 9.8e-4 OR per_patch < 1.0e-6 AS INT) AS is_small,
+       global_mean, per_patch AS per_patch_min_256
+FROM sampled
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -5098,12 +5592,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["perplexity_bucketed"] = _perplexity_query
     out["simhash_near_dup_pairs"] = _simhash_query
     out["heuristic_chain_native"] = _chain_native_query
-    # --- new this round (must prove driver-side) ---
-    out["audio_tagging_merge"] = _audio_tagging_merge_query  # new r6
-    out["alm_pretrain_plan"] = _alm_plan_query  # new r6
-    out["math_extract_types"] = _math_extract_query  # new r6
-    out["alm_windows_rows"] = _alm_windows_query  # new r6
-    # --- pull-back: rotated past the window in r05, re-proving now ---
+    # --- new this round (must prove driver-side); whisperx_vad_chunks
+    # re-proves because its score source changed to the real MiniPyanNet ---
+    out["transnet_scene_clips"] = _transnet_scene_query  # new r7
+    out["whisperx_vad_chunks"] = _wxvad_chunks_query  # reworked r7
+    out["speaker_sep_segments"] = _speaker_sep_query  # new r7
+    out["mos_filter_scores"] = _mos_filter_query  # new r7
+    out["motion_small_filter"] = _motion_small_query  # new r7
+    # --- pull-back: rotated past the window in r06, re-proving now
+    # (the r05-verdict rotation list, advice item 6) ---
+    out["classifier_stage"] = _classifier_stage_query
+    out["embedder_mini_transformer"] = _embedder_minitx_query
+    out["caption_window_plan"] = _caption_prep_query
+    out["data_designer_columns"] = _data_designer_query
+    out["translation_fine_roundtrip"] = _translation_fine_query
+    out["pdf_parse_elements"] = _pdf_parse_query
+    out["tpch_q1"] = _tpch_q1_query
+    out["tpch_q3"] = _tpch_q3_query
+    out["tpch_q5"] = _tpch_q5_query
+    out["events_hourly_agg"] = _events_hourly_query
+    out["events_asof_join"] = _asof_join_query
+    out["events_cube"] = _events_cube_query
+    out["events_range_join"] = _range_join_query
+    out["knn_cosine_topk"] = _knn_query
+    out["ann_hyperplane_topk"] = _ann_query
+    out["video_fixed_stride_clips"] = _video_clips_query
+    out["image_resize_stats"] = _image_resize_query
+    out["token_chunking"] = _token_chunking_query
+    out["modifier_url_newline"] = _modifier_urls_query
+    out["modifier_markdown"] = _markdown_query
+    out["modifier_line_quote"] = _line_quote_query
+    out["modifier_slicer"] = _slicer_query
+    out["modifier_boilerplate"] = _boilerplate_query
+    out["modifier_fasttext_label"] = _fasttext_label_query
+    out["doc_set_ops"] = _set_ops_query
+    out["lineitem_rollup"] = _rollup_query
+    out["doc_joiner_roundtrip"] = _joiner_query
+    out["embedding_neardup_pairs"] = _embedding_neardup_query
+    out["filter_html_boilerplate"] = _html_boilerplate_query
+    out["filter_per_extension"] = _per_extension_query
+    # --- past the 50-entry window: driver-green r03..r06, logic
+    # untouched; all still validated every round by scripts/gate_check.py ---
+    out["audio_tagging_merge"] = _audio_tagging_merge_query
+    out["alm_pretrain_plan"] = _alm_plan_query
+    out["math_extract_types"] = _math_extract_query
+    out["alm_windows_rows"] = _alm_windows_query
     out["semantic_dedup_removal_ids"] = _semantic_dedup_query
     out["histogram_filter"] = _histogram_query
     out["fasttext_langid_mini"] = _fasttext_langid_query
@@ -5124,11 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["heuristic_chain_non_english"] = (
         lambda spark, sf_dir: _chain_native_query(spark, sf_dir, english=False)
     )
-    # (filter_num_lines rotated past the window for round 6 — r03-green,
-    # still in the catch-all rule loop below — to make room for
-    # image_filter_scores)
     out["doc_splitter"] = _splitter_query
-    # --- new mid-round-6 (never driver-gated; must prove driver-side) ---
     out["interleaved_reindex"] = _interleaved_reindex_query
     out["audio_band_rolloff"] = _band_rolloff_query
     out["vad_energy_segments"] = _vad_segments_query
@@ -5138,11 +5667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["file_group_plan"] = _file_group_plan_query
     out["dedup_id_ranges"] = _dedup_id_ranges_query
     out["asr_align_words"] = _asr_align_query
-    out["whisperx_vad_chunks"] = _wxvad_chunks_query  # new late-r6
-    out["cosmos_frame_plan"] = _cosmos_plan_query  # new late-r6
-    out["image_filter_scores"] = _image_filter_query  # new late-r6
-    out["transnet_scene_clips"] = _transnet_scene_query  # new r7
-    # --- r03-era filter_* rows pulled back to fill the 50 ---
+    out["cosmos_frame_plan"] = _cosmos_plan_query
+    out["image_filter_scores"] = _image_filter_query
     for name in (
         "alpha_numeric",
         "symbol_to_word",
@@ -5151,39 +5677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_count",
     ):
         out[f"filter_{name}"] = _rule_query(name)
-    # --- past the 50-entry window: driver-green r03..r05, logic untouched ---
-    out["classifier_stage"] = _classifier_stage_query
-    out["embedder_mini_transformer"] = _embedder_minitx_query
-    out["caption_window_plan"] = _caption_prep_query
-    out["data_designer_columns"] = _data_designer_query
-    out["translation_fine_roundtrip"] = _translation_fine_query
-    out["pdf_parse_elements"] = _pdf_parse_query
-    out["modifier_url_newline"] = _modifier_urls_query
-    out["modifier_markdown"] = _markdown_query
-    out["modifier_line_quote"] = _line_quote_query
-    out["modifier_slicer"] = _slicer_query
-    out["modifier_boilerplate"] = _boilerplate_query
-    out["modifier_fasttext_label"] = _fasttext_label_query
-    out["tpch_q1"] = _tpch_q1_query
-    out["tpch_q3"] = _tpch_q3_query
-    out["tpch_q5"] = _tpch_q5_query
-    out["events_hourly_agg"] = _events_hourly_query
-    out["events_asof_join"] = _asof_join_query
-    out["events_cube"] = _events_cube_query
-    out["doc_set_ops"] = _set_ops_query
-    out["events_range_join"] = _range_join_query
-    out["doc_joiner_roundtrip"] = _joiner_query
-    out["knn_cosine_topk"] = _knn_query
-    out["ann_hyperplane_topk"] = _ann_query
     out["ivf_topk"] = _ivf_query
-    out["embedding_neardup_pairs"] = _embedding_neardup_query
-    out["video_fixed_stride_clips"] = _video_clips_query
-    out["image_resize_stats"] = _image_resize_query
-    out["token_chunking"] = _token_chunking_query
-    out["filter_html_boilerplate"] = _html_boilerplate_query
-    out["filter_per_extension"] = _per_extension_query
     out["filter_substring_any"] = _substring_query
-    out["lineitem_rollup"] = _rollup_query
     for rule in H.RULES:
         if f"filter_{rule.name}" not in out:
             out[f"filter_{rule.name}"] = _rule_query(rule.name)
@@ -5284,4 +5779,7 @@ def oracle_sql() -> dict[str, str]:
     out["cosmos_frame_plan"] = _COSMOS_PLAN_ORACLE
     out["image_filter_scores"] = _image_filter_oracle()
     out["transnet_scene_clips"] = _transnet_scene_oracle()
+    out["speaker_sep_segments"] = _SPEAKER_SEP_ORACLE
+    out["mos_filter_scores"] = _MOS_FILTER_ORACLE
+    out["motion_small_filter"] = _MOTION_SMALL_ORACLE
     return out
