@@ -4999,6 +4999,236 @@ FROM scored
 """
 
 
+_CLIP_MODEL_PATH = "/dev/shm/ncs_clip_model.json"
+_CLIP_IMG_EMB_DIR = "/dev/shm/ncs_clip_img_emb"
+_CLIP_TXT_EMB_DIR = "/dev/shm/ncs_clip_txt_emb"
+
+
+def _hof_dot(a, b):
+    """Sequential left-fold dot of two array columns — bit-identical to
+    DuckDB list_dot_product (the knn/semantic float-sum invariant)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _clip_zero_shot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniCLIP dual-encoder zero-shot classification with REAL
+    inference on BOTH towers (operators/clip_mini.py — the published
+    CLIP architecture at mini scale, frozen seeded body + the two
+    projections trained with the symmetric InfoNCE objective; reference
+    models/clip.py:34-140). Per doc: a deterministic colored-shape
+    image is ViT-embedded in one mapInPandas pass (B=1 forwards); the
+    12 class captions are text-tower-embedded once. Oracle seam
+    (CLAUDE.md write-then-read): both normalized 768-d embedding tables
+    are materialized as parquet; Spark and DuckDB then replay the SAME
+    downstream — cross join (12 classes, broadcast), sequential-fold
+    cosine (embeddings are L2-normalized so dot = cosine), argmax by
+    (sim desc, cls asc) row_number. The class text embeddings are
+    computed driver-side but both engines read the identical parquet
+    bytes, so the driver-vs-worker one-ulp caveat never crosses the
+    compare."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import clip_mini as CM
+
+    CM.ensure_artifact(_CLIP_MODEL_PATH)
+    model = CM.load_cached(_CLIP_MODEL_PATH)
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("true_cls", T.StringType()),
+            T.StructField("iemb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(it):
+        m = CM.load_cached(_CLIP_MODEL_PATH)
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                img, cls = CM.synth_image(int(d))
+                rows.append(
+                    (int(d), cls, [float(v) for v in m.image_features(img)])
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "true_cls", "iemb"])
+
+    _write_shm(base.mapInPandas(gen, schema), _CLIP_IMG_EMB_DIR)
+    txt = spark.createDataFrame(
+        [
+            (c, [float(v) for v in model.text_features(CM.caption_for(c))])
+            for c in CM.CLASSES
+        ],
+        "cls string, temb array<double>",
+    )
+    _write_shm(txt, _CLIP_TXT_EMB_DIR)
+
+    img_art = spark.read.parquet(_CLIP_IMG_EMB_DIR)
+    txt_art = spark.read.parquet(_CLIP_TXT_EMB_DIR)
+    sims = img_art.crossJoin(F.broadcast(txt_art)).select(
+        "doc_id",
+        "true_cls",
+        "cls",
+        _hof_dot(F.col("iemb"), F.col("temb")).alias("sim"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("cls"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_cls",
+            F.col("cls").alias("pred_cls"),
+            "sim",
+            (F.col("cls") == F.col("true_cls")).alias("correct"),
+        )
+    )
+
+
+_CLIP_ZERO_SHOT_ORACLE = f"""
+WITH img AS (
+  SELECT * FROM read_parquet('{_CLIP_IMG_EMB_DIR}/part*.parquet')
+),
+txt AS (
+  SELECT * FROM read_parquet('{_CLIP_TXT_EMB_DIR}/part*.parquet')
+),
+sims AS (
+  SELECT doc_id, true_cls, cls, list_dot_product(iemb, temb) AS sim
+  FROM img CROSS JOIN txt
+),
+best AS (
+  SELECT doc_id, true_cls, cls, sim,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY sim DESC, cls ASC
+         ) AS rn
+  FROM sims
+)
+SELECT doc_id, true_cls, cls AS pred_cls, sim, cls = true_cls AS correct
+FROM best WHERE rn = 1
+"""
+
+
+_CLIPSCORE_TXT_DIR = "/dev/shm/ncs_clipscore_txt"
+_CLIPSCORE_VID_DIR = "/dev/shm/ncs_clipscore_vid"
+
+
+def _caption_clipscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summarize-then-Align caption evaluation
+    (operators/caption_eval.py; reference eval/video/
+    caption_clipscore.py:80-238) end to end: per-window caption
+    collection -> " ".join task build (collect_tasks Column form) ->
+    the deterministic --load-summaries path with planted cache misses
+    (apply_cached_summaries; missing -> "" + flag, :277-289) -> REAL
+    MiniCLIP text-tower embeddings with uid/label/flag carried through
+    the generator -> join on uid against REAL ViT video-stand-in
+    embeddings -> the reference's _cosine_sim as a sequential-fold
+    Column expression. Oracle seam: both embedding tables materialize
+    as parquet; both engines replay join + cosine
+    (list_dot_product/sqrt vs aggregate(zip_with)/sqrt fold in the same
+    order — hashable unrounded)."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import caption_eval as CE
+    from nemo_curator_spark.operators import clip_mini as CM
+
+    CM.ensure_artifact(_CLIP_MODEL_PATH)
+
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("uid")
+    )
+    vschema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("cls", T.StringType()),
+            T.StructField("vemb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def vgen(it):
+        m = CM.load_cached(_CLIP_MODEL_PATH)
+        for pdf in it:
+            rows = []
+            for d in pdf["uid"]:
+                img, cls = CM.synth_image(int(d))
+                rows.append(
+                    (int(d), cls, [float(v) for v in m.image_features(img)])
+                )
+            yield pd.DataFrame(rows, columns=["uid", "cls", "vemb"])
+
+    _write_shm(base.mapInPandas(vgen, vschema), _CLIPSCORE_VID_DIR)
+    vid = spark.read.parquet(_CLIPSCORE_VID_DIR)
+
+    # two captioner labels with distinct phrasings, per-clip window
+    # caption arrays -> task strings (the reference's metas/v0 walk is
+    # pytest-pinned; the join contract runs here)
+    meta = vid.select(
+        "uid",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("modelA").alias("label"),
+                    F.array(
+                        F.concat(F.lit("a photo of a "), F.col("cls"))
+                    ).alias("captions"),
+                ),
+                F.struct(
+                    F.lit("modelB").alias("label"),
+                    F.array(
+                        F.col("cls"), F.lit("plain background shot")
+                    ).alias("captions"),
+                ),
+            )
+        ).alias("t"),
+    ).select("uid", "t.label", "t.captions")
+    tasks = CE.collect_tasks(meta)
+    # cached-summaries path with planted misses (modelB, uid % 7 == 0)
+    cache = tasks.where(
+        ~((F.col("label") == "modelB") & (F.col("uid") % 7 == 0))
+    ).select("uid", "label", F.col("caption").alias("summary"))
+    summaries = CE.apply_cached_summaries(tasks, cache)
+
+    tembs = CM.clip_text_embeddings(
+        summaries,
+        _CLIP_MODEL_PATH,
+        text_col="summary",
+        out_col="temb",
+        carry_cols=("uid", "label", "summary_missing"),
+    )
+    _write_shm(tembs, _CLIPSCORE_TXT_DIR)
+
+    txt_art = spark.read.parquet(_CLIPSCORE_TXT_DIR)
+    vid_art = spark.read.parquet(_CLIPSCORE_VID_DIR)
+    return txt_art.join(
+        vid_art.select("uid", "vemb"), on="uid", how="inner"
+    ).select(
+        "uid",
+        "label",
+        "summary_missing",
+        CE.cosine_col(F.col("temb"), F.col("vemb")).alias("clip_score"),
+    )
+
+
+_CAPTION_CLIPSCORE_ORACLE = f"""
+WITH txt AS (
+  SELECT * FROM read_parquet('{_CLIPSCORE_TXT_DIR}/part*.parquet')
+),
+vid AS (
+  SELECT * FROM read_parquet('{_CLIPSCORE_VID_DIR}/part*.parquet')
+)
+SELECT txt.uid, txt.label, txt.summary_missing,
+       list_dot_product(temb, vemb)
+         / (sqrt(list_dot_product(temb, temb))
+            * sqrt(list_dot_product(vemb, vemb))) AS clip_score
+FROM txt JOIN vid ON txt.uid = vid.uid
+"""
+
+
 def _cosmos_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosmos-Embed1 frame scheduling (operators/cosmos_embed.py;
     reference stages/video/embedding/cosmos_embed1.py:59-92 +
@@ -5562,19 +5792,18 @@ FROM sampled
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the 15-query always-on core first, then the ten queries
-    new this round (audio_tagging_merge, alm_pretrain_plan,
-    math_extract_types, alm_windows_rows — the round-5 pytest-only
-    families brought into the value-hash gate — plus the mid-round
-    additions interleaved_reindex, audio_band_rolloff,
-    vad_energy_segments, faith_scores_filter, translation_skip_restore,
-    aegis_parse_labels), then the pull-back of the set the r05 window
-    rotated out (semantic dedup, histogram, fasttext-mini,
-    audio/image/video queries, framework + modifier + comment-ratio
-    rows) and five r03-era filter_* rules. Queries
-    driver-green in r04/r05 with untouched logic rotate past 50;
-    scripts/gate_check.py still validates all of them every round
-    (GATE_r6.txt)."""
+    per round — the 15-query always-on core first, then the seven queries
+    new or reworked this round (transnet_scene_clips and
+    whisperx_vad_chunks on REAL mini-model inference,
+    speaker_sep_segments, mos_filter_scores, motion_small_filter — the
+    round-6 pytest-only families brought into the value-hash gate — and
+    the MiniCLIP pair clip_zero_shot / caption_clipscore), then the
+    pull-back of the set the r06 window rotated out (classifier/embedder
+    stages, caption plan, data designer, fine translation, PDF parse,
+    the tpch/events relational block, knn/ann, video/image/chunking,
+    the modifier block). Queries driver-green in earlier rounds with
+    untouched logic rotate past 50; scripts/gate_check.py still
+    validates all of them every round (GATE_r7.txt)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # --- core (always in the window) ---
     out["heuristic_chain_full"] = _chain_full_query
@@ -5599,6 +5828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["speaker_sep_segments"] = _speaker_sep_query  # new r7
     out["mos_filter_scores"] = _mos_filter_query  # new r7
     out["motion_small_filter"] = _motion_small_query  # new r7
+    out["clip_zero_shot"] = _clip_zero_shot_query  # new r7 (MiniCLIP)
+    out["caption_clipscore"] = _caption_clipscore_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -5629,10 +5860,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lineitem_rollup"] = _rollup_query
     out["doc_joiner_roundtrip"] = _joiner_query
     out["embedding_neardup_pairs"] = _embedding_neardup_query
+    # --- past the 50-entry window: driver-green r03..r06, logic
+    # untouched; all still validated every round by scripts/gate_check.py
+    # (filter_html_boilerplate / filter_per_extension rotated out to make
+    # room for the two MiniCLIP queries — both driver-green in r06) ---
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
-    # --- past the 50-entry window: driver-green r03..r06, logic
-    # untouched; all still validated every round by scripts/gate_check.py ---
     out["audio_tagging_merge"] = _audio_tagging_merge_query
     out["alm_pretrain_plan"] = _alm_plan_query
     out["math_extract_types"] = _math_extract_query
@@ -5782,4 +6015,6 @@ def oracle_sql() -> dict[str, str]:
     out["speaker_sep_segments"] = _SPEAKER_SEP_ORACLE
     out["mos_filter_scores"] = _MOS_FILTER_ORACLE
     out["motion_small_filter"] = _MOTION_SMALL_ORACLE
+    out["clip_zero_shot"] = _CLIP_ZERO_SHOT_ORACLE
+    out["caption_clipscore"] = _CAPTION_CLIPSCORE_ORACLE
     return out

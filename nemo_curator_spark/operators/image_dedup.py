@@ -67,13 +67,26 @@ def image_duplicate_ids(
     k: int | None = None,
     threshold: float = 0.99,
     seed: int = 42,
+    clip_model_path: str | None = None,
 ) -> DataFrame:
     """Removal ids for (near-)duplicate images: embed → semantic dedup.
 
     Mirrors the reference's two-stage flow (embedders → semantic dedup →
     removal parquet): the returned DataFrame is exactly what the
-    reference writes to ``removal_parquets_dir``."""
-    feats = image_feature_vectors(df, image_col, id_col)
+    reference writes to ``removal_parquets_dir``. Pass
+    ``clip_model_path`` to embed with the REAL MiniCLIP ViT
+    (operators/clip_mini.py — decode + resize preprocessing, normalized
+    768-d output, the reference's clip_embedder.py role) instead of the
+    pixel-feature stand-in."""
+    if clip_model_path is not None:
+        from nemo_curator_spark.operators import clip_mini
+
+        feats = clip_mini.clip_image_embeddings(
+            df, clip_model_path, id_col=id_col, image_col=image_col,
+            input_format="encoded",
+        )
+    else:
+        feats = image_feature_vectors(df, image_col, id_col)
     return semantic.semantic_duplicate_ids(
         feats, id_col=id_col, vec_col="embedding", k=k,
         threshold=threshold, seed=seed,

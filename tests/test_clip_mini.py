@@ -1,0 +1,179 @@
+"""MiniCLIP — real dual-encoder inference at mini scale.
+
+Pins: save/load bit-exactness, embedding normalization, zero-shot
+held-out accuracy (the contrastive probe actually aligned the two
+towers), the causal text mask (prefix invariance), and the Spark
+embedding form agreeing with driver-side features on the same bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nemo_curator_spark.operators import clip_mini as cm
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("clip") / "clip.mini.json")
+    cm.ensure_artifact(path)
+    return cm.load_cached(path), path
+
+
+def test_save_load_bit_exact(model, tmp_path):
+    m, _ = model
+    p2 = str(tmp_path / "again.json")
+    m.save(p2)
+    m2 = cm.MiniCLIP.load(p2)
+    img, _ = cm.synth_image(5)
+    assert np.array_equal(m.image_features(img), m2.image_features(img))
+    assert np.array_equal(
+        m.text_features("a photo of a red square"),
+        m2.text_features("a photo of a red square"),
+    )
+
+
+def test_embeddings_normalized(model):
+    m, _ = model
+    img, _ = cm.synth_image(9)
+    assert m.image_features(img).shape == (cm.EMBED_DIM,)
+    assert np.sqrt((m.image_features(img) ** 2).sum()) == pytest.approx(1.0)
+    assert np.sqrt(
+        (m.text_features("a photo of a blue circle") ** 2).sum()
+    ) == pytest.approx(1.0)
+
+
+def test_zero_shot_heldout_accuracy(model):
+    # classify held-out images against the 12 class captions by cosine;
+    # chance is 1/12 ~ 0.083
+    m, _ = model
+    class_embs = np.stack(
+        [m.text_features(cm.caption_for(c)) for c in cm.CLASSES]
+    )
+    correct = total = 0
+    for seed in range(5000, 5080):  # seeds never used in training
+        img, cls = cm.synth_image(seed)
+        sims = class_embs @ m.image_features(img)
+        pred = cm.CLASSES[int(np.argmax(sims))]
+        correct += int(pred == cls)
+        total += 1
+    assert correct / total >= 0.7, (correct, total)
+
+
+def test_text_causal_mask(model):
+    # causal text tower: the hidden at position i must not change when
+    # tokens are APPENDED after it — compare the shared-prefix pooled
+    # state via a text whose EOT position is inside the other's prefix
+    m, _ = model
+    a = m._text_pooled("a photo of")
+    b_seq_prefix = m._text_pooled("a photo of")  # determinism
+    assert np.array_equal(a, b_seq_prefix)
+    # append tokens: last-token hidden of the SHORT text equals the
+    # hidden at that position inside the longer sequence
+    p = m.p
+    ids_long = cm._hash_tokens(
+        "a photo of a red square", p["vocab"], p["txt_ctx"]
+    )
+    seq = p["txt_emb"][np.asarray(ids_long)] + p["txt_pos"][: len(ids_long)]
+    seq = m._blocks(seq, "txt", causal=True)
+    from nemo_curator_spark.operators.mini_transformer import layer_norm
+
+    h3 = layer_norm(seq, p["txt_lnf_g"], p["txt_lnf_b"])[2]
+    assert np.allclose(a, h3, atol=0, rtol=0)
+
+
+def test_preprocess_encoded_image(model):
+    # PPM decode + exact bilinear resize to the model input; a
+    # 24x24 source is the identity map (half-pixel centers, factor 1)
+    from nemo_curator_spark.operators import multimodal
+
+    m, _ = model
+    img, _ = cm.synth_image(7)
+    raw = multimodal.encode_ppm(img)
+    pre = cm.preprocess_image(raw)
+    assert pre.shape == (cm.IMG_SIZE, cm.IMG_SIZE, 3)
+    assert np.array_equal(pre, img.astype(np.float64))
+    # non-square/other-size input resizes to model shape and embeds
+    big = np.zeros((40, 60, 3), dtype=np.uint8)
+    big[:, :30] = (200, 40, 40)
+    emb = m.image_features(cm.preprocess_image(multimodal.encode_ppm(big)))
+    assert emb.shape == (cm.EMBED_DIM,)
+    assert np.sqrt((emb**2).sum()) == pytest.approx(1.0)
+
+
+def test_clip_text_embeddings_carry(spark, model):
+    m, path = model
+    df = spark.createDataFrame(
+        [(1, "x", "a photo of a red square"), (2, "y", "a photo of a blue circle")],
+        "doc_id long, tag string, text string",
+    )
+    rows = cm.clip_text_embeddings(
+        df, path, carry_cols=("doc_id", "tag")
+    ).collect()
+    got = {r["doc_id"]: (r["tag"], np.asarray(r["embedding"])) for r in rows}
+    assert got[1][0] == "x" and got[2][0] == "y"
+    assert np.allclose(
+        got[1][1], m.text_features("a photo of a red square"),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_clip_image_filters_composite(spark, model):
+    _, path = model
+    img, _ = cm.synth_image(42)
+    df = spark.createDataFrame(
+        [(1, bytearray(img.tobytes()))], "image_id long, image binary"
+    )
+    row = cm.clip_image_filters(df, path).collect()[0]
+    assert set(row.asDict()) == {
+        "image_id", "embedding", "aesthetic_score", "nsfw_score"
+    }
+    assert np.isfinite(row["aesthetic_score"])
+    assert 0.0 <= row["nsfw_score"] <= 1.0
+
+
+def test_image_dedup_clip_routing(spark, model):
+    # exact-duplicate images (same content key) must land in the removal
+    # set when embedded through the REAL MiniCLIP path
+    from nemo_curator_spark.operators import image_dedup as ID
+
+    _, path = model
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(8)], "image_id long"
+    )
+    # ids 6,7 duplicate ids 0,1's pixel content
+    dup = ID.with_synth_images(
+        base.withColumn("ckey", (F.col("image_id") % 6).cast("long")),
+        content_key_col="ckey",
+    )
+    ids = ID.image_duplicate_ids(
+        dup, threshold=0.999999, clip_model_path=path
+    )
+    got = {r["image_id"] for r in ids.collect()}
+    # one of each byte-identical pair {0,6} and {1,7} is removed
+    assert len(got & {0, 6}) == 1 and len(got & {1, 7}) == 1
+    assert not got - {0, 1, 6, 7}
+
+
+def test_spark_embeddings_match_driver(spark, model):
+    m, path = model
+    rows = []
+    want = {}
+    for iid, seed in [(1, 100), (2, 101), (3, 102)]:
+        img, _ = cm.synth_image(seed)
+        rows.append((iid, bytearray(img.tobytes())))
+        want[iid] = m.image_features(img)
+    df = spark.createDataFrame(rows, "image_id long, image binary")
+    got = {
+        r["image_id"]: np.asarray(r["embedding"])
+        for r in cm.clip_image_embeddings(df, path).collect()
+    }
+    assert set(got) == set(want)
+    for iid in want:
+        # worker vs driver may differ by one ulp (kernel selection) —
+        # assert closeness here; bit-identity is asserted between two
+        # Spark passes in the gate (per CLAUDE.md)
+        assert np.allclose(got[iid], want[iid], rtol=0, atol=1e-12)
