@@ -5229,6 +5229,82 @@ FROM txt JOIN vid ON txt.uid = vid.uid
 """
 
 
+_BENCH_CAND_DIR = "/dev/shm/ncs_benchsel_cand"
+
+
+def _benchmark_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-dataset diversity selection
+    (operators/benchmark_dataset.py; reference eval/video/
+    build_benchmark_dataset.py:115-166): raw-vector L2 K-means over the
+    embeddings table (bounded driver fit), per-cluster best-per-source
+    reduction + double ranking to the bounded candidate table, then the
+    greedy unique-source walk. Oracle seam: the candidate table is the
+    parquet artifact; Spark replays the walk as the bounded driver-side
+    python fold and DuckDB replays it INDEPENDENTLY as a recursive CTE
+    carrying the used-source list accumulator (the greedy-packing
+    pattern) — first eligible candidate by rank via NOT EXISTS argmin,
+    rank-1 fallback when no source is eligible. Sources are planted
+    with collisions (mod 37) and unknowns ('', mod 11) so both the
+    unique-source scan and the fallback branch execute."""
+    from nemo_curator_spark.operators import benchmark_dataset as BD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("uid"),
+        "embedding",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("vid"), (F.col("vec_id") % 37).cast("string"))
+        )
+        .alias("source_video"),
+    )
+    cand = BD.cluster_candidates(
+        emb, num_clusters=32, seed=42, train_cap=2000
+    )
+    _write_shm(cand, _BENCH_CAND_DIR)
+    art = spark.read.parquet(_BENCH_CAND_DIR)
+    picked = BD.select_representatives(art.collect(), 32)
+    return spark.createDataFrame(
+        picked, "cluster int, uid long, src string, dist double"
+    )
+
+
+_BENCHMARK_SELECT_ORACLE = f"""
+WITH RECURSIVE cand AS (
+  SELECT c.cluster, c.rnk, c.uid, c.src, c.dist, d.ki
+  FROM read_parquet('{_BENCH_CAND_DIR}/part*.parquet') c
+  JOIN (
+    SELECT cluster, row_number() OVER (ORDER BY cluster) - 1 AS ki
+    FROM (
+      SELECT DISTINCT cluster
+      FROM read_parquet('{_BENCH_CAND_DIR}/part*.parquet')
+    )
+  ) d USING (cluster)
+),
+walk(ki, cluster, uid, src, dist, used) AS (
+  SELECT -1, CAST(NULL AS INT), CAST(NULL AS BIGINT),
+         CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+         CAST([] AS VARCHAR[])
+  UNION ALL
+  SELECT c.ki, c.cluster, c.uid, c.src, c.dist,
+         CASE WHEN c.src <> '' THEN list_append(w.used, c.src)
+              ELSE w.used END
+  FROM walk w JOIN cand c ON c.ki = w.ki + 1
+  WHERE CASE WHEN EXISTS (
+            SELECT 1 FROM cand e
+            WHERE e.ki = c.ki AND e.src <> ''
+              AND NOT list_contains(w.used, e.src))
+        THEN c.src <> '' AND NOT list_contains(w.used, c.src)
+             AND NOT EXISTS (
+               SELECT 1 FROM cand e2
+               WHERE e2.ki = c.ki AND e2.src <> ''
+                 AND NOT list_contains(w.used, e2.src)
+                 AND e2.rnk < c.rnk)
+        ELSE c.rnk = 1 END
+)
+SELECT cluster, uid, src, dist FROM walk WHERE ki >= 0
+"""
+
+
 def _cosmos_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosmos-Embed1 frame scheduling (operators/cosmos_embed.py;
     reference stages/video/embedding/cosmos_embed1.py:59-92 +
@@ -5796,8 +5872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new or reworked this round (transnet_scene_clips and
     whisperx_vad_chunks on REAL mini-model inference,
     speaker_sep_segments, mos_filter_scores, motion_small_filter — the
-    round-6 pytest-only families brought into the value-hash gate — and
-    the MiniCLIP pair clip_zero_shot / caption_clipscore), then the
+    round-6 pytest-only families brought into the value-hash gate — the
+    MiniCLIP pair clip_zero_shot / caption_clipscore, and
+    benchmark_select_reps), then the
     pull-back of the set the r06 window rotated out (classifier/embedder
     stages, caption plan, data designer, fine translation, PDF parse,
     the tpch/events relational block, knn/ann, video/image/chunking,
@@ -5830,6 +5907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["motion_small_filter"] = _motion_small_query  # new r7
     out["clip_zero_shot"] = _clip_zero_shot_query  # new r7 (MiniCLIP)
     out["caption_clipscore"] = _caption_clipscore_query  # new r7
+    out["benchmark_select_reps"] = _benchmark_select_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -5859,11 +5937,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_set_ops"] = _set_ops_query
     out["lineitem_rollup"] = _rollup_query
     out["doc_joiner_roundtrip"] = _joiner_query
-    out["embedding_neardup_pairs"] = _embedding_neardup_query
     # --- past the 50-entry window: driver-green r03..r06, logic
     # untouched; all still validated every round by scripts/gate_check.py
-    # (filter_html_boilerplate / filter_per_extension rotated out to make
-    # room for the two MiniCLIP queries — both driver-green in r06) ---
+    # (embedding_neardup_pairs / filter_html_boilerplate /
+    # filter_per_extension rotated out to make room for the three new
+    # r7 queries — all driver-green in r06) ---
+    out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
     out["audio_tagging_merge"] = _audio_tagging_merge_query
@@ -6017,4 +6096,5 @@ def oracle_sql() -> dict[str, str]:
     out["motion_small_filter"] = _MOTION_SMALL_ORACLE
     out["clip_zero_shot"] = _CLIP_ZERO_SHOT_ORACLE
     out["caption_clipscore"] = _CAPTION_CLIPSCORE_ORACLE
+    out["benchmark_select_reps"] = _BENCHMARK_SELECT_ORACLE
     return out
