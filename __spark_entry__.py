@@ -5229,6 +5229,145 @@ FROM txt JOIN vid ON txt.uid = vid.uid
 """
 
 
+_SORTFORMER_MODEL_PATH = "/dev/shm/ncs_sortformer_model.json"
+_SORTFORMER_ACT_DIR = "/dev/shm/ncs_sortformer_act"
+
+
+def _sortformer_diar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speaker diarization with REAL MiniSortFormer inference
+    (operators/sortformer_mini.py + operators/diarization.py; reference
+    stages/audio/inference/speaker_diarization/sortformer.py:86-238).
+    Per doc (1 in 3), a deterministic multi-speaker clip is scored
+    frame-by-frame by the trained net (mel front end -> frozen
+    transformer body -> 4-unit sigmoid head, per-worker weight
+    artifact, held-out frame F1 ~0.99); the per-frame per-channel
+    activities are the parquet seam. BOTH engines then replay the
+    model-free half — threshold islands per identity channel
+    (gaps-and-islands: frame - row_number), arrival-order channel
+    relabeling (the published sort contract: row_number over first
+    active time), segment bounds as raw MIN/MAX of materialized frame
+    times (no arithmetic, hashable unrounded). The python walk
+    (diar_segments -> parse_sortformer_segments) is pinned equal to
+    this plan by tests/test_sortformer_mini.py."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import sortformer_mini as SM
+
+    SM.ensure_artifact(_SORTFORMER_MODEL_PATH)
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame", T.IntegerType()),
+            T.StructField("t0", T.DoubleType()),
+            T.StructField("t1", T.DoubleType()),
+        ]
+        + [T.StructField(f"p{c}", T.DoubleType()) for c in range(SM.N_SPK)]
+    )
+
+    def gen(it):
+        model = SM.load_cached(_SORTFORMER_MODEL_PATH)
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                wav, _ = SM.synth_diar_clip(int(d))
+                probs, times = model.activities(wav)
+                for f_idx in range(probs.shape[0]):
+                    t = float(times[f_idx])
+                    rows.append(
+                        (int(d), f_idx, t, t + SM.FRAME_SEC)
+                        + tuple(float(v) for v in probs[f_idx])
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    _write_shm(base.mapInPandas(gen, schema), _SORTFORMER_ACT_DIR)
+    act = spark.read.parquet(_SORTFORMER_ACT_DIR)
+
+    lo = act.select(
+        "doc_id",
+        "frame",
+        "t0",
+        "t1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"), F.col(f"p{c}").alias("p")
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cp"),
+    ).select("doc_id", "frame", "t0", "t1", "cp.c", "cp.p")
+    active = lo.where(F.col("p") > F.lit(0.5))
+    w_isl = Window.partitionBy("doc_id", "c").orderBy("frame")
+    segs = (
+        active.withColumn(
+            "grp", F.col("frame") - F.row_number().over(w_isl)
+        )
+        .groupBy("doc_id", "c", "grp")
+        .agg(
+            F.min("t0").alias("seg_start"), F.max("t1").alias("seg_end")
+        )
+    )
+    w_arr = Window.partitionBy("doc_id").orderBy("first_start", "c")
+    order_map = (
+        segs.groupBy("doc_id", "c")
+        .agg(F.min("seg_start").alias("first_start"))
+        .withColumn("arr", F.row_number().over(w_arr) - 1)
+    )
+    return segs.join(order_map, on=["doc_id", "c"]).select(
+        "doc_id",
+        F.concat(F.lit("speaker_"), F.col("arr").cast("string")).alias(
+            "speaker"
+        ),
+        "seg_start",
+        "seg_end",
+    )
+
+
+_SORTFORMER_DIAR_ORACLE = f"""
+WITH act AS (
+  SELECT * FROM read_parquet('{_SORTFORMER_ACT_DIR}/part*.parquet')
+),
+lo AS (
+  SELECT doc_id, frame, t0, t1, 0 AS c, p0 AS p FROM act
+  UNION ALL SELECT doc_id, frame, t0, t1, 1, p1 FROM act
+  UNION ALL SELECT doc_id, frame, t0, t1, 2, p2 FROM act
+  UNION ALL SELECT doc_id, frame, t0, t1, 3, p3 FROM act
+),
+active AS (SELECT * FROM lo WHERE p > 0.5),
+isl AS (
+  SELECT doc_id, c, t0, t1,
+         frame - row_number() OVER (
+           PARTITION BY doc_id, c ORDER BY frame
+         ) AS grp
+  FROM active
+),
+segs AS (
+  SELECT doc_id, c, MIN(t0) AS seg_start, MAX(t1) AS seg_end
+  FROM isl GROUP BY doc_id, c, grp
+),
+order_map AS (
+  SELECT doc_id, c,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY MIN(seg_start), c
+         ) - 1 AS arr
+  FROM segs GROUP BY doc_id, c
+)
+SELECT s.doc_id,
+       'speaker_' || CAST(o.arr AS VARCHAR) AS speaker,
+       s.seg_start, s.seg_end
+FROM segs s JOIN order_map o ON s.doc_id = o.doc_id AND s.c = o.c
+"""
+
+
 _BENCH_CAND_DIR = "/dev/shm/ncs_benchsel_cand"
 
 
@@ -5908,6 +6047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["clip_zero_shot"] = _clip_zero_shot_query  # new r7 (MiniCLIP)
     out["caption_clipscore"] = _caption_clipscore_query  # new r7
     out["benchmark_select_reps"] = _benchmark_select_query  # new r7
+    out["sortformer_diar_segments"] = _sortformer_diar_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -5936,12 +6076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_fasttext_label"] = _fasttext_label_query
     out["doc_set_ops"] = _set_ops_query
     out["lineitem_rollup"] = _rollup_query
-    out["doc_joiner_roundtrip"] = _joiner_query
     # --- past the 50-entry window: driver-green r03..r06, logic
     # untouched; all still validated every round by scripts/gate_check.py
-    # (embedding_neardup_pairs / filter_html_boilerplate /
-    # filter_per_extension rotated out to make room for the three new
-    # r7 queries — all driver-green in r06) ---
+    # (doc_joiner_roundtrip / embedding_neardup_pairs /
+    # filter_html_boilerplate / filter_per_extension rotated out to make
+    # room for the four new r7 queries — all driver-green in r06) ---
+    out["doc_joiner_roundtrip"] = _joiner_query
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
     out["filter_per_extension"] = _per_extension_query
@@ -6097,4 +6237,5 @@ def oracle_sql() -> dict[str, str]:
     out["clip_zero_shot"] = _CLIP_ZERO_SHOT_ORACLE
     out["caption_clipscore"] = _CAPTION_CLIPSCORE_ORACLE
     out["benchmark_select_reps"] = _BENCHMARK_SELECT_ORACLE
+    out["sortformer_diar_segments"] = _SORTFORMER_DIAR_ORACLE
     return out
