@@ -334,3 +334,23 @@ def ensure_artifact(path: str, seed: int = 42) -> str:
         model = train_head(MiniSortFormer.init(seed=seed))
         model.save(path)
     return path
+
+
+def diarizer(path: str, onset: float = 0.5):
+    """The ``SpeakerSeparationStage.diarize`` plug
+    (operators/speaker_sep.py: ``diarize(waveform, sample_rate) ->
+    [segment strings]`` — the reference's NeMo SortFormer seam,
+    speaker_separation.py:64-248) backed by the cached MiniSortFormer
+    artifact. int16 waveforms are rescaled to the float range the net
+    was trained on."""
+
+    def _diarize(waveform, sample_rate):
+        wav = np.asarray(waveform)
+        if wav.dtype == np.int16:
+            wav = wav.astype(np.float64) / 32768.0
+        return diar_segments(
+            load_cached(path), np.asarray(wav, dtype=np.float64),
+            int(sample_rate), onset=onset,
+        )
+
+    return _diarize

@@ -251,6 +251,27 @@ def test_add_vad_segments_walk():
     assert segs == want
 
 
+def test_speaker_separation_with_real_diarizer(model):
+    # the full reference speaker-separation stage driven by REAL
+    # MiniSortFormer inference through its diarize seam
+    from nemo_curator_spark.operators import speaker_sep as SS
+
+    _, path = model
+    wav, segs = SM.synth_diar_clip(12345)  # two speakers, overlapping
+    stage = SS.SpeakerSeparationStage(
+        diarize=SM.diarizer(path), min_duration=0.2, exclude_overlaps=False
+    )
+    items = stage.process_entry(
+        {"waveform": wav, "sample_rate": SM.SR, "audio_item_id": "c1"}
+    )
+    assert len(items) == len({s for s, *_ in segs})
+    for item in items:
+        assert item["num_speakers"] == len(items)
+        assert item["sample_rate"] == SM.SR
+        assert item["duration"] > 0
+        assert item["waveform"].dtype == np.int16
+
+
 def test_spark_diarize_rows(spark, model):
     _, path = model
     df = spark.createDataFrame([(5,), (9,)], "doc_id long")
