@@ -5368,6 +5368,101 @@ FROM segs s JOIN order_map o ON s.doc_id = o.doc_id AND s.c = o.c
 """
 
 
+_ASR_MODEL_PATH = "/dev/shm/ncs_asr_model.json"
+_ASR_FRAMES_DIR = "/dev/shm/ncs_asr_frames"
+
+
+def _asr_transcribe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech recognition with REAL MiniASR inference
+    (operators/asr_mini.py + operators/asr_stage.py; reference
+    stages/audio/inference/asr/{stage,asr_nemo}.py). Per doc (1 in 3),
+    a deterministic tone-coded utterance is scored frame-by-frame by
+    the trained net (mel front end -> frozen transformer body ->
+    softmax head over 10 words + CTC blank; held-out utterance exact
+    match 1.00); the per-frame ARGMAX token ids — integers, exact —
+    are the parquet seam. BOTH engines then replay the published
+    greedy-CTC best-path decode: drop consecutive repeats (lag
+    window), drop blanks, ordered word join."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import asr_mini as AM
+
+    AM.ensure_artifact(_ASR_MODEL_PATH)
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame", T.IntegerType()),
+            T.StructField("tok", T.IntegerType()),
+        ]
+    )
+
+    def gen(it):
+        model = AM.load_cached(_ASR_MODEL_PATH)
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                wav, _, _ = AM.synth_utterance(int(d))
+                ids = model.frame_token_ids(wav)
+                rows.extend(
+                    (int(d), i, int(t)) for i, t in enumerate(ids)
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "tok"])
+
+    _write_shm(base.mapInPandas(gen, schema), _ASR_FRAMES_DIR)
+    frames = spark.read.parquet(_ASR_FRAMES_DIR)
+
+    vocab_arr = F.array(*[F.lit(w) for w in AM.VOCAB])
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    collapsed = frames.withColumn("prev", F.lag("tok").over(w)).where(
+        F.col("prev").isNull() | (F.col("tok") != F.col("prev"))
+    )
+    words = collapsed.where(F.col("tok") != 0).select(
+        "doc_id", "frame", F.element_at(vocab_arr, F.col("tok")).alias("word")
+    )
+    return words.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("frame", "word"))
+                ),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("pred_text"),
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+    )
+
+
+def _asr_transcribe_oracle() -> str:
+    from nemo_curator_spark.operators import asr_mini as AM
+
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in AM.VOCAB) + "]"
+    return f"""
+WITH frames AS (
+  SELECT * FROM read_parquet('{_ASR_FRAMES_DIR}/part*.parquet')
+),
+collapsed AS (
+  SELECT doc_id, frame, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+  FROM frames
+),
+words AS (
+  SELECT doc_id, frame, {vocab_sql}[tok] AS word
+  FROM collapsed
+  WHERE (prev IS NULL OR tok <> prev) AND tok <> 0
+)
+SELECT doc_id,
+       string_agg(word, ' ' ORDER BY frame) AS pred_text,
+       CAST(COUNT(*) AS INT) AS n_words
+FROM words GROUP BY doc_id
+"""
+
+
 _BENCH_CAND_DIR = "/dev/shm/ncs_benchsel_cand"
 
 
@@ -6007,13 +6102,14 @@ FROM sampled
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
-    per round — the 15-query always-on core first, then the seven queries
+    per round — the 15-query always-on core first, then the ten queries
     new or reworked this round (transnet_scene_clips and
     whisperx_vad_chunks on REAL mini-model inference,
     speaker_sep_segments, mos_filter_scores, motion_small_filter — the
     round-6 pytest-only families brought into the value-hash gate — the
-    MiniCLIP pair clip_zero_shot / caption_clipscore, and
-    benchmark_select_reps), then the
+    MiniCLIP pair clip_zero_shot / caption_clipscore,
+    benchmark_select_reps, and the real-inference
+    sortformer_diar_segments / asr_transcribe_greedy), then the
     pull-back of the set the r06 window rotated out (classifier/embedder
     stages, caption plan, data designer, fine translation, PDF parse,
     the tpch/events relational block, knn/ann, video/image/chunking,
@@ -6048,6 +6144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["caption_clipscore"] = _caption_clipscore_query  # new r7
     out["benchmark_select_reps"] = _benchmark_select_query  # new r7
     out["sortformer_diar_segments"] = _sortformer_diar_query  # new r7
+    out["asr_transcribe_greedy"] = _asr_transcribe_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -6075,12 +6172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_boilerplate"] = _boilerplate_query
     out["modifier_fasttext_label"] = _fasttext_label_query
     out["doc_set_ops"] = _set_ops_query
-    out["lineitem_rollup"] = _rollup_query
     # --- past the 50-entry window: driver-green r03..r06, logic
     # untouched; all still validated every round by scripts/gate_check.py
-    # (doc_joiner_roundtrip / embedding_neardup_pairs /
+    # (lineitem_rollup / doc_joiner_roundtrip / embedding_neardup_pairs /
     # filter_html_boilerplate / filter_per_extension rotated out to make
-    # room for the four new r7 queries — all driver-green in r06) ---
+    # room for the five new r7 queries — all driver-green in r06) ---
+    out["lineitem_rollup"] = _rollup_query
     out["doc_joiner_roundtrip"] = _joiner_query
     out["embedding_neardup_pairs"] = _embedding_neardup_query
     out["filter_html_boilerplate"] = _html_boilerplate_query
@@ -6238,4 +6335,5 @@ def oracle_sql() -> dict[str, str]:
     out["caption_clipscore"] = _CAPTION_CLIPSCORE_ORACLE
     out["benchmark_select_reps"] = _BENCHMARK_SELECT_ORACLE
     out["sortformer_diar_segments"] = _SORTFORMER_DIAR_ORACLE
+    out["asr_transcribe_greedy"] = _asr_transcribe_oracle()
     return out

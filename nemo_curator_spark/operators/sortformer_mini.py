@@ -83,14 +83,37 @@ def mel_filterbank(n_mels: int = N_MELS, n_fft: int = FRAME,
     return fb
 
 
+_FB = None
+_WIN = None
+
+
+def logmel_frames(wav: np.ndarray) -> np.ndarray:
+    """waveform -> (T, N_MELS) log-mel frames, 4x average-pooled — the
+    shared mini acoustic front end (MiniSortFormer + MiniASR)."""
+    global _FB, _WIN
+    if _FB is None:
+        _FB = mel_filterbank()
+        _WIN = np.hamming(FRAME)
+    x = np.asarray(wav, dtype=np.float64)
+    n = (len(x) - FRAME) // HOP + 1
+    if n <= 0:
+        return np.zeros((0, N_MELS))
+    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n)[:, None]
+    frames = x[idx] * _WIN[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    mel = np.log1p(mag @ _FB.T)
+    t = (n // SUBSAMPLE) * SUBSAMPLE
+    if t == 0:
+        return np.zeros((0, N_MELS))
+    return mel[:t].reshape(t // SUBSAMPLE, SUBSAMPLE, N_MELS).mean(axis=1)
+
+
 class MiniSortFormer:
     """Deterministic numpy diarizer with save/load; only the 4-unit
     head is trained."""
 
     def __init__(self, params: dict):
         self.p = params
-        self._fb = mel_filterbank()
-        self._win = np.hamming(FRAME)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -122,18 +145,7 @@ class MiniSortFormer:
     # ------------------------------------------------------------------
     def _features(self, wav: np.ndarray) -> np.ndarray:
         """waveform -> (T, N_MELS) log-mel frames, 4x pooled."""
-        x = np.asarray(wav, dtype=np.float64)
-        n = (len(x) - FRAME) // HOP + 1
-        if n <= 0:
-            return np.zeros((0, N_MELS))
-        idx = np.arange(FRAME)[None, :] + HOP * np.arange(n)[:, None]
-        frames = x[idx] * self._win[None, :]
-        mag = np.abs(np.fft.rfft(frames, axis=1))
-        mel = np.log1p(mag @ self._fb.T)
-        t = (n // SUBSAMPLE) * SUBSAMPLE
-        if t == 0:
-            return np.zeros((0, N_MELS))
-        return mel[:t].reshape(t // SUBSAMPLE, SUBSAMPLE, N_MELS).mean(axis=1)
+        return logmel_frames(wav)
 
     def _body(self, feats: np.ndarray) -> np.ndarray:
         """(T, N_MELS) -> (T, width) through the frozen pre-LN stack
