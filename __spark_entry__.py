@@ -5463,6 +5463,116 @@ FROM words GROUP BY doc_id
 """
 
 
+_COSMOS_MODEL_PATH = "/dev/shm/ncs_cosmos_model.json"
+_COSMOS_VID_EMB_DIR = "/dev/shm/ncs_cosmos_vid_emb"
+_COSMOS_TXT_EMB_DIR = "/dev/shm/ncs_cosmos_txt_emb"
+
+
+def _cosmos_zero_shot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosmos-Embed1 zero-shot clip classification with REAL inference
+    on BOTH towers (operators/cosmos_mini.py behind the
+    cosmos_embed.py encoder/text_encoder seams; reference
+    models/cosmos_embed1.py:109-188). Per doc (1 in 5), a deterministic
+    synthetic clip runs the exact formulate_input_frames preprocessing
+    and the MiniCosmosEmbed video tower in one mapInPandas pass (B=1);
+    the 12 class captions run the text tower once. Oracle seam: both
+    L2-normalized 256-d embedding tables materialize as parquet; both
+    engines replay broadcast cross join + fold-cosine + argmax (the
+    clip_zero_shot protocol — cosine ranking is softmax(100x)'s
+    ranking, keeping exp() out of the gate per the house rule)."""
+    from pyspark.sql import types as T
+
+    from nemo_curator_spark.operators import cosmos_embed as CEB
+    from nemo_curator_spark.operators import cosmos_mini as CMM
+
+    CMM.ensure_artifact(_COSMOS_MODEL_PATH)
+    model = CMM.load_cached(_COSMOS_MODEL_PATH)
+
+    base = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("true_cls", T.StringType()),
+            T.StructField("vemb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def gen(it):
+        m = CMM.load_cached(_COSMOS_MODEL_PATH)
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                frames, cls = CMM.synth_video(int(d))
+                tensor = CEB.formulate_input_frames(frames, CMM.MINI_CONFIG)
+                emb = m.encode_video_frames(tensor)[0]
+                rows.append((int(d), cls, [float(v) for v in emb]))
+            yield pd.DataFrame(rows, columns=["doc_id", "true_cls", "vemb"])
+
+    _write_shm(base.mapInPandas(gen, schema), _COSMOS_VID_EMB_DIR)
+    txt = spark.createDataFrame(
+        [
+            (
+                c,
+                [
+                    float(v)
+                    for v in model.get_text_embedding(CMM.caption_for(c))[0]
+                ],
+            )
+            for c in CMM.CLASSES
+        ],
+        "cls string, temb array<double>",
+    )
+    _write_shm(txt, _COSMOS_TXT_EMB_DIR)
+
+    vid_art = spark.read.parquet(_COSMOS_VID_EMB_DIR)
+    txt_art = spark.read.parquet(_COSMOS_TXT_EMB_DIR)
+    sims = vid_art.crossJoin(F.broadcast(txt_art)).select(
+        "doc_id",
+        "true_cls",
+        "cls",
+        _hof_dot(F.col("vemb"), F.col("temb")).alias("sim"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sim"), F.asc("cls"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_cls",
+            F.col("cls").alias("pred_cls"),
+            "sim",
+            (F.col("cls") == F.col("true_cls")).alias("correct"),
+        )
+    )
+
+
+_COSMOS_ZERO_SHOT_ORACLE = f"""
+WITH vid AS (
+  SELECT * FROM read_parquet('{_COSMOS_VID_EMB_DIR}/part*.parquet')
+),
+txt AS (
+  SELECT * FROM read_parquet('{_COSMOS_TXT_EMB_DIR}/part*.parquet')
+),
+sims AS (
+  SELECT doc_id, true_cls, cls, list_dot_product(vemb, temb) AS sim
+  FROM vid CROSS JOIN txt
+),
+best AS (
+  SELECT doc_id, true_cls, cls, sim,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY sim DESC, cls ASC
+         ) AS rn
+  FROM sims
+)
+SELECT doc_id, true_cls, cls AS pred_cls, sim, cls = true_cls AS correct
+FROM best WHERE rn = 1
+"""
+
+
 _BENCH_CAND_DIR = "/dev/shm/ncs_benchsel_cand"
 
 
@@ -6176,7 +6286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # untouched; all still validated every round by scripts/gate_check.py
     # (lineitem_rollup / doc_joiner_roundtrip / embedding_neardup_pairs /
     # filter_html_boilerplate / filter_per_extension rotated out to make
-    # room for the five new r7 queries — all driver-green in r06) ---
+    # room for the five new r7 queries — all driver-green in r06).
+    # cosmos_zero_shot is new-r7 but past-window by design: ten new
+    # queries already occupy the round's window budget; it is
+    # value-hash-proven by the full gate replica (GATE_r7.txt) ---
+    out["cosmos_zero_shot"] = _cosmos_zero_shot_query  # new r7
     out["lineitem_rollup"] = _rollup_query
     out["doc_joiner_roundtrip"] = _joiner_query
     out["embedding_neardup_pairs"] = _embedding_neardup_query
@@ -6336,4 +6450,5 @@ def oracle_sql() -> dict[str, str]:
     out["benchmark_select_reps"] = _BENCHMARK_SELECT_ORACLE
     out["sortformer_diar_segments"] = _SORTFORMER_DIAR_ORACLE
     out["asr_transcribe_greedy"] = _asr_transcribe_oracle()
+    out["cosmos_zero_shot"] = _COSMOS_ZERO_SHOT_ORACLE
     return out
