@@ -6209,6 +6209,60 @@ FROM sampled
 """
 
 
+_CHATLM_MODEL_PATH = "/dev/shm/ncs_chatlm_model.json"
+_CHATLM_ORACLE_DIR = "/dev/shm/ncs_chatlm_oracle"
+
+
+def _llm_completion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL generative LLM inference through the ``LLMClient`` contract
+    (reference models/client/llm_client.py:51-73): MiniChatLM — a
+    deterministic decoder-only causal transformer with a trained
+    next-token head (operators/chatlm_mini.py) — greedy-decodes a
+    continuation of each document's first 12 words, one mapInPandas
+    pass, weight artifact loaded once per worker. Greedy decode is a
+    sequential non-SQL computation, so the oracle-seam rule applies:
+    the generated completions are the artifact (write-then-read
+    protocol) and BOTH engines replay the deterministic SQL tail
+    (ISPACE-class word count + first word) over them. Generation
+    itself is pinned by tests/test_chatlm_mini.py (held-out grammar
+    agreement 0.896, two-pass bit-identity, batching invariance)."""
+    from nemo_curator_spark.operators import chatlm_mini as CHAT
+
+    docs = _docs(spark, sf_dir)
+    CHAT.ensure_artifact(_CHATLM_MODEL_PATH)
+    comp = CHAT.llm_complete(
+        docs, _CHATLM_MODEL_PATH, prompt_words=12, max_tokens=12
+    )
+    _write_shm(comp, _CHATLM_ORACLE_DIR)
+    out = spark.read.parquet(_CHATLM_ORACLE_DIR)
+    # completions are single-space word joins (no leading/trailing
+    # space), so the SPLIT class is exact on both engines
+    words = F.split(F.col("completion"), CN.SPLIT_PATTERN)
+    empty = F.col("completion") == ""
+    return out.select(
+        "doc_id",
+        "completion",
+        F.when(empty, F.lit(0))
+        .otherwise(F.size(words))
+        .cast("long")
+        .alias("n_words"),
+        F.when(empty, F.lit("")).otherwise(words.getItem(0)).alias("first_word"),
+    )
+
+
+def _llm_completion_oracle() -> str:
+    return f"""
+SELECT doc_id, completion,
+       CAST(CASE WHEN completion = '' THEN 0
+            ELSE len(regexp_split_to_array(completion, '{CN.SPLIT_PATTERN}'))
+            END AS BIGINT) AS n_words,
+       CASE WHEN completion = '' THEN ''
+            ELSE regexp_split_to_array(completion, '{CN.SPLIT_PATTERN}')[1]
+            END AS first_word
+FROM read_parquet('{_CHATLM_ORACLE_DIR}/part*.parquet')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -6218,8 +6272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     speaker_sep_segments, mos_filter_scores, motion_small_filter — the
     round-6 pytest-only families brought into the value-hash gate — the
     MiniCLIP pair clip_zero_shot / caption_clipscore,
-    benchmark_select_reps, and the real-inference
-    sortformer_diar_segments / asr_transcribe_greedy), then the
+    benchmark_select_reps, the real-inference
+    sortformer_diar_segments / asr_transcribe_greedy, and the
+    MiniChatLM generative gate llm_completion_stats), then the
     pull-back of the set the r06 window rotated out (classifier/embedder
     stages, caption plan, data designer, fine translation, PDF parse,
     the tpch/events relational block, knn/ann, video/image/chunking,
@@ -6255,6 +6310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["benchmark_select_reps"] = _benchmark_select_query  # new r7
     out["sortformer_diar_segments"] = _sortformer_diar_query  # new r7
     out["asr_transcribe_greedy"] = _asr_transcribe_query  # new r7
+    out["llm_completion_stats"] = _llm_completion_query  # new r7 (MiniChatLM)
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -6281,7 +6337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_slicer"] = _slicer_query
     out["modifier_boilerplate"] = _boilerplate_query
     out["modifier_fasttext_label"] = _fasttext_label_query
-    out["doc_set_ops"] = _set_ops_query
+    out["doc_set_ops"] = _set_ops_query  # 51st: rotated past the window
+    # by llm_completion_stats (driver-green r05; still in the full gate)
     # --- past the 50-entry window: driver-green r03..r06, logic
     # untouched; all still validated every round by scripts/gate_check.py
     # (lineitem_rollup / doc_joiner_roundtrip / embedding_neardup_pairs /
@@ -6450,5 +6507,6 @@ def oracle_sql() -> dict[str, str]:
     out["benchmark_select_reps"] = _BENCHMARK_SELECT_ORACLE
     out["sortformer_diar_segments"] = _SORTFORMER_DIAR_ORACLE
     out["asr_transcribe_greedy"] = _asr_transcribe_oracle()
+    out["llm_completion_stats"] = _llm_completion_oracle()
     out["cosmos_zero_shot"] = _COSMOS_ZERO_SHOT_ORACLE
     return out
