@@ -6263,6 +6263,206 @@ FROM read_parquet('{_CHATLM_ORACLE_DIR}/part*.parquet')
 """
 
 
+_MEGATRON_SHARD_DIR = "/dev/shm/ncs_megatron_shards"
+_MEGATRON_ORACLE_DIR = "/dev/shm/ncs_megatron_oracle"
+
+
+def _megatron_idx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MegatronTokenizerWriter on-disk contract (reference
+    io/writer/megatron_tokenizer.py:36-240, layout :195-204): the REAL
+    distributed write path (io/megatron.write_megatron — MiniBPE
+    tokenize, one .bin/.idx pair per partition, tmp+rename idempotent
+    shards) runs over the documents table, then every written .idx is
+    parsed BYTE-FOR-BYTE (header, version, dtype code, int32 lengths,
+    int64 cumulative pointers) into the artifact. The oracle replays
+    the layout's one non-trivial invariant in SQL: pointer[i] =
+    token_size * running-sum(lengths[0..i-1]) per shard — so a wrong
+    pointer column, a missing sequence, or a dtype-code mix-up
+    hash-mismatches. Byte layout round-trip is additionally pinned by
+    tests/test_megatron.py."""
+    import os
+    import shutil
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nemo_curator_spark.io import megatron as MEG
+    from nemo_curator_spark.functions import bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # deterministic shard contents: range partition + in-partition sort
+    part = docs.repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id")
+    # bounded deterministic tokenizer-training sample (the BPE gate's
+    # own hash-ordered recipe)
+    sample = [
+        r["text"]
+        for r in docs.select("text").orderBy(F.xxhash64("text")).limit(100).collect()
+    ]
+    merges = bpe.train_bpe(sample, num_merges=64)
+    shutil.rmtree(_MEGATRON_SHARD_DIR, ignore_errors=True)
+    manifest = MEG.write_megatron(part, _MEGATRON_SHARD_DIR, merges).collect()
+    rows = {"shard": [], "seq_i": [], "length": [], "pointer": [], "token_size": []}
+    for m in sorted(manifest, key=lambda r: r["file_prefix"]):
+        prefix = m["file_prefix"]
+        shard = os.path.basename(prefix)
+        with open(prefix + ".idx", "rb") as f:
+            assert f.read(9) == MEG.INDEX_HEADER
+            (version,) = struct.unpack("<Q", f.read(8))
+            (code,) = struct.unpack("<B", f.read(1))
+            (n_seq,) = struct.unpack("<Q", f.read(8))
+            struct.unpack("<Q", f.read(8))  # document count
+            lengths = list(struct.unpack(f"<{n_seq}i", f.read(4 * n_seq)))
+            pointers = list(struct.unpack(f"<{n_seq}q", f.read(8 * n_seq)))
+        esize = 4 if code == 4 else 2
+        rows["shard"].extend([shard] * n_seq)
+        rows["seq_i"].extend(range(n_seq))
+        rows["length"].extend(lengths)
+        rows["pointer"].extend(pointers)
+        rows["token_size"].extend([esize] * n_seq)
+    tmp = _MEGATRON_ORACLE_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table(
+            {
+                "shard": pa.array(rows["shard"], pa.string()),
+                "seq_i": pa.array(rows["seq_i"], pa.int64()),
+                "length": pa.array(rows["length"], pa.int64()),
+                "pointer": pa.array(rows["pointer"], pa.int64()),
+                "token_size": pa.array(rows["token_size"], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "idx.parquet"),
+    )
+    shutil.rmtree(_MEGATRON_ORACLE_DIR, ignore_errors=True)
+    os.replace(tmp, _MEGATRON_ORACLE_DIR)
+    return spark.read.parquet(_MEGATRON_ORACLE_DIR).select(
+        "shard", "seq_i", "length", "pointer", "token_size"
+    )
+
+
+def _megatron_idx_oracle() -> str:
+    return f"""
+SELECT shard, seq_i, length,
+       CAST(token_size * COALESCE(SUM(length) OVER (
+           PARTITION BY shard ORDER BY seq_i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS pointer,
+       token_size
+FROM read_parquet('{_MEGATRON_ORACLE_DIR}/idx.parquet')
+"""
+
+
+def _audio_split_points_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitLongAudioStage.get_split_points (reference
+    stages/audio/tagging/split.py:67-84) — the natural-pause greedy
+    walk: scan time-sorted segments, cut at the PREVIOUS segment end
+    whenever the span since the current split start exceeds the target.
+    Synthetic per-doc segment timelines are built IN THE PLAN from md5
+    dyadic uniforms (gap 0.1+u*2, duration 0.5+v*3, ends via a running
+    window sum — sequential on both engines, bit-identical), the REAL
+    python walk (operators/audio_tagging.get_split_points) runs per doc
+    in one Arrow batch, and the oracle replays synthesis + the
+    accumulator walk as a recursive CTE over row_number (the CLAUDE.md
+    sequential-walk gate pattern). Unrounded doubles are hashable
+    because every emitted split IS one seg_end value (no re-summation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n_seg = (F.pmod(F.col("doc_id"), F.lit(5)) + F.lit(3)).cast("int")
+    segs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i")
+    )
+
+    def u(salt: str):
+        h = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(f":{salt}:"),
+                F.col("i").cast("string"),
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(
+            float(2**32)
+        )
+
+    gap = F.lit(0.1) + u("g") * F.lit(2.0)
+    dur = F.lit(0.5) + u("d") * F.lit(3.0)
+    segs = segs.withColumn("dur", dur).withColumn("seg_span", gap + F.col("dur"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    segs = segs.withColumn("seg_end", F.sum("seg_span").over(w))
+    segs = segs.withColumn("seg_start", F.col("seg_end") - F.col("dur"))
+    arr = segs.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "seg_start", "seg_end"))
+        ).alias("ss")
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _splits(col: pd.Series) -> pd.Series:
+        from nemo_curator_spark.operators.audio_tagging import get_split_points
+
+        out = []
+        for ss in col:
+            segments = [
+                {"start": s["seg_start"], "end": s["seg_end"]} for s in ss
+            ]
+            out.append(get_split_points(segments, 6.0))
+        return pd.Series(out)
+
+    return arr.select(
+        "doc_id", F.posexplode(_splits("ss")).alias("split_idx", "split_value")
+    ).select("doc_id", F.col("split_idx").cast("int").alias("split_idx"), "split_value")
+
+
+def _audio_split_points_oracle() -> str:
+    def u(salt: str) -> str:
+        return (
+            f"((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}:' "
+            f"|| CAST(i AS VARCHAR)), 1, 8))::BIGINT) / {float(2**32)})"
+        )
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, UNNEST(generate_series(0, CAST(doc_id % 5 AS INT) + 2)) AS i
+  FROM documents
+),
+vals AS (
+  SELECT doc_id, i,
+         0.5 + {u('d')} * 3.0 AS dur,
+         (0.1 + {u('g')} * 2.0) + (0.5 + {u('d')} * 3.0) AS seg_span
+  FROM base
+),
+segs AS (
+  SELECT doc_id, i,
+         SUM(seg_span) OVER (PARTITION BY doc_id ORDER BY i) AS seg_end
+  FROM vals
+),
+walk AS (
+  SELECT doc_id, 0 AS rn,
+         CAST(0.0 AS DOUBLE) AS split_start,
+         CAST(0.0 AS DOUBLE) AS prev_end,
+         CAST(NULL AS DOUBLE) AS split_val
+  FROM (SELECT DISTINCT doc_id FROM segs)
+  UNION ALL
+  SELECT w.doc_id, w.rn + 1,
+         CASE WHEN s.seg_end - w.split_start > 6.0
+              THEN w.prev_end ELSE w.split_start END,
+         s.seg_end,
+         CASE WHEN s.seg_end - w.split_start > 6.0
+              THEN w.prev_end ELSE CAST(NULL AS DOUBLE) END
+  FROM walk w JOIN segs s ON s.doc_id = w.doc_id AND s.i = w.rn
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rn) - 1 AS INT)
+         AS split_idx,
+       split_val AS split_value
+FROM walk WHERE split_val IS NOT NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -6274,7 +6474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     MiniCLIP pair clip_zero_shot / caption_clipscore,
     benchmark_select_reps, the real-inference
     sortformer_diar_segments / asr_transcribe_greedy, and the
-    MiniChatLM generative gate llm_completion_stats), then the
+    MiniChatLM generative gate llm_completion_stats, the Megatron
+    .idx cumulative-pointer gate megatron_idx_pointers, and the
+    natural-pause walk gate audio_split_points), then the
     pull-back of the set the r06 window rotated out (classifier/embedder
     stages, caption plan, data designer, fine translation, PDF parse,
     the tpch/events relational block, knn/ann, video/image/chunking,
@@ -6311,6 +6513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sortformer_diar_segments"] = _sortformer_diar_query  # new r7
     out["asr_transcribe_greedy"] = _asr_transcribe_query  # new r7
     out["llm_completion_stats"] = _llm_completion_query  # new r7 (MiniChatLM)
+    out["megatron_idx_pointers"] = _megatron_idx_query  # new r7
+    out["audio_split_points"] = _audio_split_points_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -6335,10 +6539,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_markdown"] = _markdown_query
     out["modifier_line_quote"] = _line_quote_query
     out["modifier_slicer"] = _slicer_query
+    # positions 51-53: rotated past the window by the three new r7
+    # gates (llm_completion_stats / megatron_idx_pointers /
+    # audio_split_points); all three were driver-green in r05 and stay
+    # in the full gate replica
     out["modifier_boilerplate"] = _boilerplate_query
     out["modifier_fasttext_label"] = _fasttext_label_query
-    out["doc_set_ops"] = _set_ops_query  # 51st: rotated past the window
-    # by llm_completion_stats (driver-green r05; still in the full gate)
+    out["doc_set_ops"] = _set_ops_query
     # --- past the 50-entry window: driver-green r03..r06, logic
     # untouched; all still validated every round by scripts/gate_check.py
     # (lineitem_rollup / doc_joiner_roundtrip / embedding_neardup_pairs /
@@ -6508,5 +6715,7 @@ def oracle_sql() -> dict[str, str]:
     out["sortformer_diar_segments"] = _SORTFORMER_DIAR_ORACLE
     out["asr_transcribe_greedy"] = _asr_transcribe_oracle()
     out["llm_completion_stats"] = _llm_completion_oracle()
+    out["megatron_idx_pointers"] = _megatron_idx_oracle()
+    out["audio_split_points"] = _audio_split_points_oracle()
     out["cosmos_zero_shot"] = _COSMOS_ZERO_SHOT_ORACLE
     return out

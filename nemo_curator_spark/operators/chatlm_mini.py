@@ -483,3 +483,57 @@ def llm_complete(df, model_path: str, text_col: str = "text",
                                 out_col: outs})
 
     return df.mapInPandas(gen, schema=schema)
+
+
+class MiniGenerateBatch:
+    """Adapter giving the ``generate_batch`` seams real inference.
+
+    Three stages inject a ``generate_batch`` client with slightly
+    different item shapes — caption enhancement sends ``(system, user)``
+    tuples (caption_prep.caption_enhancement), the nemotron-cc
+    synthetic stages send chat message lists (synthetic.SyntheticStage),
+    and the data designer sends plain prompt strings
+    (data_designer.py:342). One polymorphic adapter covers all three by
+    normalizing each item to the ``LLMClient`` messages shape and
+    delegating to :class:`MiniChatClient` greedy decoding.
+
+    Picklable pre-setup (ships only the artifact path + config); the
+    model loads lazily per worker through the module cache.
+    """
+
+    def __init__(self, model_path: str, max_tokens: int = 16):
+        self.model_path = model_path
+        self.max_tokens = max_tokens
+        self._client: MiniChatClient | None = None
+
+    @staticmethod
+    def _to_messages(item, system_prompt=None) -> list[dict]:
+        if isinstance(item, str):
+            msgs = [{"role": "user", "content": item}]
+            if system_prompt is not None:
+                msgs.insert(0, {"role": "system", "content": system_prompt})
+            return msgs
+        if isinstance(item, tuple):
+            system, user = item
+            return [
+                {"role": "system", "content": system},
+                {"role": "user", "content": user},
+            ]
+        return list(item)  # already a messages list
+
+    def generate_batch(self, items, system_prompt=None) -> list[str]:
+        """``system_prompt`` is the data designer's optional second
+        positional argument (data_designer.py _llm_column); the other
+        two callers encode the system turn in the item itself."""
+        if self._client is None:
+            self._client = MiniChatClient(self.model_path)
+            self._client.setup()
+        cfg = GenerationConfig(max_tokens=self.max_tokens)
+        return [
+            self._client.query_model(
+                messages=self._to_messages(it, system_prompt),
+                model="mini-chat-lm",
+                generation_config=cfg,
+            )[0]
+            for it in items
+        ]

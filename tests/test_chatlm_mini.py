@@ -206,3 +206,68 @@ def test_translation_stage_with_real_llm(spark, model):
     assert r1[1][0] == "" and r1[2][0] == "12345"
     assert r1[0][0] and r1[3][0]          # real generated, nonempty
     assert all(err == "" for _, err in r1.values())
+
+
+def test_caption_enhancement_with_real_llm(spark, model):
+    """CaptionEnhancementStage with REAL generative inference through
+    the generate_batch adapter (tuple-shaped items)."""
+    from nemo_curator_spark.operators import caption_prep as CP
+
+    _, path = model
+    df = spark.createDataFrame(
+        [(0, "the data model"), (1, None), (2, "good new long")],
+        "id long, caption string",
+    )
+    out = CP.caption_enhancement(
+        df, llm_client=CM.MiniGenerateBatch(path, max_tokens=6)
+    )
+    r1 = {r["id"]: r["enhanced_caption"] for r in out.collect()}
+    r2 = {r["id"]: r["enhanced_caption"] for r in out.collect()}
+    assert r1 == r2
+    assert set(r1) == {0, 2}          # NULL caption dropped (reference)
+    assert all(v for v in r1.values())
+
+
+def test_synthetic_stage_with_real_llm(spark, model):
+    """Nemotron-CC SyntheticStage with REAL inference (message-list
+    items via a picklable client factory)."""
+    from nemo_curator_spark.operators import synthetic as SY
+
+    _, path = model
+
+    def factory(p=path):
+        return CM.MiniGenerateBatch(p, max_tokens=6)
+
+    stage = SY.SyntheticStage(
+        prompt_template="rewrite the document {document}",
+        client_factory=factory,
+    )
+    df = spark.createDataFrame(
+        [(0, "the data model text"), (1, "good new long great")],
+        "id long, text string",
+    )
+    r1 = {r["id"]: r["generated"] for r in stage.apply(df).collect()}
+    r2 = {r["id"]: r["generated"] for r in stage.apply(df).collect()}
+    assert r1 == r2 and all(r1.values())
+
+
+def test_data_designer_llm_column_with_real_llm(spark, model):
+    """Data-designer LLM-text column with REAL inference (plain-string
+    prompts + the optional system_prompt positional)."""
+    from nemo_curator_spark.operators import data_designer as DD
+
+    _, path = model
+    b = DD.DataDesignerConfigBuilder()
+    b.add_column(DD.LLMTextColumnConfig(
+        name="llm_out", prompt="make a line for {{ text }}",
+        system_prompt="the site user",
+    ))
+    stage = DD.DataDesignerStage(
+        config_builder=b, llm_client=CM.MiniGenerateBatch(path, max_tokens=6)
+    )
+    df = spark.createDataFrame(
+        [(0, "the data"), (1, "good new")], "id long, text string"
+    )
+    r1 = {r["id"]: r["llm_out"] for r in stage.apply(df, "id").collect()}
+    r2 = {r["id"]: r["llm_out"] for r in stage.apply(df, "id").collect()}
+    assert r1 == r2 and all(r1.values())
