@@ -6463,6 +6463,90 @@ FROM walk WHERE split_val IS NOT NULL
 """
 
 
+def _cc_url_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl URL generation (reference
+    stages/text/download/common_crawl/url_generation.py:30-255): the
+    REAL Main + News generators run against a deterministic md5-derived
+    collinfo fixture (plus the legacy-snapshot and malformed-id skip
+    branches), and the oracle replays the interesting math in SQL —
+    ``fromisocalendar(y, w, 1)`` as the Jan-4 ISO anchor formula
+    (make_date(y,1,4) - (isodow-1) + (w-1)*7), the 2013 Main floor, the
+    2016-08 News floor, and the month stepping as generate_series.
+    Snapshot-range endpoints are config parsing, inlined as literals
+    (the seam is the per-candidate date math, not the argument parse).
+    Planning metadata only — a few hundred driver-side rows, the
+    file_group_plan precedent."""
+    import hashlib
+    import json as _json
+
+    from nemo_curator_spark.operators import cc_urls as CU
+
+    ids = []
+    for y in range(2012, 2025):
+        for w in range(1, 53):
+            h = hashlib.md5(f"{y}:cc:{w}".encode()).hexdigest()
+            if h[0] in "0123":
+                ids.append(f"CC-MAIN-{y}-{w:02d}")
+    index = (
+        [{"id": "CC-MAIN-2009-2010"},      # legacy snapshot -> skipped
+         {"id": "CC-XXXX-2015-11"},        # malformed family -> skipped
+         {"name": "no-id"}]                # missing id -> skipped
+        + [{"id": s} for s in ids]
+    )
+    blob = _json.dumps(index).encode()
+
+    main = CU.MainCommonCrawlUrlGenerator(
+        "2012-10", "2023-30", fetch=lambda url: blob
+    )
+    news = CU.NewsCommonCrawlUrlGenerator(
+        "2016-01", "2018-03", fetch=lambda url: blob
+    )
+    rows = [("main", i, u) for i, u in enumerate(main.generate_path_urls())]
+    rows += [("news", i, u) for i, u in enumerate(news.generate_path_urls())]
+    return spark.createDataFrame(rows, "kind string, idx long, url string")
+
+
+def _cc_url_plan_oracle() -> str:
+    from datetime import datetime
+
+    main_end = datetime.fromisocalendar(2023, 30, 1).date().isoformat()
+    return f"""
+WITH cand AS (
+  SELECT y, w FROM
+    (SELECT UNNEST(generate_series(2012, 2024)) AS y)
+    CROSS JOIN (SELECT UNNEST(generate_series(1, 52)) AS w)
+  WHERE substring(md5(CAST(y AS VARCHAR) || ':cc:' || CAST(w AS VARCHAR)),
+                  1, 1) IN ('0', '1', '2', '3')
+),
+dated AS (
+  SELECT y, w,
+         (make_date(y, 1, 4)
+            - CAST(isodow(make_date(y, 1, 4)) - 1 AS INTEGER))
+           + CAST((w - 1) * 7 AS INTEGER) AS snap_date
+  FROM cand
+),
+main AS (
+  SELECT 'main' AS kind,
+         row_number() OVER (ORDER BY y, w) - 1 AS idx,
+         printf('https://data.commoncrawl.org/crawl-data/CC-MAIN-%d-%02d/warc.paths.gz',
+                y, w) AS url
+  FROM dated
+  WHERE snap_date >= DATE '2013-01-01' AND snap_date <= DATE '{main_end}'
+),
+news AS (
+  SELECT 'news' AS kind,
+         row_number() OVER (ORDER BY m) - 1 AS idx,
+         printf('https://data.commoncrawl.org/crawl-data/CC-NEWS/%d/%02d/warc.paths.gz',
+                year(m), month(m)) AS url
+  FROM (SELECT UNNEST(generate_series(DATE '2016-08-01', DATE '2018-03-01',
+                                      INTERVAL 1 MONTH))::DATE AS m)
+)
+SELECT kind, idx, url FROM main
+UNION ALL
+SELECT kind, idx, url FROM news
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -6515,6 +6599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["llm_completion_stats"] = _llm_completion_query  # new r7 (MiniChatLM)
     out["megatron_idx_pointers"] = _megatron_idx_query  # new r7
     out["audio_split_points"] = _audio_split_points_query  # new r7
+    out["cc_url_plan"] = _cc_url_plan_query  # new r7
     # --- pull-back: rotated past the window in r06, re-proving now
     # (the r05-verdict rotation list, advice item 6) ---
     out["classifier_stage"] = _classifier_stage_query
@@ -6538,11 +6623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["modifier_url_newline"] = _modifier_urls_query
     out["modifier_markdown"] = _markdown_query
     out["modifier_line_quote"] = _line_quote_query
-    out["modifier_slicer"] = _slicer_query
-    # positions 51-53: rotated past the window by the three new r7
+    # positions 51-54: rotated past the window by the four new r7
     # gates (llm_completion_stats / megatron_idx_pointers /
-    # audio_split_points); all three were driver-green in r05 and stay
-    # in the full gate replica
+    # audio_split_points / cc_url_plan); all four rotated-out queries
+    # were driver-green in r05 and stay in the full gate replica
+    out["modifier_slicer"] = _slicer_query
     out["modifier_boilerplate"] = _boilerplate_query
     out["modifier_fasttext_label"] = _fasttext_label_query
     out["doc_set_ops"] = _set_ops_query
@@ -6717,5 +6802,6 @@ def oracle_sql() -> dict[str, str]:
     out["llm_completion_stats"] = _llm_completion_oracle()
     out["megatron_idx_pointers"] = _megatron_idx_oracle()
     out["audio_split_points"] = _audio_split_points_oracle()
+    out["cc_url_plan"] = _cc_url_plan_oracle()
     out["cosmos_zero_shot"] = _COSMOS_ZERO_SHOT_ORACLE
     return out

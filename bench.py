@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -108,6 +110,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     run_steals: dict[str, list[float | None]] = {}
+    run_bw: dict[str, list[float]] = {}
     query_clean: dict[str, bool] = {}
 
     # burst-defense thresholds (the documented signature from
@@ -117,6 +120,24 @@ def main() -> None:
     SPREAD_BAR = 3.0
     SPREAD_MIN_SEC = 5.0
     MAX_EXTRA_RUNS = 3
+    # memory-bandwidth floor: neighbor-VM memory pressure slows scan-
+    # heavy queries 10x WITHOUT showing up as steal (a clean-steal run
+    # measured the chain at 15x its record in one such window). A
+    # single-thread numpy copy measures ~5 GB/s on this VM when healthy;
+    # below half that the window is degraded regardless of steal.
+    BW_BAR_GBS = 2.5
+    _bw_buf = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    _bw_buf[:] = 1
+
+    def _bw_probe() -> float:
+        """Best-of-3 single-thread copy bandwidth in GB/s (~100 ms)."""
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _bw_buf.copy()
+            dt = time.perf_counter() - t0
+            best = max(best, (2 * _bw_buf.nbytes) / dt / 1e9)
+        return round(best, 2)
 
     def timed(name, fn, n=3):
         """Best-of-n per query with burst DEFENSE: the host VM shows up
@@ -131,13 +152,21 @@ def main() -> None:
         whether the recorded best came from a clean window."""
         rs: list[float] = []
         steals: list[float | None] = []
+        bws: list[float] = []
 
         def one_run():
+            pre_bw = _bw_probe()
             b = _cpu_times()
             t0 = time.time()
             fn()
             rs.append(round(time.time() - t0, 3))
             steals.append(_steal_pct(b, _cpu_times()))
+            # window bandwidth evidence = min(pre, post): neighbor memory
+            # pressure active during the run is visible on at least one
+            # side. Let the JVM settle briefly first — a probe taken
+            # during executor teardown/GC measures self-noise, not host
+            time.sleep(0.5)
+            bws.append(min(pre_bw, _bw_probe()))
 
         def best_is_poisoned():
             # The recorded number is min(rs): what matters is whether THAT
@@ -156,9 +185,13 @@ def main() -> None:
             s = steals[best_i]
             spread = (max(rs) / min(rs)) if min(rs) > 0 else 1.0
             spread_sig = min(rs) > SPREAD_MIN_SEC and spread > SPREAD_BAR
+            # memory-bandwidth degradation is invisible to steal: check
+            # the best run's window probes too (slow-run windows only —
+            # a fast run is its own evidence the window was usable)
+            bw_sig = min(rs) > 1.0 and bws[best_i] < BW_BAR_GBS
             if s is None or min(rs) <= 1.0:
-                return spread_sig
-            return s > STEAL_BAR or (spread_sig and s > STEAL_BAR / 2)
+                return spread_sig or bw_sig
+            return s > STEAL_BAR or bw_sig or (spread_sig and s > STEAL_BAR / 2)
 
         for _ in range(n):
             one_run()
@@ -168,6 +201,7 @@ def main() -> None:
             one_run()
         runs[name] = rs
         run_steals[name] = steals
+        run_bw[name] = bws
         timings[name] = min(rs)
         query_clean[name] = not best_is_poisoned()
 
@@ -279,6 +313,10 @@ def main() -> None:
                 # never gave a clean window despite re-runs — read the
                 # per-query map before comparing rounds.
                 "run_steals": run_steals,
+                # min(pre, post) single-thread copy GB/s around each run
+                # (memory-bandwidth contention is invisible to steal)
+                "run_bw": run_bw,
+                "bw_bar_gbs": BW_BAR_GBS,
                 "query_clean": query_clean,
                 "clean": all(query_clean.values()),
             }
