@@ -106,6 +106,25 @@ def _steal_pct(before, after):
     return round(100.0 * d[7] / total, 2) if total and len(d) > 7 else None
 
 
+def _bw_probe() -> float:
+    """Single-thread numpy-copy bandwidth GB/s, best-of-3 (~100 ms).
+    Neighbor-VM memory pressure slows the scan-heavy engine 10x without
+    showing as steal (see BENCH/BASELINE.md defense-gap note); a healthy
+    window on this VM measures ~5 GB/s. Sampled before each leg so every
+    recorded leg carries its window's bandwidth evidence."""
+    import numpy as np
+
+    buf = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+    buf[:] = 1
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        buf.copy()
+        dt = time.time() - t0
+        best = max(best, (2 * buf.nbytes) / dt / 1e9)
+    return round(best, 2)
+
+
 def main() -> None:
     cpu_before = _cpu_times()
     corpus = os.path.join(REPO, "data", f"web_pages_{WEB_DOCS}.parquet")
@@ -145,7 +164,10 @@ def main() -> None:
     cal_4n = calibrate(N_BIG)
     ceiling = (cal_4n / cal_n) / 4
 
+    bw_legs = {}
+    bw_legs["n"] = _bw_probe()
     r_n = run_engine(N_SMALL, corpus)
+    bw_legs["4n"] = _bw_probe()
     r_4n = run_engine(N_BIG, corpus)
     tput_n = WEB_DOCS / r_n["best"]
     tput_4n = WEB_DOCS / r_4n["best"]
@@ -157,6 +179,7 @@ def main() -> None:
         if nd == WEB_DOCS and N_BIG == 32:
             data_runs[nd] = r_4n  # reuse the 4N leg (same corpus+cores)
         else:
+            bw_legs[f"data_{nd}"] = _bw_probe()
             data_runs[nd] = run_engine(32, data_corpora[nd])
     data_tputs = {nd: nd / data_runs[nd]["best"] for nd in DATA_POINTS}
     tput_ds = data_tputs[DATA_POINTS[0]]
@@ -236,6 +259,9 @@ fixed overhead amortizes) is the linear-plan signature.
                 "data_eff": round(data_eff, 3),
                 "data_tputs": {str(nd): round(t, 1) for nd, t in data_tputs.items()},
                 "steal_pct": _steal_pct(cpu_before, _cpu_times()),
+                # per-leg pre-run bandwidth probes (healthy ~5 GB/s;
+                # <2.5 = degraded window, discard the session)
+                "bw_legs": bw_legs,
             }
         )
     )
