@@ -164,6 +164,29 @@ def main() -> None:
     cal_4n = calibrate(N_BIG)
     ceiling = (cal_4n / cal_n) / 4
 
+    # Window pre-check: the calibration ceiling IS the cheap parallel-
+    # capacity probe. A capped window (host co-tenancy eating the 8->32
+    # headroom) makes the engine legs meaningless — one such session
+    # measured raw 0.238 while every single-thread bandwidth probe read
+    # healthy (5.6-5.9 GB/s): only the multi-proc calibration saw it
+    # (0.704). Abort early instead of burning ~20 min of engine legs;
+    # SCALE_FORCE=1 overrides for diagnostic runs.
+    CEILING_FLOOR = float(os.environ.get("SCALE_CEILING_FLOOR", "0.78"))
+    if ceiling < CEILING_FLOOR and os.environ.get("SCALE_FORCE") != "1":
+        print(
+            json.dumps(
+                {
+                    "aborted": "window parallel capacity capped",
+                    "hardware_ceiling": round(ceiling, 3),
+                    "ceiling_floor": CEILING_FLOOR,
+                    "cal_n": round(cal_n, 2),
+                    "cal_4n": round(cal_4n, 2),
+                    "steal_pct": _steal_pct(cpu_before, _cpu_times()),
+                }
+            )
+        )
+        return
+
     bw_legs = {}
     bw_legs["n"] = _bw_probe()
     r_n = run_engine(N_SMALL, corpus)
