@@ -271,3 +271,36 @@ def test_data_designer_llm_column_with_real_llm(spark, model):
     r1 = {r["id"]: r["llm_out"] for r in stage.apply(df, "id").collect()}
     r2 = {r["id"]: r["llm_out"] for r in stage.apply(df, "id").collect()}
     assert r1 == r2 and all(r1.values())
+
+
+def test_translation_pipeline_composite_real_llm(spark, model):
+    """The FULL TranslationPipeline composite (skip -> segment ->
+    translate -> reassemble -> doc aggregates) on REAL MiniChatLM
+    inference — no echo stand-in anywhere in the path. Deterministic
+    across two runs; passthrough and translated branches both exercised."""
+    from nemo_curator_spark.pipeline.translation_pipeline import (
+        TranslationPipeline,
+    )
+
+    _, path = model
+    pipe = TranslationPipeline(
+        source_lang="en",
+        target_lang="es",
+        client=CM.MiniChatClient(path),
+        model_name="mini-chat-lm",
+        output_mode="raw",
+        generation_config={"max_tokens": 8},
+    )
+    df = spark.createDataFrame(
+        [
+            (0, "the data model text.\ngood new long great."),
+            (1, "12345"),          # non-translatable -> passthrough
+            (2, "the site user time"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r.translated_text for r in pipe.run(df).collect()}
+    r2 = {r.doc_id: r.translated_text for r in pipe.run(df).collect()}
+    assert r1 == r2
+    assert r1[1] == "12345"
+    assert r1[0] and r1[2]        # real generated translations, nonempty
