@@ -6547,6 +6547,54 @@ SELECT kind, idx, url FROM news
 """
 
 
+_SYNTH_REWRITE_ORACLE_DIR = "/dev/shm/ncs_synthrewrite_oracle"
+
+
+def _synthetic_rewrite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nemotron-CC WikipediaParaphrasingStage (reference
+    synthetic/nemotron_cc.py:37-42) with REAL generative inference:
+    the verbatim rephrasing prompt template + system prompt assemble
+    chat messages per document, MiniChatLM greedy-decodes the rewrite
+    (MiniGenerateBatch behind the stage's client_factory seam — one
+    model per worker), all in the stage's own pandas_udf path.
+    Generation is non-SQL, so the oracle-seam rule applies: the
+    rewritten column is the artifact and both engines replay the SQL
+    tail (ISPACE word count + rewrite-nonempty flag)."""
+    from nemo_curator_spark.operators import chatlm_mini as CHAT
+    from nemo_curator_spark.operators import synthetic as SY
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    CHAT.ensure_artifact(_CHATLM_MODEL_PATH)
+    path = _CHATLM_MODEL_PATH
+
+    def factory(p=path):
+        return CHAT.MiniGenerateBatch(p, max_tokens=10)
+
+    stage = SY.wikipedia_paraphrasing_stage(client_factory=factory)
+    out = stage.apply(docs).select("doc_id", "rephrased")
+    _write_shm(out, _SYNTH_REWRITE_ORACLE_DIR)
+    res = spark.read.parquet(_SYNTH_REWRITE_ORACLE_DIR)
+    words = F.split(F.col("rephrased"), CN.SPLIT_PATTERN)
+    empty = F.col("rephrased") == ""
+    return res.select(
+        "doc_id",
+        "rephrased",
+        F.when(empty, F.lit(0)).otherwise(F.size(words)).cast("long").alias("n_words"),
+        (~empty).cast("int").alias("nonempty"),
+    )
+
+
+def _synthetic_rewrite_oracle() -> str:
+    return f"""
+SELECT doc_id, rephrased,
+       CAST(CASE WHEN rephrased = '' THEN 0
+            ELSE len(regexp_split_to_array(rephrased, '{CN.SPLIT_PATTERN}'))
+            END AS BIGINT) AS n_words,
+       CAST(rephrased <> '' AS INT) AS nonempty
+FROM read_parquet('{_SYNTH_REWRITE_ORACLE_DIR}/part*.parquet')
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All implemented queries. ORDER MATTERS: the driver's correctness
     gate records only the first 50 dict entries, so the window is curated
@@ -6640,6 +6688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries already occupy the round's window budget; it is
     # value-hash-proven by the full gate replica (GATE_r7.txt) ---
     out["cosmos_zero_shot"] = _cosmos_zero_shot_query  # new r7
+    out["synthetic_rewrite_stats"] = _synthetic_rewrite_query  # new r7, past-window
     out["lineitem_rollup"] = _rollup_query
     out["doc_joiner_roundtrip"] = _joiner_query
     out["embedding_neardup_pairs"] = _embedding_neardup_query
@@ -6804,4 +6853,5 @@ def oracle_sql() -> dict[str, str]:
     out["audio_split_points"] = _audio_split_points_oracle()
     out["cc_url_plan"] = _cc_url_plan_oracle()
     out["cosmos_zero_shot"] = _COSMOS_ZERO_SHOT_ORACLE
+    out["synthetic_rewrite_stats"] = _synthetic_rewrite_oracle()
     return out
