@@ -337,25 +337,61 @@ def word_line_scores(text: str) -> dict[str, float]:
     """All word/line/paragraph-level scores in one pass with shared splits
     (each function above recomputes its splits; this is the batched form
     used by the Spark fast path — identical arithmetic, so identical IEEE
-    doubles)."""
+    doubles).
+
+    Optimized (round 8) to a single fused loop per split level: every
+    per-word statistic comes out of ONE pass over ``ws`` and every
+    per-line statistic out of one shared ``stripped``/``set(ls)``. All
+    accumulators are ints, so each final ratio is the same two-operand
+    IEEE division as the per-rule functions above — bit-identical by
+    construction (pinned vs the naive scorers by
+    tests/test_heuristics_pyref.py::test_word_line_scores_matches_naive).
+    """
     ws = text.split()
     ls = [x for x in text.split("\n") if x.strip()]
     ps = text.split("\n\n")
     n_w, n_l = len(ws), len(ls)
 
     out: dict[str, float] = {}
-    # symbol_to_word
-    if n_w == 0:
-        out["symbol_to_word"] = 1.0
-    else:
-        bad = 0
-        for w in ws:
-            if w in C.ELLIPSIS_MARKS or len(C.HASH_RUN_PY.findall(w)) / len(w) > 0.5:
-                bad += 1
-        out["symbol_to_word"] = bad / n_w
-    # bullet_ratio
+    # one fused pass over words: symbol hits, common-word count, alpha
+    # hits, length sum/max, lowered-form stopword hits
+    bad = 0
+    common_cnt = 0
+    alpha_hits = 0
+    len_sum = 0
+    max_len = 0
+    en_h = 0
+    pt_h = 0
+    q_cnt = 0
+    findall = C.HASH_RUN_PY.findall
+    search = C.ALPHA_PY.search
+    for w in ws:
+        lw = len(w)
+        len_sum += lw
+        if lw > max_len:
+            max_len = lw
+        # '#' pre-check: findall('#+') is empty without one, so the ratio
+        # test can only pass when the word contains '#'
+        if w in _ELLIPSIS_SET or ("#" in w and len(findall(w)) / lw > 0.5):
+            bad += 1
+        if w in _COMMON_SET:
+            common_cnt += 1
+        # isalpha() => every char is a unicode letter => ALPHA_PY matches
+        if w.isalpha() or search(w):
+            alpha_hits += 1
+        lo = w.lower()
+        # EN/PT stoplists are disjoint (asserted below), so elif is exact
+        if lo in _EN_STOP_SET:
+            en_h += 1
+        elif lo in _PT_STOP_SET:
+            pt_h += 1
+        if lo in _COMMON_SET:
+            q_cnt += 1
+    out["symbol_to_word"] = 1.0 if n_w == 0 else bad / n_w
+    # shared stripped lines (bullet / punctuation / ellipsis all use them)
+    stripped = [s.strip() for s in ls]
     out["bullet_ratio"] = (
-        1.0 if n_l == 0 else sum(1 for s in ls if s.strip()[:1] in C.BULLET_CHARS) / n_l
+        1.0 if n_l == 0 else sum(1 for s in stripped if s[:1] in _BULLET_SET) / n_l
     )
     # boilerplate
     bp = 0.0
@@ -370,59 +406,44 @@ def word_line_scores(text: str) -> dict[str, float]:
     out["boilerplate_string_ratio"] = bp if bp else hits / len(ps)
     # word stats
     out["word_count"] = float(n_w)
-    out["max_word_length"] = float(max((len(w) for w in ws), default=0))
-    out["mean_word_length"] = (
-        0.0 if n_w == 0 else sum(len(w) for w in ws) / n_w
-    )
-    cnt = 0
-    for w in ws:
-        if w in C.COMMON_ENGLISH_WORDS:
-            cnt += 1
-        if cnt >= 2:
-            break
-    out["common_english_words"] = float(min(cnt, 2))
-    out["words_without_alphabets"] = (
-        0.0 if n_w == 0 else sum(1 for w in ws if C.ALPHA_PY.search(w)) / n_w
-    )
+    out["max_word_length"] = float(max_len)
+    out["mean_word_length"] = 0.0 if n_w == 0 else len_sum / n_w
+    out["common_english_words"] = float(common_cnt if common_cnt < 2 else 2)
+    out["words_without_alphabets"] = 0.0 if n_w == 0 else alpha_hits / n_w
     # line endings
     if n_l == 0:
         out["punctuation"] = 1.0
         out["ellipsis"] = 1.0
+        punct_end = 0
     else:
-        stripped = [s.strip() for s in ls]
-        out["punctuation"] = sum(
-            1 for s in stripped if not s.endswith(C.END_MARKS)
-        ) / n_l
+        punct_end = sum(1 for s in stripped if s.endswith(C.END_MARKS))
+        out["punctuation"] = (n_l - punct_end) / n_l
         out["ellipsis"] = sum(
             1
             for s in stripped
             if any(s.lower().endswith(m) for m in C.ELLIPSIS_MARKS)
         ) / n_l
-    # repetition
-    out["repeated_lines"] = 0.0 if n_l == 0 else len(set(ls)) / n_l
-    out["repeated_paragraphs"] = len(set(ps)) / len(ps)
+    # repetition (set(ls)/set(ps) computed once, shared)
+    set_ls = set(ls)
+    set_ps = set(ps)
+    out["repeated_lines"] = 0.0 if n_l == 0 else len(set_ls) / n_l
+    out["repeated_paragraphs"] = len(set_ps) / len(ps)
     tot_l = sum(len(s) for s in ls)
     out["repeated_lines_char"] = (
-        0.0 if tot_l == 0 else sum(len(s) for s in set(ls)) / tot_l
+        0.0 if tot_l == 0 else sum(len(s) for s in set_ls) / tot_l
     )
     tot_p = sum(len(p) for p in ps)
     out["repeated_paragraphs_char"] = (
-        0.0 if tot_p == 0 else sum(len(p) for p in set(ps)) / tot_p
+        0.0 if tot_p == 0 else sum(len(p) for p in set_ps) / tot_p
     )
 
     # non-rule extras consumed by langid (stopword hits) and the lexical
     # quality score — computed here so the pipeline needs ONE batch pass
-    lowered = [w.lower() for w in ws]
-    out["en_stop_hits"] = float(sum(1 for w in lowered if w in EN_STOPWORDS))
-    out["pt_stop_hits"] = float(sum(1 for w in lowered if w in PT_STOPWORDS))
-    out["quality_stop_frac"] = sum(
-        1 for w in lowered if w in C.COMMON_ENGLISH_WORDS
-    ) / max(n_w, 1)
-    out["punct_end_frac"] = (
-        sum(1 for s in (x.strip() for x in ls) if s.endswith(C.END_MARKS))
-        / max(n_l, 1)
-    )
-    out["uniq_line_frac"] = len(set(ls)) / max(n_l, 1)
+    out["en_stop_hits"] = float(en_h)
+    out["pt_stop_hits"] = float(pt_h)
+    out["quality_stop_frac"] = q_cnt / max(n_w, 1)
+    out["punct_end_frac"] = punct_end / max(n_l, 1)
+    out["uniq_line_frac"] = len(set_ls) / max(n_l, 1)
     return out
 
 
@@ -433,6 +454,17 @@ PT_STOPWORDS = (
     "de", "que", "não", "uma", "para", "com", "os", "as", "do", "da",
     "em", "o", "a", "e", "ao", "à", "pelo", "pela",
 )
+
+# set forms for the fused word_line_scores pass (O(1) membership; same
+# elements, so `in` decisions are identical to the tuple scans)
+_ELLIPSIS_SET = frozenset(C.ELLIPSIS_MARKS)
+_COMMON_SET = frozenset(C.COMMON_ENGLISH_WORDS)
+_BULLET_SET = frozenset(C.BULLET_CHARS)
+_EN_STOP_SET = frozenset(EN_STOPWORDS)
+_PT_STOP_SET = frozenset(PT_STOPWORDS)
+# the fused pass counts EN/PT stopword hits with elif — exact only while
+# the lists stay disjoint
+assert not (_EN_STOP_SET & _PT_STOP_SET)
 
 
 # --- the English chain -------------------------------------------------------

@@ -80,7 +80,12 @@ def test_text_causal_mask(model):
     from nemo_curator_spark.operators.mini_transformer import layer_norm
 
     h3 = layer_norm(seq, p["txt_lnf_g"], p["txt_lnf_b"])[2]
-    assert np.allclose(a, h3, atol=0, rtol=0)
+    # ULP-scale tolerance, not bit equality: the two forwards run BLAS on
+    # DIFFERENT sequence lengths (3 vs 6 tokens), and kernel/blocking
+    # selection is shape- and host-dependent (CLAUDE.md round-5 lesson) —
+    # measured up to ~1e-15 abs on some hosts. A causal-mask leak would
+    # shift these values at O(0.1), far above this band.
+    assert np.allclose(a, h3, atol=1e-12, rtol=1e-12)
 
 
 def test_preprocess_encoded_image(model):

@@ -246,3 +246,68 @@ def test_label_document_short_doc_dropped_with_reason():
     keep, reason = pyref.label_document("This is a short doc with the and of.")
     assert not keep
     assert reason == "word_count"
+
+
+# --- round-8 fast-path pins --------------------------------------------------
+# word_line_scores and _ngram_scores_doc were rewritten as fused/interned
+# fast paths; these tests pin them bit-exactly to the naive per-rule
+# scorers on the golden corpus plus adversarial repetition/width cases.
+
+_R8_EXTRA_TEXTS = [
+    "",
+    " ",
+    "\n\n\n",
+    "# ## ### #notahash a#b",
+    "spam spam spam spam spam spam spam spam spam spam spam spam",
+    "a b c d e f g h i j a b c d e f g h i j a b c d e f g h i j",
+    "one two three four five six seven eight nine ten eleven twelve "
+    "one two three four five six seven eight nine ten eleven twelve",
+    "The and of to is in that it was for the and of to is in that.",
+    "de que não uma para com os as do da em o a e ao à pelo pela",
+    "xa b phrase boundary xa b phrase boundary xa b",
+    "… … … … …",
+    "BULLET\n- a\n- b\n- a\n- b",
+    "word " * 200 + "tail",
+    " ".join(str(i) for i in range(300)) + " " + " ".join(str(i) for i in range(300)),
+]
+
+
+def test_word_line_scores_matches_naive(golden_texts):
+    for text in list(golden_texts) + _R8_EXTRA_TEXTS:
+        got = pyref.word_line_scores(text)
+        assert got["symbol_to_word"] == pyref.symbols_to_words(text)
+        assert got["bullet_ratio"] == pyref.bullet_ratio(text)
+        assert got["boilerplate_string_ratio"] == pyref.boilerplate_string_ratio(text)
+        assert got["word_count"] == float(pyref.word_count(text))
+        assert got["max_word_length"] == float(pyref.max_word_length(text))
+        assert got["mean_word_length"] == pyref.mean_word_length(text)
+        assert got["common_english_words"] == float(
+            pyref.common_english_words(text)
+        )
+        assert got["words_without_alphabets"] == pyref.words_without_alphabets(text)
+        assert got["punctuation"] == pyref.punctuation_ratio(text)
+        assert got["ellipsis"] == pyref.ellipsis_ratio(text)
+        assert got["repeated_lines"] == pyref.repeated_lines(text)
+        assert got["repeated_paragraphs"] == pyref.repeated_paragraphs(text)
+        assert got["repeated_lines_char"] == pyref.repeated_lines_char(text)
+        assert got["repeated_paragraphs_char"] == pyref.repeated_paragraphs_char(text)
+        # extras vs their direct naive forms
+        lowered = [w.lower() for w in text.split()]
+        assert got["en_stop_hits"] == float(
+            sum(1 for w in lowered if w in pyref.EN_STOPWORDS)
+        )
+        assert got["pt_stop_hits"] == float(
+            sum(1 for w in lowered if w in pyref.PT_STOPWORDS)
+        )
+
+
+def test_ngram_scores_doc_matches_naive(golden_texts):
+    from nemo_curator_spark.functions import heuristics as H
+
+    for text in list(golden_texts) + _R8_EXTRA_TEXTS:
+        toks = text.split()
+        got = H._ngram_scores_doc(text, toks)
+        for n, _ in H.TOP_NGRAM_PARAMS:
+            assert got[f"top_{n}"] == pyref.top_ngram_ratio(text, n), (n, text[:60])
+        for n, _ in H.DUP_NGRAM_PARAMS:
+            assert got[f"dup_{n}"] == pyref.dup_ngram_ratio(text, n), (n, text[:60])
