@@ -105,17 +105,20 @@ def main() -> None:
             "text", F.coalesce(extraction.extract_text(F.col("html")), F.col("text"))
         ).drop("html")
         timed("curate_1_extract", ext)
-        rep = ext.repartition(cfg.salt_partitions, F.xxhash64("url"))
-        timed("curate_2_repart", rep)
+        lid = langid_mod.add_langid(ext, "text", "lang_pred", "lang_score")
+        timed("curate_2_langid", lid)
+        n_salt = max(cfg.salt_partitions or 0, 256)
+        rep = lid.repartition(
+            cfg.salt_partitions, F.col("lang_pred"),
+            F.pmod(F.xxhash64("text"), F.lit(n_salt)),
+        )
+        timed("curate_3_repart", rep)
         wl = rep.withColumn("_wl", H.word_line_batch(F.col("text")))
-        timed("curate_3_wl", wl)
-        lid = langid_mod.add_langid(wl, "text", "lang_pred", "lang_score")
-        timed("curate_4_langid", lid)
-        ch = chain.add_labels(lid, "text", keep_col="_hk", reason_col="_hr", wl_col="_wl")
+        timed("curate_4_wl", wl)
+        ch = chain.add_labels(wl, "text", keep_col="_hk", reason_col="_hr", wl_col="_wl")
         timed("curate_5_chain", ch)
         pp = ppl_mod.score_perplexity(
-            ch, models, "text", "lang_pred", out_col="ppl",
-            num_partitions=cfg.salt_partitions,
+            ch, models, "text", "lang_pred", out_col="ppl", bucket=False,
         )
         timed("curate_6_ppl", pp)
         qq = pp.withColumn("quality_score", quality.lexical_quality_from_batch(F.col("_wl")))

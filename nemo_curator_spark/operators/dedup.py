@@ -285,10 +285,14 @@ def connected_components(
             .groupBy(sym.a.alias("id"))
             .agg(F.min("comp").alias("nmin"))
         )
+        # carry the pre-round label as _old so the convergence probe below
+        # is a filter over the checkpointed frame — the previous form
+        # re-joined new vs old labels (two extra shuffles per round)
         stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
+                F.col("comp").alias("_old"),
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
             )
         )
@@ -297,10 +301,11 @@ def connected_components(
         parent = stepped.select(
             F.col("id").alias("_pid"), F.col("comp").alias("_pcomp")
         )
-        new_labels = (
+        new_with_old = (
             stepped.join(parent, stepped.comp == parent._pid, "left")
             .select(
                 "id",
+                "_old",
                 F.least(
                     F.col("comp"), F.coalesce("_pcomp", F.col("comp"))
                 ).alias("comp"),
@@ -308,13 +313,9 @@ def connected_components(
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_with_old.where(F.col("comp") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_with_old.drop("_old")
         if changed == 0:
             converged = True
             break

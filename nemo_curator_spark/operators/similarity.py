@@ -127,6 +127,12 @@ def hyperplane_buckets(
     bucketings)."""
     if dim is None:
         dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    from nemo_curator_spark.functions.partitioning import ensure_min_parallelism
+
+    # 1-row-group embedding tables cap the key-assignment UDF (and both
+    # vec sides of the rerank joins) at one task; spread them when the
+    # scan is starved (no-op at real scale)
+    df = ensure_min_parallelism(df, id_col)
     vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     planes = np.stack(
         [
@@ -247,7 +253,10 @@ def ivf_assign(
         kmeans_fit,
         sample_training_rows,
     )
+    from nemo_curator_spark.functions.partitioning import ensure_min_parallelism
 
+    # spread 1-row-group scans before the assignment UDF (no-op at scale)
+    df = ensure_min_parallelism(df, id_col)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
     )

@@ -7,11 +7,14 @@ dropped until the caller asks, so lineage falls out of a groupBy):
 1. **extract** — html → text (Arrow pandas UDF, byte-identical contract),
    map-side on the scan partitions so the raw html bytes never cross the
    network; html is dropped before any shuffle.
-2. **salted repartition** by url-hash — defuses host-level skew before the
-   Python-UDF scoring stages (a hot host's pages spread over all
-   partitions), carrying only the extracted text.
-3. **langid** — native script/stopword struct<lang,score>; drop if score
-   < 0.3 (reference FastTextLangId cutoff).
+2. **langid** — native script/stopword struct<lang,score>; drop if score
+   < 0.3 (reference FastTextLangId cutoff). Runs before the shuffle so
+   the language can key it.
+3. **salted repartition** by (lang_pred, text-hash salt) — the ONE wide
+   op of the pipeline: defuses host-level skew before the Python-UDF
+   scoring stages (the salt spreads a hot key over all partitions) and
+   simultaneously buckets languages for the perplexity stage, which
+   therefore adds no shuffle of its own.
 4. **heuristic chain** — the 28-rule English cascade for predicted-English
    docs; non-English docs skip the English-specific rules (reference ships
    a separate non-English YAML; here: bypass).
@@ -82,13 +85,31 @@ def curate(
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
         ).drop("html")
 
-    # 2. salted repartition by url-hash (skew defusal for the UDF-heavy
-    # scoring stages), now carrying only the extracted text
+    # 2. language id (two-projection form: fractions materialize once) —
+    # computed BEFORE the salt exchange since round 8, so that ONE
+    # exchange can serve both roles below. langid is pure JVM regex over
+    # balanced scan splits, so it needs no skew defusal of its own.
+    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
+    lang_ok = F.col("lang_score") >= cfg.langid_cutoff
+
+    # 3. ONE salted repartition keyed (lang_pred, text-hash salt). This
+    # single exchange does the work the pipeline previously paid two full
+    # corpus shuffles for (guide §2.4 "share one exchange"): it defuses
+    # input skew ahead of the UDF-heavy scoring stages (the salt spreads
+    # any hot key over every partition) AND groups languages so each
+    # perplexity bucket touches ~one model — score_perplexity below runs
+    # with bucket=False because the layout it would create already
+    # exists. The round-7 plan shipped text + all 28 score columns
+    # through a second hashpartitioning(lang_pred, salt) exchange right
+    # before the perplexity UDF; per-row scores don't depend on
+    # partitioning, so dropping it changes no value.
     n_parts = cfg.salt_partitions
+    n_salt = max(n_parts or 0, 256)
+    salt = F.pmod(F.xxhash64(F.col(cfg.text_col)), F.lit(n_salt))
     if n_parts:
-        df = df.repartition(n_parts, F.xxhash64("url"))
+        df = df.repartition(n_parts, F.col("lang_pred"), salt)
     else:
-        df = df.repartition(F.xxhash64("url"))
+        df = df.repartition(F.col("lang_pred"), salt)
 
     # shared word/line batch struct: ONE python pass feeds the 14 word/line
     # chain rules and the lexical quality score. (Wiring langid's stop-hits
@@ -98,10 +119,6 @@ def curate(
     from nemo_curator_spark.functions import heuristics as H
 
     df = df.withColumn("_wl", H.word_line_batch(F.col(cfg.text_col)))
-
-    # 3. language id (two-projection form: fractions materialize once)
-    df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
-    lang_ok = F.col("lang_score") >= cfg.langid_cutoff
 
     # 4. heuristic chain: every rule's score is computed once; English docs
     # gate on the full cascade, non-English docs on the reference's
@@ -119,11 +136,15 @@ def curate(
         F.when(is_en, F.col("_heur_reason")).otherwise(non_en_reason),
     )
 
-    # 5. perplexity (language-bucketed)
+    # 5. perplexity — bucket=False: the (lang_pred, salt) exchange above
+    # already built the language-bucketed layout, so scoring adds no
+    # shuffle here (and the perplexity UDF fuses into the same
+    # ArrowEvalPython pass as word_line_batch/ngram_scores — all three
+    # depend only on pre-exchange columns)
     if models:
         df = ppl_mod.score_perplexity(
             df, models, cfg.text_col, "lang_pred", out_col="ppl",
-            num_partitions=cfg.salt_partitions,
+            bucket=False,
         )
         cutoff = F.coalesce(
             *[
