@@ -177,6 +177,21 @@ def word_ngram_hash_udf(n: int = 3):
     def _udf(texts: pd.Series) -> pd.Series:
         import zlib
 
+        crc = zlib.crc32
+        # batch-level token-hash cache: web text repeats tokens massively
+        # (stopwords, duplicated boilerplate), so the two crc32 calls run
+        # once per DISTINCT token per batch instead of once per token —
+        # identical crc32 bits either way (golden tests pin the grams)
+        hcache: dict[str, int] = {}
+
+        def tok_hash(tok: str) -> int:
+            h = hcache.get(tok)
+            if h is None:
+                e = tok.encode("utf-8", "ignore")
+                h = (crc(e + b"#2") << 32) | crc(e)
+                hcache[tok] = h
+            return h
+
         out = []
         with np.errstate(over="ignore"):
             for t in texts:
@@ -185,12 +200,11 @@ def word_ngram_hash_udf(n: int = 3):
                 if m <= 0:
                     out.append(np.empty(0, dtype=np.int64))
                     continue
-                enc = [tok.encode("utf-8", "ignore") for tok in toks]
-                lo = np.array([zlib.crc32(e) for e in enc], dtype=np.uint64)
-                hi = np.array(
-                    [zlib.crc32(e + b"#2") for e in enc], dtype=np.uint64
+                h = np.fromiter(
+                    (tok_hash(tok) for tok in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
                 )
-                h = (hi << np.uint64(32)) | lo
                 acc = h[:m].copy()
                 for k in range(1, n):
                     acc = acc * A + h[k : k + m]
@@ -425,11 +439,20 @@ def simhash_udf(bits: int = 64, seed: int = 42):
         if total == 0:
             return pd.Series(out)
         hs = np.empty(total, dtype=np.uint64)
+        crc = zlib.crc32
+        # batch-level token-hash cache (same crc32 bits, once per
+        # DISTINCT token per batch — see word_ngram_hash_udf)
+        hcache: dict[str, int] = {}
+        hget = hcache.get
         i = 0
         for tl in tok_lists:
             for tok in tl:
-                b = tok.encode("utf-8")
-                hs[i] = zlib.crc32(b) | (zlib.crc32(b + b"#2") << 32)
+                h = hget(tok)
+                if h is None:
+                    b = tok.encode("utf-8")
+                    h = crc(b) | (crc(b + b"#2") << 32)
+                    hcache[tok] = h
+                hs[i] = h
                 i += 1
         # (total, 64) bit matrix, column j = bit j of the hash
         bitmat = np.unpackbits(

