@@ -58,11 +58,19 @@ def curate_stream(
         df = df.withColumn(
             cfg.text_col,
             F.coalesce(extraction.extract_text(F.col("html")), F.col(cfg.text_col)),
-        )
+        ).drop("html")  # raw bytes are dead weight for every stage below
     df = langid_mod.add_langid(df, cfg.text_col, "lang_pred", "lang_score")
     lang_ok = F.col("lang_score") >= cfg.langid_cutoff
+    # ONE shared word/line batch pass feeds the chain's 14 word/line rules
+    # AND the lexical quality score (same sharing as batch curate; the
+    # Column-form quality scorer this replaces ran three interpreted HOF
+    # passes per row — values pinned equal by tests)
+    from nemo_curator_spark.functions import heuristics as H
+
+    df = df.withColumn("_wl", H.word_line_batch(F.col(cfg.text_col)))
     df = chain.add_labels(
-        df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason"
+        df, cfg.text_col, keep_col="_heur_keep", reason_col="_heur_reason",
+        wl_col="_wl",
     )
     non_en_keep, non_en_reason = chain.labels_from_scores(
         chain.chain_rule_names(english=False)
@@ -74,7 +82,7 @@ def curate_stream(
         F.when(is_en, F.col("_heur_reason")).otherwise(non_en_reason),
     )
     df = df.withColumn(
-        "quality_score", quality.lexical_quality_score(F.col(cfg.text_col))
+        "quality_score", quality.lexical_quality_from_batch(F.col("_wl"))
     )
     qual_ok = (
         quality.pareto_keep(F.col("quality_score"), F.col("url"), cfg.pareto_alpha)
@@ -92,7 +100,7 @@ def curate_stream(
     return (
         df.withColumn("keep", keep)
         .withColumn("drop_reason", reason)
-        .drop("_heur_keep", "_heur_reason")
+        .drop("_heur_keep", "_heur_reason", "_wl")
     )
 
 
